@@ -1,0 +1,155 @@
+"""Sentiment scoring.
+
+The reference scores each post with VADER's compound score via a row-at-a-time
+Python UDF (reference: consumer/spark_streaming_job.py:14-25,39) and labels it
+with VADER's published ±0.05 thresholds (:27-36). Two upgrades here:
+
+1. The scorer is a **vectorized pandas UDF** (Arrow batches, not per-row
+   pickling) — the reference's BatchEvalPython boundary was its throughput
+   cliff (SURVEY.md §3.2).
+2. The label derivation is **pure Catalyst SQL** (``when/otherwise``) — no
+   UDF at all, so it stays inside whole-stage codegen.
+
+``vaderSentiment`` is not installed in this container, so the scorer vendors a
+compact VADER-*style* lexicon model (public-knowledge design: signed word
+valences, simple negation flip, compound normalization s/sqrt(s^2+15)). It is
+deterministic and unit-tested against hand-computed golden values; the class
+of output is identical (float in [-1, 1], same thresholds). When the real
+``vaderSentiment`` package is importable we use it instead, preserving exact
+reference parity.
+
+For oracle-checkable queries there is additionally ``sql_lexicon_score_col``:
+a *simpler* pure-SQL scorer (signed word-count ratio) expressible identically
+in Spark and DuckDB — integer-ratio arithmetic, so zero float drift between
+engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+try:  # exact reference parity when available
+    from vaderSentiment.vaderSentiment import SentimentIntensityAnalyzer
+
+    _VADER = SentimentIntensityAnalyzer()
+except Exception:  # pragma: no cover - not installed in this container
+    _VADER = None
+
+# Compact signed-valence lexicon (VADER-style scale, roughly [-4, 4]).
+# Curated here from common English sentiment words; includes every sentiment
+# word appearing in the reference's embedded sample feed
+# (producer/kafka_producer.py:49-68).
+_LEXICON: dict[str, float] = {
+    # positive
+    "love": 3.2, "loved": 3.0, "loves": 3.2, "amazing": 2.8, "awesome": 3.1,
+    "great": 3.1, "good": 1.9, "happy": 2.7, "excellent": 3.2, "best": 3.2,
+    "fantastic": 2.9, "wonderful": 2.7, "perfect": 2.7, "nice": 1.8,
+    "brilliant": 2.8, "excited": 2.4, "exciting": 2.2, "enjoy": 2.0,
+    "enjoyed": 2.0, "like": 1.5, "liked": 1.6, "win": 2.8, "winner": 2.8,
+    "beautiful": 2.9, "impressive": 2.3, "recommend": 1.6, "thanks": 1.9,
+    "thank": 1.9, "glad": 2.0, "cool": 1.3, "fast": 1.2, "helpful": 1.9,
+    "easy": 1.6, "smooth": 1.4, "reliable": 1.7, "improved": 1.6,
+    # negative
+    "terrible": -2.9, "awful": -2.7, "bad": -2.5, "worst": -3.1,
+    "hate": -2.7, "hated": -2.9, "horrible": -2.8, "disappointed": -2.0,
+    "disappointing": -2.1, "angry": -2.3, "sad": -2.1, "poor": -2.0,
+    "broken": -1.9, "slow": -1.3, "bug": -1.6, "bugs": -1.6, "crash": -2.2,
+    "crashed": -2.2, "fail": -2.4, "failed": -2.4, "failure": -2.4,
+    "useless": -2.4, "waste": -2.2, "annoying": -2.0, "frustrating": -2.2,
+    "scam": -2.9, "ugly": -2.3, "wrong": -1.7, "problem": -1.6,
+    "problems": -1.6, "issue": -1.1, "issues": -1.1, "never": -1.0,
+    "expensive": -1.1, "confusing": -1.6,
+}
+
+_NEGATORS = {"not", "no", "never", "neither", "nor", "cannot", "cant", "dont",
+             "doesnt", "didnt", "wont", "isnt", "wasnt", "arent", "werent"}
+_NEGATION_FLIP = -0.74  # VADER's published negation constant
+_ALPHA = 15.0  # VADER's published normalization constant
+
+# Word lists for the pure-SQL (oracle-twin) scorer — subset chosen so the
+# same regex alternation runs identically under Java regex and RE2.
+POS_WORDS = [
+    "love", "amazing", "awesome", "great", "good", "happy", "excellent",
+    "best", "fantastic", "wonderful", "perfect", "nice", "fast",
+]
+NEG_WORDS = [
+    "terrible", "awful", "bad", "worst", "hate", "horrible", "disappointed",
+    "angry", "sad", "poor", "slow", "broken", "fail",
+]
+
+
+def score_text(text: str | None) -> float:
+    """Deterministic compound score in [-1, 1]; None/empty/error → 0.0
+    (reference semantics: spark_streaming_job.py:17-25)."""
+    if _VADER is not None:
+        if text is None or text.strip() == "":
+            return 0.0
+        return float(_VADER.polarity_scores(text)["compound"])
+    if text is None or not text.strip():
+        return 0.0
+    tokens = [t.strip("#").strip(".,!?;:'\"()[]") for t in text.lower().split()]
+    s = 0.0
+    prev_negated = False
+    for tok in tokens:
+        v = _LEXICON.get(tok)
+        if v is not None:
+            s += v * (_NEGATION_FLIP if prev_negated else 1.0)
+        prev_negated = tok in _NEGATORS
+    if s == 0.0:
+        return 0.0
+    return s / math.sqrt(s * s + _ALPHA)
+
+
+def _score_series(texts: pd.Series) -> pd.Series:
+    return texts.map(score_text).astype("float64")
+
+
+# DataType object (not DDL string) so the UDF can be defined without an
+# active SparkSession at import time.
+sentiment_score_pandas_udf = pandas_udf(_score_series, DoubleType())
+"""Arrow-vectorized sentiment scorer (the U1 upgrade, SURVEY.md §2.3)."""
+
+
+def sentiment_label_col(score: Column) -> Column:
+    """±0.05 label thresholds as pure SQL — no UDF
+    (reference semantics: spark_streaming_job.py:27-36; null → neutral)."""
+    return (
+        F.when(score >= 0.05, F.lit("positive"))
+        .when(score <= -0.05, F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+    )
+
+
+def _word_regex(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def sql_lexicon_score_col(text: Column) -> Column:
+    """Oracle-twin scorer: (pos_hits - neg_hits) / (pos_hits + neg_hits).
+
+    Integer-count ratio → bit-identical across Spark and DuckDB. Zero when no
+    lexicon word matches. See ``oracle_sql`` in __spark_entry__.py for the
+    DuckDB twin expression.
+    """
+    lowered = F.lower(text)
+    pos = F.size(F.regexp_extract_all(lowered, F.lit(_word_regex(POS_WORDS)), F.lit(1)))
+    neg = F.size(F.regexp_extract_all(lowered, F.lit(_word_regex(NEG_WORDS)), F.lit(1)))
+    total = pos + neg
+    return F.when(total > 0, (pos - neg).cast("double") / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def sql_lexicon_score_duckdb(text_expr: str = "text") -> str:
+    """The DuckDB SQL twin of ``sql_lexicon_score_col`` (same regexes)."""
+    pos = f"len(regexp_extract_all(lower({text_expr}), '{_word_regex(POS_WORDS)}', 1))"
+    neg = f"len(regexp_extract_all(lower({text_expr}), '{_word_regex(NEG_WORDS)}', 1))"
+    return (
+        f"CASE WHEN ({pos} + {neg}) > 0 "
+        f"THEN CAST(({pos} - {neg}) AS DOUBLE) / CAST(({pos} + {neg}) AS DOUBLE) "
+        f"ELSE 0.0 END"
+    )

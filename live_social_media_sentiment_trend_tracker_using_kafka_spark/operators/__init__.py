@@ -1,0 +1,16 @@
+"""Composable DataFrame operators (batch + streaming)."""
+
+from .enrich import enrich_posts, filter_valid_text
+from .normalize import normalize_posts
+from . import analytics, dedup, multimodal, relational, similarity
+
+__all__ = [
+    "enrich_posts",
+    "filter_valid_text",
+    "normalize_posts",
+    "analytics",
+    "dedup",
+    "multimodal",
+    "relational",
+    "similarity",
+]

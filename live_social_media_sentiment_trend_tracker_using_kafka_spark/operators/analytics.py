@@ -1,0 +1,112 @@
+"""Dashboard analytics as Spark operators.
+
+The reference dashboard recomputes these eight analytics in pandas over the
+full history on every refresh (reference: dashboard/streamlit_app.py:269-401).
+Here each is a composable DataFrame operator usable in batch or (via
+foreachBatch / windowed agg) streaming.
+
+Parity map (SURVEY.md §2.4-2.5):
+
+- A1-A4  global count + means                → ``global_stats``
+- A5/A6  group-by count (label / platform)   → ``grouped_count``
+- A7     explode + count + top-k (hashtags)  → ``exploded_topk``
+- A8/O5  group-by count top-k                → ``grouped_topk``
+- O1     time-ordered series                 → ``time_series``
+- O2/O3  last-N by time                      → ``last_n``
+- O4     head-N                              → ``head_n``
+
+Determinism: pandas ``value_counts`` orders ties by encounter order — not
+reproducible distributed. Every operator here imposes the documented
+deterministic tiebreak (count desc, key asc; SURVEY.md §2.4), so results are
+stable across partitionings and match the DuckDB oracle.
+
+Scale notes: each grouped count is a hash aggregate with map-side partial
+aggregation (one shuffle of the *distinct keys*, not rows). Top-k uses
+``orderBy().limit(k)`` which Spark executes as TakeOrderedAndProject — per-
+partition heaps + single driver merge of k·P rows, no global sort. ``avg`` is
+decomposed sum/count, so partials combine exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def global_stats(df: DataFrame, mean_cols: list[str], round_digits: int = 6) -> DataFrame:
+    """A1-A4: one row — total count plus the mean of each named column.
+
+    Means are rounded (default 6 dp) so cross-engine float-sum ordering drift
+    can't flip the oracle hash.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("total_rows")]
+    for c in mean_cols:
+        aggs.append(F.round(F.avg(c), round_digits).alias(f"avg_{c}"))
+    return df.agg(*aggs)
+
+
+def grouped_count(df: DataFrame, key: str, alias: str | None = None) -> DataFrame:
+    """A5/A6: group-by count, ordered count desc then key asc (deterministic)."""
+    out_key = alias or key
+    return (
+        df.groupBy(F.col(key).alias(out_key))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc(out_key))
+    )
+
+
+def grouped_topk(df: DataFrame, key: str, k: int = 10, alias: str | None = None) -> DataFrame:
+    """A8/O5: group-by count, top-k with deterministic tiebreak."""
+    return grouped_count(df, key, alias).limit(k)
+
+
+def exploded_topk(df: DataFrame, array_col: Column | str, k: int = 10, alias: str = "tag") -> DataFrame:
+    """A7: flatten an array column, count values, top-k.
+
+    One narrow explode (no shuffle) then a hash aggregate; at scale the
+    partial agg collapses each partition's tag counts before the exchange.
+    """
+    col = F.col(array_col) if isinstance(array_col, str) else array_col
+    return (
+        df.select(F.explode(col).alias(alias))
+        .groupBy(alias)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc(alias))
+        .limit(k)
+    )
+
+
+def time_series(
+    df: DataFrame,
+    ts_col: str,
+    bucket: str = "1 hour",
+    value_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """O1 upgraded: time-bucketed counts (and optional mean), time-ordered.
+
+    The reference sorts raw rows by timestamp and lets plotly aggregate
+    client-side (streamlit_app.py:294-300); the scalable semantic is a
+    windowed aggregate. Bucket = ``window(ts, bucket).start`` ≡ DuckDB
+    ``time_bucket``.
+    """
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if value_col is not None:
+        aggs.append(F.round(F.avg(value_col), round_digits).alias(f"avg_{value_col}"))
+    return (
+        df.groupBy(F.window(ts_col, bucket).getField("start").alias("bucket_ts"))
+        .agg(*aggs)
+        .orderBy("bucket_ts")
+    )
+
+
+def last_n(df: DataFrame, ts_col: str, n: int, tiebreak: str) -> DataFrame:
+    """O2/O3: latest N rows, newest first; ``tiebreak`` is a unique column so
+    the result is deterministic (pandas ``tail`` is positional — not
+    meaningful distributed; SURVEY.md §2.5 O2)."""
+    return df.orderBy(F.desc(ts_col), F.desc(tiebreak)).limit(n)
+
+
+def head_n(df: DataFrame, order_col: str, n: int) -> DataFrame:
+    """O4: first N rows under an explicit deterministic order."""
+    return df.orderBy(F.asc(order_col)).limit(n)

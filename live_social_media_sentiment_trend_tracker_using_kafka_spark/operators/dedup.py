@@ -1,0 +1,262 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.8).
+
+Not present in the reference (it has no dedup at all); designed Spark-first
+for 100 TB corpora:
+
+- **exact_dedup** — md5 fingerprint of normalized text, keep min-id per
+  group. One hash-aggregate shuffle on the 128-bit key; oracle-checkable.
+- **minhash signatures** — computed **per-row** with Catalyst higher-order
+  functions (``transform``/``array_min``/``xxhash64``): no explode, no
+  shuffle, no Python. O(num_hashes × shingles) JVM work per row.
+- **LSH banding** — signature sliced into bands, docs exploded to
+  (band, band_hash) rows (num_bands rows per doc — the only blow-up, linear),
+  hash-shuffled once; buckets with >1 doc yield candidate pairs.
+- **verify** — exact n-gram Jaccard (``array_intersect``/``array_union`` on
+  distinct shingles) only on candidate pairs — never O(n²).
+- **simhash** — 64-bit signature via per-bit majority vote over token hashes,
+  all in one Catalyst expression; near-dup candidates via 16-bit chunk
+  banding (Hamming ≤ 3 ⇒ some chunk equal), verified with
+  ``bit_count(xor)``.
+
+Embedding-cosine near-dup lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_col
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint_col(F.col(text_col)))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each exact (normalized) text group.
+
+    Aggregating (min id, count) per fingerprint instead of dropDuplicates
+    makes the keep-rule deterministic and gives the dup count for free.
+    """
+    return (
+        with_fingerprint(df, text_col)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Only the fingerprint groups that actually have duplicates."""
+    return (
+        exact_dedup(df, text_col, id_col)
+        .filter(F.col("dup_count") > 1)
+        .orderBy(F.desc("dup_count"), F.asc("keep_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingles + MinHash
+# --------------------------------------------------------------------------
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")), r"\s+")
+
+
+def word_shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string> (per-row, no shuffle)."""
+    toks = _tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature_col(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature (array<bigint>, one min per seeded hash family).
+
+    ``xxhash64(seed, shingle)`` gives num_hashes independent 64-bit hash
+    functions; ``array_min`` takes the min per family. Entirely per-row.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(j), s)))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def with_minhash(
+    df: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    return df.withColumn("shingles", word_shingles_col(F.col(text_col), n)).withColumn(
+        "minhash", minhash_signature_col(F.col("shingles"), num_hashes)
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from banded MinHash.
+
+    Explode each doc to ``bands`` (band_id, band_hash) rows, shuffle once on
+    the bucket key, and emit intra-bucket pairs via a self-equi-join on the
+    bucket. Bucket sizes are tiny for any sane band width, so the join output
+    is ~linear; a hot bucket (degenerate shingle) is the skew risk — AQE skew
+    join handles it, and callers can pre-filter boilerplate docs.
+    """
+    rows_per_band = num_hashes // bands
+    banded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("minhash")[b * rows_per_band + i] for i in range(rows_per_band)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col(f"l.band") == F.col(f"r.band"))
+            & (F.col(f"l.bucket") == F.col(f"r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup: candidates → exact Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with jaccard ≥ threshold, ordered
+    deterministically. The exact-Jaccard join touches only candidate pairs.
+    """
+    sigs = with_minhash(df, text_col, n, num_hashes).select(id_col, "shingles", "minhash")
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a")
+    b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """n-gram Jaccard near-dup with a *recall-oriented* LSH front end
+    (more/narrower bands → catches lower-similarity pairs than
+    ``minhash_near_duplicates``'s default)."""
+    return minhash_near_duplicates(df, text_col, id_col, n, num_hashes, bands, threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_col(text: Column) -> Column:
+    """64-bit SimHash of the token multiset, as bigint, per-row.
+
+    bit_i(simhash) = majority over tokens of bit_i(xxhash64(token)).
+    Implemented as one Catalyst expression: for each bit, aggregate ±1 votes
+    over the token-hash array, emit the bit when the vote sum is positive.
+    """
+    hashes = F.transform(_tokens(text), lambda t: F.xxhash64(t))
+    def bit_vote(i: int) -> Column:
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+        return F.when(vote > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+    out = F.lit(0).cast("long")
+    for i in range(63):  # keep the sign bit clear
+        out = out.bitwiseOR(bit_vote(i))
+    return out
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the 64-bit signature into 4 16-bit chunks; any
+    pair within Hamming 3 agrees on ≥1 chunk, so chunk-equality buckets give
+    complete candidates, verified with ``bit_count(xor)``.
+    """
+    sh = df.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk", "cc.ckey")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ckey") == F.col("r.ckey"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,136 @@
+"""Multimodal columns: images/audio/video as opaque ``binary`` payloads with a
+typed metadata struct, processed via Arrow-batched ``mapInPandas``
+(SURVEY.md §2.8).
+
+The Spark-side plumbing — schemas, batch iteration, partition-preserving
+transforms — is real and tested. The actual media decode is STUBBED: the
+codec libraries (Pillow/ffmpeg/librosa) are not in this container, so
+``decode=`` accepts either a user codec callable or the deterministic
+``fake_image_decode`` used by tests. Passing ``decode=None`` raises
+``NotImplementedError`` at call time, loudly, per the build contract.
+
+Scale notes: ``mapInPandas`` streams Arrow record batches through one Python
+worker per core, preserving partitioning (no shuffle). Media blobs stay in
+executor memory one batch at a time; ``spark.sql.execution.arrow
+.maxRecordsPerBatch`` bounds batch size for fat blobs.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("content_type", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def synthetic_media_df(spark, n: int = 64, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table for tests: payload = packed bytes of a
+    seeded RNG; metadata populated as a real ingest would."""
+    rows = []
+    for i in range(n):
+        rng = np.random.RandomState(i)
+        payload = rng.bytes(256)
+        rows.append((i, kind, payload, (16, 16, None, None, "application/x-fake")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def fake_image_decode(payload: bytes, meta: dict) -> np.ndarray:
+    """Deterministic stand-in for a real image decode: reinterpret the payload
+    bytes as a (h, w) uint8 array per the metadata dims."""
+    w = int(meta.get("width") or 16)
+    h = int(meta.get("height") or 16)
+    need = w * h
+    buf = (payload * ((need // max(len(payload), 1)) + 1))[:need]
+    return np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
+
+
+def extract_features(
+    media: DataFrame,
+    decode: Callable[[bytes, dict], np.ndarray] | None = fake_image_decode,
+    n_features: int = 8,
+) -> DataFrame:
+    """Decode + feature-extract media rows via ``mapInPandas``.
+
+    Features here are simple decoded-array statistics (mean/std/quantiles) —
+    the contract a real embedding model would slot into. Partitioning is
+    preserved; one Arrow batch in flight per worker.
+    """
+    if decode is None:
+        raise NotImplementedError(
+            "No media codec available in this environment; pass a decode callable "
+            "(e.g. Pillow-based) or use fake_image_decode for plumbing tests."
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, nbytes = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                meta_d = dict(meta) if meta is not None else {}
+                arr = decode(bytes(payload) if payload is not None else b"", meta_d).astype("float64")
+                qs = np.quantile(arr, [0.25, 0.5, 0.75]) if arr.size else np.zeros(3)
+                vec = np.array(
+                    [arr.mean() if arr.size else 0.0, arr.std() if arr.size else 0.0,
+                     arr.min() if arr.size else 0.0, arr.max() if arr.size else 0.0,
+                     *qs, float(arr.size)],
+                    dtype="float32",
+                )[:n_features]
+                feats.append(vec.tolist())
+                nbytes.append(len(payload) if payload is not None else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pd.Series(nbytes, dtype="int32"),
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plumbing*: expands each video row into sampled
+    frame rows (frame index + byte offsets) without decoding — pure Catalyst,
+    then a real decoder plugs into ``extract_features`` downstream."""
+    n_frames = F.coalesce(F.col("meta.n_frames"), F.lit(1))
+    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    return media.select(
+        "media_id",
+        "kind",
+        F.explode(idx).alias("frame_idx"),
+        F.octet_length("payload").alias("payload_bytes"),
+    )

@@ -1,0 +1,72 @@
+"""Dynamic-schema normalization — the dashboard's defensive coercions
+(reference: dashboard/streamlit_app.py:190-246) as one explicit operator.
+
+Parity (SURVEY.md §2.2 P10-P13):
+
+- P10 numeric coercion: ``try_cast`` → null → fill 0 (pandas
+  ``to_numeric(errors='coerce').fillna(0)`` semantics)
+- P11 timestamp fallback chain: first parseable of
+  processing_timestamp / timestamp / created_at, else current time
+- P12 missing-column defaulting (constants from streamlit_app.py:203-220)
+- P13 hashtag-cell normalization: typed array passes through; a stringified
+  list (``"['a', 'b']"``) is re-parsed; scalar string becomes 1-element list;
+  null becomes empty list
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import POST_DEFAULTS
+
+_NUMERIC_DEFAULTS = {"sentiment_score": 0.0, "likes": 0, "retweets": 0, "user_followers": 0}
+_STRING_DEFAULTS = {
+    k: v for k, v in POST_DEFAULTS.items() if isinstance(v, str)
+}
+_TS_CANDIDATES = ["processing_timestamp", "timestamp", "created_at"]
+
+
+def _normalize_hashtags(df: DataFrame) -> DataFrame:
+    if "hashtags" not in df.columns:
+        return df.withColumn("hashtags", F.array().cast("array<string>"))
+    dt = df.schema["hashtags"].dataType
+    if isinstance(dt, T.ArrayType):
+        return df.withColumn(
+            "hashtags", F.coalesce(F.col("hashtags").cast("array<string>"), F.array().cast("array<string>"))
+        )
+    # string cell: stringified python list or bare tag
+    as_str = F.col("hashtags").cast("string")
+    parsed = F.from_json(F.regexp_replace(as_str, "'", '"'), "array<string>")
+    return df.withColumn(
+        "hashtags",
+        F.when(F.col("hashtags").isNull(), F.array().cast("array<string>"))
+        .when(as_str.startswith("["), F.coalesce(parsed, F.array().cast("array<string>")))
+        .otherwise(F.array(as_str)),
+    )
+
+
+def normalize_posts(df: DataFrame) -> DataFrame:
+    """Coerce an untyped/partial post table to the canonical enriched shape."""
+    out = df
+    # P12: ensure expected columns exist
+    for col, default in POST_DEFAULTS.items():
+        if col not in out.columns:
+            out = out.withColumn(col, F.lit(default))
+    # P11: timestamp fallback chain (string parse is try-semantics: bad → null)
+    ts_exprs = [
+        F.to_timestamp(F.col(c).cast("string"))
+        for c in _TS_CANDIDATES
+        if c in out.columns
+    ]
+    out = out.withColumn("event_ts", F.coalesce(*ts_exprs, F.current_timestamp()))
+    # P10: numeric coercion with errors='coerce' → fill default
+    for col, default in _NUMERIC_DEFAULTS.items():
+        target = "double" if isinstance(default, float) else "int"
+        out = out.withColumn(col, F.coalesce(F.try_cast(F.col(col).cast("string"), target), F.lit(default)))
+    # string defaults for nulls
+    out = out.na.fill(_STRING_DEFAULTS)
+    # P13
+    out = _normalize_hashtags(out)
+    return out

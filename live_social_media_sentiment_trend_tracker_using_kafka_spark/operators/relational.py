@@ -1,0 +1,153 @@
+"""Relational core — joins/aggregations over the TPC-H-ish testdata.
+
+The reference contains **no joins at all** (SURVEY.md §2.5 ⊘); these queries
+exist to prove the relational capabilities a real deployment of this engine
+needs, shaped after the public TPC-H workload (adapted to the driver's
+slightly-reduced schemas, FIXTURES.md §B).
+
+Scale design, query by query:
+
+- ``pricing_summary`` (Q1-shape): single scan of lineitem, map-side partial
+  agg → tiny shuffle (6-ish groups). The shipdate filter is pushed into the
+  parquet scan.
+- ``shipping_priority`` (Q3-shape): customer and orders filters push to their
+  scans; customer is the small side after filtering → broadcast hinted, so
+  only the orders⋈lineitem join shuffles — and AQE can convert it too when
+  the filtered orders side is small.
+- ``local_supplier_volume`` (Q5-shape): region/nation are tiny dims →
+  broadcast (no shuffle); the big joins shuffle on orderkey once.
+- ``top_customers_by_spend``: orders-side pre-aggregation *before* the
+  customer join shrinks the join input from |orders| to |custkey| rows.
+
+All money aggregates round to 2 dp so cross-engine double-summation-order
+drift cannot flip the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) sums/avgs/count."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1995-03-15",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue top-k.
+
+    Filtered customer is broadcast — eliminates one whole shuffle of orders.
+    """
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    items = lineitem.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(items, ords.o_orderkey == items.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where customer and supplier share the
+    nation, one region, one order-date year. Dims broadcast; fact joins
+    shuffle once on orderkey."""
+    nations_in_region = (
+        nation.join(F.broadcast(region.filter(F.col("r_name") == region_name)),
+                    nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nations_in_region), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def top_customers_by_spend(customer: DataFrame, orders: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k customers by total order value.
+
+    Aggregates orders *before* joining customer names — the join input is one
+    row per customer, not one per order; customer side broadcast."""
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.count(F.lit(1)).alias("order_cnt"),
+    )
+    return (
+        spend.join(F.broadcast(customer.select("c_custkey", "c_name")),
+                   spend.o_custkey == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "total_spend", "order_cnt")
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def order_priority_counts(
+    orders: DataFrame, lineitem: DataFrame, min_discount: float = 0.08
+) -> DataFrame:
+    """TPC-H Q4 shape (semi-join): orders having at least one deeply
+    discounted lineitem, counted per priority.
+
+    Expressed as a left-semi join — no row multiplication, no dedup needed;
+    Spark plans a shuffled (or AQE-broadcast) semi join. The driver schema
+    lacks Q4's commitdate/receiptdate, so the EXISTS predicate uses discount.
+    """
+    qualifying = lineitem.filter(F.col("l_discount") >= min_discount).select("l_orderkey")
+    return (
+        orders.join(qualifying, orders.o_orderkey == qualifying.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+The reference hardcodes ``local[*]``, Kryo, 4 shuffle partitions in app code
+(reference: consumer/spark_streaming_job.py:75-86). We instead centralize
+session construction, never hardcode a master in library code, and enable the
+optimizer features a 100 TB deployment needs by default:
+
+- AQE (runtime re-planning, partition coalescing, skew-join splitting)
+- Arrow for any pandas-UDF boundary
+- broadcast join threshold left at default but AQE can promote joins at runtime
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def build_session(
+    app_name: str = "live-sentiment-engine",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with scale-ready defaults.
+
+    ``master`` is only set when given explicitly (tests pass ``local[n]``);
+    on a real cluster the launcher provides it — the reference's hardcoded
+    ``local[*]`` (spark_streaming_job.py:81) silently disabled its own
+    compose cluster, a mistake we do not repeat.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Session-local timezone pinned to UTC so timestamp semantics match
+        # the DuckDB oracle regardless of host timezone.
+        "spark.sql.session.timeZone": "UTC",
+        # The driver testdata writes events.ts as parquet TIMESTAMP(NANOS),
+        # which Spark refuses by default; read it as long and let
+        # sources.table() convert (truncate) to microsecond timestamps —
+        # the same truncation DuckDB applies.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def local_test_session(cpus: int | None = None) -> SparkSession:
+    """Session for tests / bench: local[N] with N from $SPARK_GRAFT_CPUS."""
+    n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or "*"
+    return build_session(master=f"local[{n}]")

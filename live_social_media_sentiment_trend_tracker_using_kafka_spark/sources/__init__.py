@@ -1,0 +1,31 @@
+"""Batch and streaming sources/sinks.
+
+Covers the reference's source/sink surface (SURVEY.md §2.1 S1-S7) re-expressed
+with Spark built-ins:
+
+- S1 Kafka streaming source / S2 Kafka sink  → ``kafka_stream`` / ``write_kafka``
+  (gated: the connector jar may be absent locally; tests use the file source)
+- S3 JSON value decode                        → ``decode_json_value``
+- S5/S6 JSON-lines sink/scan                  → ``read_posts_json`` + parquet sinks
+- driver testdata                             → ``load_tables`` / ``table``
+"""
+
+from .readers import (
+    decode_json_value,
+    kafka_stream,
+    load_tables,
+    posts_file_stream,
+    read_posts_json,
+    table,
+    write_kafka,
+)
+
+__all__ = [
+    "decode_json_value",
+    "kafka_stream",
+    "load_tables",
+    "posts_file_stream",
+    "read_posts_json",
+    "table",
+    "write_kafka",
+]

@@ -1,0 +1,141 @@
+"""Source readers and sinks.
+
+Parity notes (file:line into /root/reference):
+
+- Kafka source options mirror consumer/spark_streaming_job.py:110-118
+  (subscribe, startingOffsets, failOnDataLoss, maxOffsetsPerTrigger).
+- JSON value decode mirrors :121-124 (cast value → from_json → flatten).
+- Batch JSON-lines scan replaces dashboard/streamlit_app.py:83-155's manual
+  glob/parse loop with Spark's native (distributed, permissive) JSON reader.
+
+Scale notes: testdata tables are plain parquet scans — Catalyst pushes filters
+and prunes columns into the scan automatically; nothing here collects to the
+driver. For a 100 TB deployment the same ``table()`` call works on a
+partitioned table path; partition pruning is free once the layout is
+date/key-partitioned.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import POST_SCHEMA, TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Load one driver testdata table as a DataFrame (parquet scan).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as a bigint of
+    epoch-nanos, which we truncate to a microsecond TimestampType here
+    (integer ``div`` — no double round-trip), matching DuckDB's nanos→micros
+    truncation so oracle comparisons agree.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.typeName() == "long":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every testdata table; keys as in TESTDATA.md."""
+    return {name: table(spark, name, sf_dir) for name in TESTDATA_TABLES}
+
+
+def read_posts_json(spark: SparkSession, path: str) -> DataFrame:
+    """Batch scan of JSON-lines post files with the canonical typed schema.
+
+    Replaces the reference dashboard's manual glob + per-line json.loads +
+    whole-file fallback (dashboard/streamlit_app.py:83-155): Spark's JSON
+    reader is already line-oriented, permissive (bad line → null row), and
+    distributed.
+    """
+    return spark.read.schema(POST_SCHEMA).json(path)
+
+
+def posts_file_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """Streaming file source over JSON-lines post files.
+
+    The deterministic test-friendly stand-in for the Kafka source: same typed
+    schema, same downstream operators. ``maxFilesPerTrigger`` is the
+    *correct* placement of the option the reference mistakenly put on its
+    sink (consumer/spark_streaming_job.py:158 — inert there).
+    """
+    return (
+        spark.readStream.schema(POST_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def kafka_stream(
+    spark: SparkSession,
+    topic: str = "social-media-posts",
+    bootstrap_servers: str = "localhost:9092",
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = 100,
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """Kafka streaming source (reference: consumer/spark_streaming_job.py:110-118).
+
+    Requires the spark-sql-kafka connector on the classpath; the local test
+    container does not ship it, so tests use ``posts_file_stream`` — the
+    downstream operator chain is identical either way.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load()
+
+
+def decode_json_value(kafka_df: DataFrame) -> DataFrame:
+    """Kafka record → typed post rows (reference: spark_streaming_job.py:121-124).
+
+    ``from_json`` is permissive: a malformed payload yields an all-null row,
+    which the downstream text filter drops — same net semantics as the
+    reference.
+    """
+    return (
+        kafka_df.select(F.col("value").cast("string").alias("json_string"))
+        .select(F.from_json("json_string", POST_SCHEMA).alias("data"))
+        .select("data.*")
+    )
+
+
+def write_kafka(
+    df: DataFrame,
+    topic: str,
+    bootstrap_servers: str = "localhost:9092",
+    checkpoint: str | None = None,
+):
+    """Kafka sink: serialize all columns to a JSON ``value`` (the Spark-side
+    equivalent of the reference producer's json.dumps serializer,
+    producer/kafka_producer.py:14-15,82)."""
+    out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    if out.isStreaming:
+        writer = (
+            out.writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+        )
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        return writer.start()
+    return (
+        out.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .save()
+    )
