@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (computes every column —
+``count()`` would let Catalyst prune the expensive ones away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.session import build_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: reference-surface analytics, relational core, and the
+# LLM-pipeline extensions — the queries whose plans we tuned for scale.
+HEADLINE = [
+    "flagship_event_summary",
+    "global_stats",
+    "token_topk",
+    "time_series",
+    "sentiment_label_counts",
+    "json_props_buckets",
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "top_customers",
+    "order_priority_counts",
+    "exact_dedup_groups",
+    "doc_quality",
+    "similarity_topk",
+    "minhash_near_dups",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = build_session(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "2g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -67,26 +67,40 @@ def _tokens(text: Column) -> Column:
 
 
 def word_shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string> (per-row, no shuffle)."""
-    toks = _tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.array_distinct(grams)
+    """Distinct word n-gram shingles as array<string> (per-row, no shuffle).
+
+    The token array is **let-bound** through a single-element ``transform`` so
+    the gram-builder lambda sees a bound variable: referencing the raw token
+    expression inside the lambda would re-run the whole
+    regexp_replace+split tokenization once per gram position (measured 7×
+    slower at sf0.1).
+    """
+    def build(toks: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+        return F.array_distinct(grams)
+
+    return F.transform(F.array(_tokens(text)), build)[0]
 
 
 def minhash_signature_col(shingles: Column, num_hashes: int = 32) -> Column:
     """MinHash signature (array<bigint>, one min per seeded hash family).
 
     ``xxhash64(seed, shingle)`` gives num_hashes independent 64-bit hash
-    functions; ``array_min`` takes the min per family. Entirely per-row.
+    functions. Implemented as ONE ``aggregate`` pass over the shingle array
+    carrying the running-min vector — a per-family ``array_min`` unrolling
+    would reference (and, after projection collapse, recompute) the shingle
+    expression num_hashes times and blow the whole-stage-codegen method size;
+    measured ~10× slower. Entirely per-row, no shuffle.
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(j), s)))
-            for j in range(num_hashes)
-        ]
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    init = F.array_repeat(F.lit(0x7FFFFFFFFFFFFFFF).cast("long"), num_hashes)
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(acc, seeds, lambda m, j: F.least(m, F.xxhash64(j, s))),
     )
 
 
@@ -115,17 +129,18 @@ def lsh_candidate_pairs(
     rows_per_band = num_hashes // bands
     banded = df.select(
         F.col(id_col),
+        # One reference to the signature per row: bands are built by a
+        # transform over band indices, each hashing an array *slice* of the
+        # signature — not per-element indexing, which would re-reference (and
+        # recompute, post projection-collapse) the signature expression
+        # num_hashes times.
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col("minhash")[b * rows_per_band + i] for i in range(rows_per_band)]).alias(
-                            "bucket"
-                        ),
-                    )
-                    for b in range(bands)
-                ]
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)).alias("bucket"),
+                ),
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
@@ -197,21 +212,25 @@ def simhash_col(text: Column) -> Column:
     """64-bit SimHash of the token multiset, as bigint, per-row.
 
     bit_i(simhash) = majority over tokens of bit_i(xxhash64(token)).
-    Implemented as one Catalyst expression: for each bit, aggregate ±1 votes
-    over the token-hash array, emit the bit when the vote sum is positive.
+    ONE ``aggregate`` pass over the token hashes carries all 63 vote counters
+    (a per-bit aggregate would traverse — and post-collapse recompute — the
+    token-hash array 63 times and overflow codegen method limits). The vote
+    vector then folds into the bigint via a literal power-of-two weight array.
     """
-    hashes = F.transform(_tokens(text), lambda t: F.xxhash64(t))
-    def bit_vote(i: int) -> Column:
-        vote = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
-        )
-        return F.when(vote > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
-    out = F.lit(0).cast("long")
-    for i in range(63):  # keep the sign bit clear
-        out = out.bitwiseOR(bit_vote(i))
-    return out
+    bit_idx = F.sequence(F.lit(0), F.lit(62))  # keep the sign bit clear
+    votes = F.aggregate(
+        F.transform(_tokens(text), lambda t: F.xxhash64(t)),
+        F.array_repeat(F.lit(0), 63),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_idx,
+            lambda v, i: v
+            + (F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        ),
+    )
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(63)])
+    bits = F.zip_with(votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b))
 
 
 def simhash_near_duplicates(

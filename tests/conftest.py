@@ -20,7 +20,7 @@ def spark():
         app_name="engine-tests",
         master="local[8]",
         shuffle_partitions=8,
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "4g"},
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "2g"},
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s

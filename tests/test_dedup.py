@@ -1,0 +1,98 @@
+"""Unit tests for the dedup operators (exact, MinHash-LSH, SimHash) with
+known duplicate / near-duplicate / distinct fixtures.
+
+These cover the queries the driver can only rows-check (xxhash64 signatures
+are not DuckDB-expressible — see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind the tall green hills and the river keeps flowing gently north "
+    "past the old stone bridge where children play every single afternoon"
+)
+NEAR = BASE.replace("children play", "children laugh")  # one-word edit
+DISTINCT = (
+    "completely unrelated content about database query optimization and "
+    "distributed shuffle exchange operators running on columnar parquet "
+    "files with adaptive execution enabled for skewed join mitigation"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                    # exact duplicate of 1
+        (3, "  " + BASE.upper() + "  "),  # whitespace/case variant → exact dup after normalize
+        (4, NEAR),                    # near-duplicate of 1
+        (5, DISTINCT),
+        (6, "short text"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicate_groups(spark):
+    out = dedup.exact_duplicate_groups(_docs(spark)).collect()
+    assert len(out) == 1
+    assert out[0].keep_id == 1
+    assert out[0].dup_count == 3  # ids 1, 2, 3 normalize identically
+
+
+def test_shingles_deterministic_and_distinct(spark):
+    df = spark.createDataFrame([("a b c d e",)], ["text"])
+    [row] = df.select(dedup.word_shingles_col(F.col("text")).alias("sh")).collect()
+    assert row.sh == ["a b c", "b c d", "c d e"]
+    # duplicates collapse
+    df2 = spark.createDataFrame([("x y z x y z x y z",)], ["text"])
+    [row2] = df2.select(dedup.word_shingles_col(F.col("text")).alias("sh")).collect()
+    assert sorted(row2.sh) == sorted(set(row2.sh))
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    df = _docs(spark)
+    sigs = dedup.with_minhash(df).select("doc_id", "minhash").collect()
+    by_id = {r.doc_id: r.minhash for r in sigs}
+    assert all(len(s) == 32 for s in by_id.values())
+    assert by_id[1] == by_id[2]  # identical text → identical signature
+    # near-dup shares most (not necessarily all) signature slots
+    shared = sum(a == b for a, b in zip(by_id[1], by_id[4]))
+    assert shared >= 16
+    # distinct doc shares almost none
+    shared_far = sum(a == b for a, b in zip(by_id[1], by_id[5]))
+    assert shared_far <= 4
+
+
+def test_minhash_near_duplicates_pairs(spark):
+    out = dedup.minhash_near_duplicates(_docs(spark), threshold=0.5)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in pairs          # exact dup pair survives any threshold
+    assert (1, 4) in pairs          # one-word edit → high Jaccard
+    assert all(5 not in p and 6 not in p for p in pairs)
+    # jaccard values are sane
+    for r in out.collect():
+        assert 0.5 <= r.jaccard <= 1.0
+
+
+def test_simhash_near_duplicates_pairs(spark):
+    out = dedup.simhash_near_duplicates(_docs(spark), max_hamming=3)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert all(5 not in p and 6 not in p for p in pairs)
+    for r in out.collect():
+        assert 0 <= r.hamming <= 3
+
+
+def test_simhash_identical_iff_same_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world foo"), (2, "hello   WORLD?! foo"), (3, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.s for r in df.select("doc_id", dedup.simhash_col(F.col("text")).alias("s")).collect()}
+    assert rows[1] == rows[2]  # same token multiset after normalization
+    assert rows[1] != rows[3]
+    assert all(s >= 0 for s in rows.values())  # sign bit kept clear
