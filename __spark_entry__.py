@@ -30,18 +30,26 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.senti
 )
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.text import (
     HASHTAG_PATTERN,
+    LANG_MARKERS,
     STOPWORDS,
     TOKEN_PATTERN,
     fingerprint_col,
+    lang_id_col,
     quality_score_cols,
+    token_count_col,
+    whitespace_token_count_col,
 )
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
     analytics,
     dedup,
+    multimodal,
     relational,
     similarity,
 )
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import table
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.streaming import (
+    run_available_now_to_memory,
+)
 
 # Fixed query vector for similarity queries: embeddings row vec_id=0 is the
 # query; both engines look it up from the same table, so no literals drift.
@@ -189,6 +197,94 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_SEQ = [0]
+
+
+def q_streaming_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-series via Structured Streaming: events parquet read as a file
+    STREAM, watermarked tumbling-window agg, drained with
+    Trigger.AvailableNow — proves the streaming layer computes the same
+    answer as the batch/oracle path (same oracle SQL as ``time_series``)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # The file-stream source requires a directory; glob-filter to the one table.
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("window.start").alias("bucket_ts"), "cnt", "avg_value")
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"stream_ts_agg_{_STREAM_SEQ[0]}"
+    out = run_available_now_to_memory(agg, spark, name, output_mode="complete")
+    return out.orderBy("bucket_ts")
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 text analysis: heuristic language-ID over documents.text, counted
+    per detected language (compare with the stored ``lang`` label offline)."""
+    docs = _t(spark, sf_dir, "documents")
+    return analytics.grouped_count(
+        docs.withColumn("detected_lang", lang_id_col(F.col("text"))), "detected_lang"
+    )
+
+
+def q_token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 token counting: whitespace + BPE-ish regex token totals per
+    source over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            token_count_col(F.col("text")).alias("bpe_tokens"),
+            whitespace_token_count_col(F.col("text")).alias("ws_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.round(F.avg("bpe_tokens"), 6).alias("avg_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 n-gram Jaccard near-dup (recall-oriented banding; rows-only —
+    xxhash64 signatures are not DuckDB-expressible)."""
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 embedding-cosine near-dup via sign-random-projection buckets
+    (rows-only: ANN recall is probabilistic by design)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_duplicate_pairs(emb, threshold=0.9, dim=64)
+
+
+def q_lsh_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 ANN top-k (scale path of ``similarity_topk``; rows-only — probed
+    buckets are a recall/latency tradeoff, not exact)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head().embedding
+    return similarity.lsh_topk(emb.filter(F.col("vec_id") != _QUERY_VEC_ID), qvec, 10)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 multimodal plumbing: synthetic binary media → mapInPandas
+    decode/feature-extract (rows-only; deterministic fake decode — real
+    codecs are stubbed per the build contract)."""
+    media = multimodal.synthetic_media_df(spark, n=64)
+    return multimodal.extract_features(media).orderBy("media_id")
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 similarity search: exact cosine top-10 vs the vec_id=0 vector."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -235,6 +331,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
+        "streaming_time_series": q_streaming_time_series,
+        "lang_id_counts": q_lang_id_counts,
+        "token_count_stats": q_token_count_stats,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "cosine_near_dups": q_cosine_near_dups,
+        "lsh_similarity_topk": q_lsh_similarity_topk,
+        "media_features": q_media_features,
     }
 
 
@@ -243,6 +346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 _STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+
+def _marker_re(lang: str) -> str:
+    return r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -398,8 +505,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, ROUND(c, 6) AS cosine FROM scored
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
-        # minhash_near_dups / simhash_near_dups intentionally omitted:
-        # xxhash64-based signatures are not expressible in DuckDB → the
-        # driver records the weaker rows-only check; unit tests cover
-        # correctness with known near-duplicate fixtures (tests/test_dedup.py).
+        # Streaming query: the memory-sink result must equal the batch
+        # windowed aggregate — same oracle as time_series.
+        "streaming_time_series": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+                   COUNT(*) AS cnt, ROUND(AVG(value), 6) AS avg_value
+            FROM events GROUP BY bucket_ts ORDER BY bucket_ts
+        """,
+        # Same strict-> argmax chain as lang_id_col: es, then de, then fr
+        # challenge the running best (initial 'en'); CJK chars force zh.
+        "lang_id_counts": f"""
+            WITH s AS (
+                SELECT len(regexp_extract_all(lower(text), '{_marker_re("en")}', 1)) AS s_en,
+                       len(regexp_extract_all(lower(text), '{_marker_re("es")}', 1)) AS s_es,
+                       len(regexp_extract_all(lower(text), '{_marker_re("de")}', 1)) AS s_de,
+                       len(regexp_extract_all(lower(text), '{_marker_re("fr")}', 1)) AS s_fr,
+                       len(regexp_extract_all(text, '[一-鿿]', 0)) AS cjk
+                FROM documents
+            ), step1 AS (
+                SELECT *, CASE WHEN s_es > s_en THEN 'es' ELSE 'en' END AS b1,
+                          CASE WHEN s_es > s_en THEN s_es ELSE s_en END AS v1
+                FROM s
+            ), step2 AS (
+                SELECT *, CASE WHEN s_de > v1 THEN 'de' ELSE b1 END AS b2,
+                          CASE WHEN s_de > v1 THEN s_de ELSE v1 END AS v2
+                FROM step1
+            ), pick AS (
+                SELECT CASE WHEN cjk > 0 THEN 'zh'
+                            WHEN s_fr > v2 THEN 'fr' ELSE b2 END AS detected_lang
+                FROM step2
+            )
+            SELECT detected_lang, COUNT(*) AS cnt FROM pick
+            GROUP BY detected_lang ORDER BY cnt DESC, detected_lang ASC
+        """,
+        "token_count_stats": rf"""
+            SELECT source, COUNT(*) AS cnt,
+                   SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}', 0))) AS total_bpe_tokens,
+                   SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS total_ws_tokens,
+                   ROUND(AVG(len(regexp_extract_all(text, '{TOKEN_PATTERN}', 0))), 6) AS avg_bpe_tokens
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        # minhash_near_dups / simhash_near_dups / ngram_jaccard_pairs
+        # intentionally omitted: xxhash64-based signatures are not
+        # expressible in DuckDB → the driver records the weaker rows-only
+        # check; unit tests cover correctness with known near-duplicate
+        # fixtures (tests/test_dedup.py).
+        # cosine_near_dups / lsh_similarity_topk omitted: ANN recall is
+        # probabilistic (bucketed candidates), exact parity is not the
+        # contract; similarity_topk above is the exact, oracle-checked twin.
+        # media_features omitted: mapInPandas decode plumbing, no SQL twin.
     }

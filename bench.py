@@ -39,6 +39,13 @@ HEADLINE = [
     "doc_quality",
     "similarity_topk",
     "minhash_near_dups",
+    "simhash_near_dups",
+    "streaming_time_series",
+    "lang_id_counts",
+    "token_count_stats",
+    "ngram_jaccard_pairs",
+    "cosine_near_dups",
+    "lsh_similarity_topk",
 ]
 
 

@@ -85,7 +85,7 @@ def fingerprint_col(text: Column) -> Column:
 # marker sets (top function words + diacritics). Returns the argmax language
 # code. Deliberately simple and deterministic; real deployments would swap in
 # fastText — the operator contract (string column in, code column out) stays.
-_LANG_MARKERS: dict[str, list[str]] = {
+LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "is", "of", "to", "you", "that", "it"],
     "es": ["el", "la", "los", "las", "que", "de", "es", "una"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "ich"],
@@ -102,7 +102,7 @@ def lang_id_col(text: Column) -> Column:
         lang: F.size(
             F.regexp_extract_all(lowered, F.lit(r"\b(" + "|".join(words) + r")\b"), F.lit(1))
         )
-        for lang, words in _LANG_MARKERS.items()
+        for lang, words in LANG_MARKERS.items()
         if words
     }
     cjk = F.size(F.regexp_extract_all(text, F.lit(r"[一-鿿]"), F.lit(0)))

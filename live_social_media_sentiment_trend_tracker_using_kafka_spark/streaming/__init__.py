@@ -1,0 +1,29 @@
+"""Structured Streaming layer: sources → enrichment → windowed aggregation →
+checkpointed sinks, plus monitoring/shutdown."""
+
+from .pipeline import (
+    enriched_file_stream,
+    enriched_kafka_stream,
+    fan_out_sinks,
+    run_available_now_to_memory,
+    start_console_sink,
+    start_file_sink,
+    windowed_hashtag_counts,
+    windowed_platform_stats,
+    windowed_sentiment_counts,
+)
+from .monitor import monitor_streams, stop_all_streams
+
+__all__ = [
+    "enriched_file_stream",
+    "enriched_kafka_stream",
+    "fan_out_sinks",
+    "run_available_now_to_memory",
+    "start_console_sink",
+    "start_file_sink",
+    "windowed_hashtag_counts",
+    "windowed_platform_stats",
+    "windowed_sentiment_counts",
+    "monitor_streams",
+    "stop_all_streams",
+]

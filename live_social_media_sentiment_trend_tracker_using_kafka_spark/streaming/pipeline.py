@@ -1,0 +1,253 @@
+"""Streaming pipeline: the reference's transform chain re-expressed as
+Structured Streaming with the pieces it left unshipped.
+
+Reference parity (file:line into /root/reference):
+
+- The enrichment chain (consumer/spark_streaming_job.py:121-136) is the SAME
+  operator library used in batch (operators/enrich.py) — a streaming DF goes
+  through unchanged.
+- Console sink: :139-147 (15 s trigger, 5 rows, no truncate).
+- File sink: :151-161 (30 s trigger, append, checkpointed). We default to
+  parquet (typed, splittable, prunable); JSON-lines kept as an option for
+  byte-level fidelity with the reference's output.
+- Windowed aggregation: the reference created checkpoint/output dirs for an
+  ``aggregated`` stream and then removed the code (:44-47,59-64 plus the
+  "SINGLE STREAM ONLY" comment at :151). We ship what that intended:
+  watermarked tumbling/sliding-window aggregates — the incremental
+  replacement for the dashboard's full-rescan pandas analytics
+  (dashboard/streamlit_app.py:70,255).
+- Fan-out: the reference starts two queries from one lineage, so the whole
+  chain (VADER UDF included) runs twice per micro-batch (SURVEY.md §3.2).
+  ``fan_out_sinks`` runs ONE query and multiplexes each micro-batch to all
+  sinks from a persisted DataFrame.
+
+Scale notes: windowed aggregates are incremental — state store holds only
+open windows (bounded by the watermark), each micro-batch shuffles only its
+own rows on (window, key). The enrichment map is narrow (no exchange). At
+100 TB/day the same topology holds; partition count follows
+spark.sql.shuffle.partitions, and sinks write partitioned parquet.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.enrich import enrich_posts
+from ..sources.readers import decode_json_value, kafka_stream, posts_file_stream
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+# --------------------------------------------------------------------------
+# Sources → enriched stream
+# --------------------------------------------------------------------------
+
+def enriched_file_stream(
+    spark: SparkSession,
+    path: str,
+    with_sentiment_udf: bool = True,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """JSON-lines file source → typed posts → full enrichment chain.
+
+    The deterministic stand-in for the Kafka topology (same downstream
+    operators); used by tests with Trigger.AvailableNow.
+    """
+    raw = posts_file_stream(spark, path, max_files_per_trigger)
+    return enrich_posts(raw, with_sentiment_udf=with_sentiment_udf)
+
+
+def enriched_kafka_stream(
+    spark: SparkSession,
+    topic: str = "social-media-posts",
+    bootstrap_servers: str = "localhost:9092",
+    with_sentiment_udf: bool = True,
+    **kafka_opts,
+) -> DataFrame:
+    """Kafka source → JSON decode → full enrichment chain
+    (reference topology: consumer/spark_streaming_job.py:110-136)."""
+    raw = kafka_stream(spark, topic, bootstrap_servers, **kafka_opts)
+    return enrich_posts(decode_json_value(raw), with_sentiment_udf=with_sentiment_udf)
+
+
+# --------------------------------------------------------------------------
+# Watermarked windowed aggregations (the unshipped "aggregated" stream)
+# --------------------------------------------------------------------------
+
+def windowed_sentiment_counts(
+    enriched: DataFrame,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = DEFAULT_WATERMARK,
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Per-window sentiment-label counts (A5 made incremental)."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        enriched.withWatermark(ts_col, watermark)
+        .groupBy(win, "sentiment_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "sentiment_label",
+            "cnt",
+        )
+    )
+
+
+def windowed_platform_stats(
+    enriched: DataFrame,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = DEFAULT_WATERMARK,
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Per-window platform counts + mean engagement (A2/A3/A6 incremental)."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        enriched.withWatermark(ts_col, watermark)
+        .groupBy(win, "platform")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("likes"), 6).alias("avg_likes"),
+            F.round(F.avg("retweets"), 6).alias("avg_retweets"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "platform",
+            "cnt",
+            "avg_likes",
+            "avg_retweets",
+        )
+    )
+
+
+def windowed_hashtag_counts(
+    enriched: DataFrame,
+    window: str = "1 minute",
+    watermark: str = DEFAULT_WATERMARK,
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Per-window hashtag counts (A7 incremental; top-k is a batch read over
+    this table — streaming top-k per window would need complete mode, which
+    doesn't scale)."""
+    return (
+        enriched.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.explode("hashtags").alias("tag"))
+        .groupBy(F.window(ts_col, window), "tag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("window_start"), "tag", "cnt")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sinks
+# --------------------------------------------------------------------------
+
+def start_console_sink(
+    df: DataFrame,
+    trigger: str = "15 seconds",
+    num_rows: int = 5,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Debug console sink (reference: consumer/spark_streaming_job.py:139-147)."""
+    return (
+        df.writeStream.outputMode(output_mode)
+        .format("console")
+        .option("numRows", str(num_rows))
+        .option("truncate", "false")
+        .trigger(processingTime=trigger)
+        .start()
+    )
+
+
+def start_file_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    trigger: str | None = "30 seconds",
+    available_now: bool = False,
+    output_mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> StreamingQuery:
+    """Checkpointed file sink (reference: consumer/spark_streaming_job.py:151-161).
+
+    Unlike the reference we never rmtree the checkpoint on boot (:42-55 —
+    that discards source offsets and breaks exactly-once recovery), and the
+    default format is parquet. ``partition_by`` (e.g. event date) gives the
+    partition-pruned layout a 100 TB reader needs.
+    """
+    writer = (
+        df.writeStream.outputMode(output_mode)
+        .format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()
+
+
+def fan_out_sinks(
+    df: DataFrame,
+    batch_writers: dict[str, Callable[[DataFrame], None]],
+    checkpoint: str,
+    trigger: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """ONE streaming query, many sinks — each micro-batch is persisted once
+    and every writer consumes the cached result.
+
+    Fixes the reference's double-evaluation: it starts two queries from one
+    lineage so the whole chain (sentiment UDF included) runs once per sink
+    (consumer/spark_streaming_job.py:139-161; SURVEY.md §3.2/§4).
+    """
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            for writer in batch_writers.values():
+                writer(batch)
+        finally:
+            batch.unpersist()
+
+    writer = df.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()
+
+
+def run_available_now_to_memory(
+    df: DataFrame,
+    spark: SparkSession,
+    name: str,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drain a streaming DF deterministically (Trigger.AvailableNow) into an
+    in-memory table and return it as a batch DataFrame. Test/driver harness
+    utility — processes exactly the data available at start, then stops."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)

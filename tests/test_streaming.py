@@ -1,0 +1,135 @@
+"""Streaming-semantics tests (SURVEY.md §5.4): deterministic file-source
+streams drained with Trigger.AvailableNow, asserting streaming output equals
+the same operators run in batch."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.enrich import enrich_posts
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import read_posts_json
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.streaming import (
+    enriched_file_stream,
+    fan_out_sinks,
+    run_available_now_to_memory,
+    stop_all_streams,
+    windowed_platform_stats,
+    windowed_sentiment_counts,
+)
+
+POSTS = [
+    {"text": "I love this! #great #spark", "user": "a", "platform": "Twitter",
+     "user_followers": 10, "likes": 5, "retweets": 1,
+     "location": {"city": "Paris", "country": "France"},
+     "timestamp": "2024-01-01 10:00:10"},
+    {"text": "This is terrible... #fail", "user": "b", "platform": "Reddit",
+     "user_followers": 20, "likes": 0, "retweets": 0,
+     "location": {"city": "Lyon", "country": "France"},
+     "timestamp": "2024-01-01 10:00:40"},
+    {"text": "", "user": "c", "platform": "Twitter",  # filtered (P1)
+     "user_followers": 0, "likes": 0, "retweets": 0,
+     "location": None, "timestamp": "2024-01-01 10:01:05"},
+    {"text": "Neutral words only here", "user": "d", "platform": "Twitter",
+     "user_followers": 5, "likes": 2, "retweets": 2,
+     "location": {"city": "Berlin", "country": "Germany"},
+     "timestamp": "2024-01-01 10:01:30"},
+    {"text": "Amazing awesome great product #great", "user": "e", "platform": "Reddit",
+     "user_followers": 7, "likes": 9, "retweets": 3,
+     "location": {"city": "Munich", "country": "Germany"},
+     "timestamp": "2024-01-01 10:02:15"},
+]
+
+
+@pytest.fixture()
+def posts_dir(tmp_path):
+    # two files → two availableNow micro-batches with maxFilesPerTrigger=1
+    (tmp_path / "part-0001.json").write_text("\n".join(json.dumps(p) for p in POSTS[:3]))
+    (tmp_path / "part-0002.json").write_text("\n".join(json.dumps(p) for p in POSTS[3:]))
+    return str(tmp_path)
+
+
+def test_enriched_stream_matches_batch(spark, posts_dir):
+    stream = enriched_file_stream(spark, posts_dir)
+    got = run_available_now_to_memory(stream, spark, "t_enriched").drop("processing_timestamp")
+    want = enrich_posts(read_posts_json(spark, posts_dir)).drop("processing_timestamp")
+    key = lambda r: r["user"]
+    got_rows = sorted(got.collect(), key=key)
+    want_rows = sorted(want.collect(), key=key)
+    assert [r.asDict() for r in got_rows] == [r.asDict() for r in want_rows]
+    # empty-text row dropped, sentiment labels as expected
+    by_user = {r["user"]: r for r in got_rows}
+    assert set(by_user) == {"a", "b", "d", "e"}
+    assert by_user["a"]["sentiment_label"] == "positive"
+    assert by_user["b"]["sentiment_label"] == "negative"
+    assert by_user["d"]["sentiment_label"] == "neutral"
+    assert by_user["a"]["hashtags"] == ["great", "spark"]
+    assert by_user["a"]["city"] == "Paris"
+
+
+def test_windowed_sentiment_counts_match_batch(spark, posts_dir):
+    stream = windowed_sentiment_counts(
+        enriched_file_stream(spark, posts_dir), window="1 minute"
+    )
+    got = run_available_now_to_memory(stream, spark, "t_winsent", output_mode="complete")
+    batch = enrich_posts(read_posts_json(spark, posts_dir))
+    want = (
+        batch.groupBy(F.window("event_ts", "1 minute"), "sentiment_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("window_start"), "sentiment_label", "cnt")
+    )
+    key = lambda r: (r["window_start"], r["sentiment_label"])
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+    assert got.count() > 0
+
+
+def test_windowed_platform_stats_sliding(spark, posts_dir):
+    stream = windowed_platform_stats(
+        enriched_file_stream(spark, posts_dir, with_sentiment_udf=False),
+        window="2 minutes",
+        slide="1 minute",
+    )
+    got = run_available_now_to_memory(stream, spark, "t_winplat", output_mode="complete")
+    rows = got.collect()
+    # sliding windows: each event lands in 2 windows
+    total = sum(r["cnt"] for r in rows)
+    assert total == 2 * 4  # 4 surviving posts × 2 windows each
+    tw = [r for r in rows if r["platform"] == "Twitter"]
+    assert tw and all(r["avg_likes"] is not None for r in tw)
+
+
+def test_fan_out_single_query_two_sinks(spark, posts_dir, tmp_path):
+    stream = enriched_file_stream(spark, posts_dir, with_sentiment_udf=False)
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    q = fan_out_sinks(
+        stream,
+        {
+            "rows": lambda b: b.select("user", "platform", "likes").write.mode("append").parquet(out_a),
+            "counts": lambda b: b.groupBy("platform").count().write.mode("append").parquet(out_b),
+        },
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_a)
+    counts = spark.read.parquet(out_b).groupBy("platform").agg(F.sum("count").alias("n"))
+    assert rows.count() == 4
+    got = {r["platform"]: r["n"] for r in counts.collect()}
+    assert got == {"Twitter": 2, "Reddit": 2}
+
+
+def test_stop_all_streams_idempotent(spark, posts_dir):
+    stream = enriched_file_stream(spark, posts_dir, with_sentiment_udf=False)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_stopme")
+        .outputMode("append")
+        .trigger(processingTime="10 seconds")
+        .start()
+    )
+    assert q.isActive
+    assert stop_all_streams(spark) >= 1
+    assert not spark.streams.active
+    assert stop_all_streams(spark) == 0
