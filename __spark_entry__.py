@@ -44,7 +44,9 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators impor
     dedup,
     multimodal,
     relational,
+    sessionize,
     similarity,
+    window_funcs,
 )
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import table
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.streaming import (
@@ -277,6 +279,55 @@ def q_lsh_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb.filter(F.col("vec_id") != _QUERY_VEC_ID), qvec, 10)
 
 
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: top-3 parts by retail price per brand (row_number
+    over a partitioned window — no global sort)."""
+    return window_funcs.top_parts_per_brand(_t(spark, sf_dir, "part"), k=3)
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: cumulative spend per customer in order-date order."""
+    return window_funcs.running_revenue_per_customer(_t(spark, sf_dir, "orders"))
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (TPC-H Q22 flavor): customers having no orders."""
+    return window_funcs.customers_without_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_priority_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP(priority, status) with 'ALL' subtotal labels."""
+    return window_funcs.priority_status_rollup(_t(spark, sf_dir, "orders"))
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via native session_window (30-minute gap)."""
+    return sessionize.user_sessions(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions-per-user distribution built on q_user_sessions."""
+    return sessionize.session_stats(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+def q_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-day distinct users (two-phase distinct aggregate)."""
+    return sessionize.daily_distinct_users(_t(spark, sf_dir, "events"))
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users — the 100 TB scale path (rows-only:
+    approximate by construction; exact twin is daily_distinct_users)."""
+    return sessionize.approx_daily_distinct_users(_t(spark, sf_dir, "events"))
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a static value list: per-day counts, one column per type."""
+    return sessionize.event_type_pivot(_t(spark, sf_dir, "events"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 multimodal plumbing: synthetic binary media → mapInPandas
     decode/feature-extract (rows-only; deterministic fake decode — real
@@ -338,6 +389,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dups": q_cosine_near_dups,
         "lsh_similarity_topk": q_lsh_similarity_topk,
         "media_features": q_media_features,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "running_revenue": q_running_revenue,
+        "customers_without_orders": q_customers_without_orders,
+        "priority_status_rollup": q_priority_status_rollup,
+        "user_sessions": q_user_sessions,
+        "session_stats": q_session_stats,
+        "daily_distinct_users": q_daily_distinct_users,
+        "approx_distinct_users": q_approx_distinct_users,
+        "event_type_pivot": q_event_type_pivot,
     }
 
 
@@ -545,6 +605,100 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(len(regexp_extract_all(text, '{TOKEN_PATTERN}', 0))), 6) AS avg_bpe_tokens
             FROM documents GROUP BY source ORDER BY source
         """,
+        "top_parts_per_brand": """
+            SELECT p_brand, p_partkey, p_name, p_retailprice, rnk FROM (
+                SELECT p_brand, p_partkey, p_name, p_retailprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p_brand
+                           ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+                FROM part
+            ) WHERE rnk <= 3 ORDER BY p_brand, rnk
+        """,
+        "running_revenue": """
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   ROUND(SUM(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+            FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey
+        """,
+        "priority_status_rollup": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COALESCE(o_orderstatus, 'ALL') AS status,
+                   COUNT(*) AS order_count,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+            ORDER BY priority, status
+        """,
+        # lag + gap-threshold + running-sum reproduces session_window exactly:
+        # a new session starts when the gap since the previous event is >= 30
+        # minutes (Spark merges only strictly-within-gap events).
+        "user_sessions": """
+            WITH g AS (
+                SELECT user_id, ts, value, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, value, event_id,
+                       SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+                FROM g
+            )
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
+            FROM s GROUP BY user_id, sess
+            ORDER BY user_id, session_start
+        """,
+        "session_stats": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, event_id,
+                       SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+                FROM g
+            ), per_sess AS (
+                SELECT user_id, sess, COUNT(*) AS total_events
+                FROM s GROUP BY user_id, sess
+            ), per_user AS (
+                SELECT user_id, COUNT(*) AS n_sessions, SUM(total_events) AS total_events
+                FROM per_sess GROUP BY user_id
+            )
+            SELECT n_sessions, COUNT(*) AS n_users, SUM(total_events) AS events
+            FROM per_user GROUP BY n_sessions ORDER BY n_sessions
+        """,
+        "daily_distinct_users": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   COUNT(DISTINCT user_id) AS distinct_users,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY day ORDER BY day
+        """,
+        "event_type_pivot": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   COUNT(*) FILTER (event_type = 'click') AS click,
+                   COUNT(*) FILTER (event_type = 'error') AS error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS signup,
+                   COUNT(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY day ORDER BY day
+        """,
+        # approx_distinct_users omitted: HyperLogLog++ is approximate by
+        # construction (exact twin: daily_distinct_users).
         # minhash_near_dups / simhash_near_dups / ngram_jaccard_pairs
         # intentionally omitted: xxhash64-based signatures are not
         # expressible in DuckDB → the driver records the weaker rows-only

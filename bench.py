@@ -46,6 +46,14 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "cosine_near_dups",
     "lsh_similarity_topk",
+    "top_parts_per_brand",
+    "running_revenue",
+    "customers_without_orders",
+    "priority_status_rollup",
+    "user_sessions",
+    "daily_distinct_users",
+    "approx_distinct_users",
+    "event_type_pivot",
 ]
 
 

@@ -2,7 +2,7 @@
 
 from .enrich import enrich_posts, filter_valid_text
 from .normalize import normalize_posts
-from . import analytics, dedup, multimodal, relational, similarity
+from . import analytics, dedup, multimodal, relational, sessionize, similarity, window_funcs
 
 __all__ = [
     "enrich_posts",
@@ -12,5 +12,7 @@ __all__ = [
     "dedup",
     "multimodal",
     "relational",
+    "sessionize",
     "similarity",
+    "window_funcs",
 ]

@@ -55,8 +55,10 @@ def normalize_posts(df: DataFrame) -> DataFrame:
         if col not in out.columns:
             out = out.withColumn(col, F.lit(default))
     # P11: timestamp fallback chain (string parse is try-semantics: bad → null)
+    # try_to_timestamp, not to_timestamp: under ANSI mode (Spark 4 default)
+    # the latter THROWS on malformed strings; coerce semantics need null.
     ts_exprs = [
-        F.to_timestamp(F.col(c).cast("string"))
+        F.try_to_timestamp(F.col(c).cast("string"))
         for c in _TS_CANDIDATES
         if c in out.columns
     ]
@@ -64,7 +66,9 @@ def normalize_posts(df: DataFrame) -> DataFrame:
     # P10: numeric coercion with errors='coerce' → fill default
     for col, default in _NUMERIC_DEFAULTS.items():
         target = "double" if isinstance(default, float) else "int"
-        out = out.withColumn(col, F.coalesce(F.try_cast(F.col(col).cast("string"), target), F.lit(default)))
+        out = out.withColumn(
+            col, F.coalesce(F.col(col).cast("string").try_cast(target), F.lit(default))
+        )
     # string defaults for nulls
     out = out.na.fill(_STRING_DEFAULTS)
     # P13

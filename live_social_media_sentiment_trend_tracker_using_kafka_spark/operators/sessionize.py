@@ -1,0 +1,94 @@
+"""Sessionization + event-stream shapes over the ``events`` table:
+gap-based sessions, daily distinct users, event-type pivot.
+
+Sessionization uses Spark's native ``session_window`` (batch AND streaming —
+the same call works under a watermark in Structured Streaming). Session
+semantics: a session extends while the next event arrives strictly within
+``gap`` of the previous event; ``window.start`` is the first event's
+timestamp. The DuckDB oracle reproduces exactly this with
+lag + gap-threshold + cumulative-sum (see __spark_entry__.oracle_sql).
+
+Scale notes: ``session_window`` groups shuffle on (user_id) and merge
+per-key sorted runs — state is bounded per key, no global sort. The pivot
+uses an explicit value list (click/error/purchase/signup/view) so Spark
+skips the extra distinct-values job and the output schema is static.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions per user: start, event count, summed value."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "last_ts",
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def session_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Aggregate session statistics: sessions per user distribution."""
+    s = user_sessions(events, gap)
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .groupBy("n_sessions")
+        .agg(F.count(F.lit(1)).alias("n_users"), F.sum("total_events").alias("events"))
+        .orderBy("n_sessions")
+    )
+
+
+def daily_distinct_users(events: DataFrame) -> DataFrame:
+    """Exact per-day distinct users + event count.
+
+    count(distinct) expands to a two-phase aggregate (partial distinct per
+    partition, then merge) — no driver collection."""
+    return (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+def approx_daily_distinct_users(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ variant of ``daily_distinct_users`` — the 100 TB path
+    (single-pass, fixed-size sketch per group, no distinct expansion).
+    Rows-only check: approximate by construction."""
+    return (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"))
+        .orderBy("day")
+    )
+
+
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """Per-day event counts pivoted to one column per event type."""
+    return (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("day")
+    )

@@ -1,0 +1,105 @@
+"""Window-function operators: per-group top-k, running aggregates, and
+anti-join / rollup relational shapes.
+
+The reference has no window functions at all (SURVEY.md §2.5 ⊘ — its only
+"top-k" is a global head after value_counts); these are the per-group
+variants a production analytics deployment needs, expressed so Catalyst
+plans a single shuffle per window spec.
+
+Scale notes: every operator here partitions its window by a real key
+(brand, customer) — there is no global unpartitioned window anywhere, which
+would serialize 100 TB through one task. Rank-based top-k pushes the filter
+directly above the window so only k rows per group survive the stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+    ascending: bool = False,
+) -> DataFrame:
+    """Top-k rows per group via row_number over a partitioned window.
+
+    One shuffle on ``partition_col``; the rank filter runs in the same stage
+    as the window, so output is ≤ k rows per group — never a global sort.
+    """
+    order = [
+        F.asc(order_col) if ascending else F.desc(order_col),
+        F.asc(tiebreak_col),
+    ]
+    w = Window.partitionBy(partition_col).orderBy(*order)
+    return (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy(partition_col, "rnk")
+    )
+
+
+def top_parts_per_brand(part: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k parts by retail price within each brand."""
+    return top_k_per_group(
+        part.select("p_brand", "p_partkey", "p_name", "p_retailprice"),
+        partition_col="p_brand",
+        order_col="p_retailprice",
+        k=k,
+        tiebreak_col="p_partkey",
+    )
+
+
+def running_revenue_per_customer(orders: DataFrame) -> DataFrame:
+    """Cumulative order revenue per customer, in order-date order.
+
+    Window partitioned by customer (shuffle on o_custkey, then a per-group
+    sort — no global ordering anywhere)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .withColumn("running_spend", F.round(F.sum("o_totalprice").over(w), 2))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customers having no orders (left-anti join; TPC-H Q22 flavor).
+
+    Anti join shuffles on the key once; AQE can broadcast the orders keyset
+    when the distinct custkey side is small."""
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+def priority_status_rollup(orders: DataFrame) -> DataFrame:
+    """Order counts + revenue with subtotals: ROLLUP(priority, status).
+
+    Rollup is one pass: Spark expands grouping sets in the aggregate, still a
+    single shuffle. NULL group markers are labeled 'ALL' so the result is
+    oracle-comparable (DuckDB emits the same NULLs)."""
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "order_count",
+            "revenue",
+        )
+        .orderBy("priority", "status")
+    )

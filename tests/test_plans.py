@@ -1,0 +1,79 @@
+"""Physical-plan assertions: the scale properties we designed for must be
+visible in the plan, not hoped for (broadcast joins on dim sides, parquet
+filter pushdown, no Python boundary in pure-SQL paths, Arrow — not pickle —
+for the one pandas UDF)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.enrich import enrich_posts
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.plans import (
+    assert_broadcast_join,
+    assert_no_python_udf,
+    plan_text,
+)
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.schema import POST_SCHEMA
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_shipping_priority_broadcasts_customer(spark):
+    df = entrymod.q_shipping_priority(spark, SF)
+    assert_broadcast_join(df, expected=1)
+    assert_no_python_udf(df)
+
+
+def test_local_supplier_volume_broadcasts_dims(spark):
+    df = entrymod.q_local_supplier_volume(spark, SF)
+    assert_broadcast_join(df, expected=3)
+    assert_no_python_udf(df)
+
+
+def test_pricing_summary_pushes_shipdate_filter(spark):
+    df = entrymod.q_pricing_summary(spark, SF)
+    plan = plan_text(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+    assert_no_python_udf(df)
+
+
+def test_scan_prunes_columns(spark):
+    df = entrymod.q_top_customers(spark, SF)
+    plan = plan_text(df)
+    # orders scan must read only the 3 needed columns, not all 6
+    scan = plan.split("ReadSchema: ")[1]
+    assert "o_orderstatus" not in scan.split("\n")[0]
+    assert_no_python_udf(df)
+
+
+def test_analytics_paths_stay_jvm_side(spark):
+    for name in ("flagship_event_summary", "token_topk", "doc_quality",
+                 "sentiment_label_counts", "lang_id_counts", "exact_dedup_groups",
+                 "minhash_near_dups", "simhash_near_dups"):
+        df = entrymod.queries()[name](spark, SF)
+        assert_no_python_udf(df)
+
+
+def test_window_query_partitions_not_global_sort(spark):
+    df = entrymod.q_top_parts_per_brand(spark, SF)
+    plan = plan_text(df)
+    assert "Window" in plan
+    assert "hashpartitioning(p_brand" in plan, plan
+    assert_no_python_udf(df)
+
+
+def test_sentiment_udf_is_arrow_vectorized(spark):
+    posts = spark.createDataFrame(
+        [("great stuff", "u", "tw", 1, 1, 1, ("c", "co"), "2024-01-01 00:00:00")],
+        POST_SCHEMA,
+    )
+    df = enrich_posts(posts, with_sentiment_udf=True)
+    plan = plan_text(df)
+    assert "ArrowEvalPython" in plan, plan       # pandas UDF (Arrow batches)
+    assert "BatchEvalPython" not in plan, plan   # not a pickled row-at-a-time UDF
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
