@@ -174,6 +174,26 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure pushed-down scan-and-sum (zero shuffles)."""
+    return relational.forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 flavor: broadcast part join, OR-of-ANDs predicate."""
+    return relational.brand_revenue(_t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem"))
+
+
+def q_latest_events_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3+P7-P9: newest-10 display table with HH:mm:ss time format and
+    ellipsis-truncated text (the dashboard's 'latest posts' surface)."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.latest_display(
+        ev, ts_col="ts", text_col="props", tiebreak="event_id", n=10,
+        truncate_at=5, extra_cols=["event_type"],
+    )
+
+
 def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 exact dedup: duplicate fingerprint groups over documents."""
     return dedup.exact_duplicate_groups(_t(spark, sf_dir, "documents"))
@@ -398,6 +418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_distinct_users": q_daily_distinct_users,
         "approx_distinct_users": q_approx_distinct_users,
         "event_type_pivot": q_event_type_pivot,
+        "forecast_revenue": q_forecast_revenue,
+        "brand_revenue": q_brand_revenue,
+        "latest_events_display": q_latest_events_display,
     }
 
 
@@ -696,6 +719,32 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (event_type = 'signup') AS signup,
                    COUNT(*) FILTER (event_type = 'view') AS view
             FROM events GROUP BY day ORDER BY day
+        """,
+        "forecast_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "brand_revenue": """
+            SELECT p_brand,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 5 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 40)
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "latest_events_display": """
+            SELECT event_id,
+                   strftime(ts, '%H:%M:%S') AS display_time,
+                   substring(props, 1, 5) || '...' AS display_text,
+                   event_type
+            FROM events
+            ORDER BY ts DESC, event_id DESC LIMIT 10
         """,
         # approx_distinct_users omitted: HyperLogLog++ is approximate by
         # construction (exact twin: daily_distinct_users).

@@ -110,3 +110,24 @@ def last_n(df: DataFrame, ts_col: str, n: int, tiebreak: str) -> DataFrame:
 def head_n(df: DataFrame, order_col: str, n: int) -> DataFrame:
     """O4: first N rows under an explicit deterministic order."""
     return df.orderBy(F.asc(order_col)).limit(n)
+
+
+def latest_display(
+    df: DataFrame,
+    ts_col: str,
+    text_col: str,
+    tiebreak: str,
+    n: int = 10,
+    truncate_at: int = 80,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """O3+P7+P8+P9: the dashboard's 'latest posts' table — newest-first top-n
+    with display-formatted time (HH:mm:ss) and ellipsis-truncated text
+    (reference: dashboard/streamlit_app.py:386-395)."""
+    cols = [
+        F.col(tiebreak),
+        F.date_format(F.col(ts_col), "HH:mm:ss").alias("display_time"),
+        F.concat(F.substring(F.col(text_col), 1, truncate_at), F.lit("...")).alias("display_text"),
+        *[F.col(c) for c in (extra_cols or [])],
+    ]
+    return df.orderBy(F.desc(ts_col), F.desc(tiebreak)).limit(n).select(*cols)

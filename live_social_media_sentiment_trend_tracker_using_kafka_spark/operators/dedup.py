@@ -166,13 +166,22 @@ def minhash_near_duplicates(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    reuse_signatures: bool = True,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: candidates → exact Jaccard verify.
 
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold, ordered
     deterministically. The exact-Jaccard join touches only candidate pairs.
+
+    The signature table feeds three plan branches (banding, verify-left,
+    verify-right); ``reuse_signatures`` persists it (memory-and-disk) so the
+    shingle/minhash computation runs once per row instead of three times —
+    at corpus scale this is the difference between one and three full text
+    passes. Callers doing their own checkpointing can pass False.
     """
     sigs = with_minhash(df, text_col, n, num_hashes).select(id_col, "shingles", "minhash")
+    if reuse_signatures:
+        sigs = sigs.persist()
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     sh = sigs.select(F.col(id_col), F.col("shingles"))
     a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a")

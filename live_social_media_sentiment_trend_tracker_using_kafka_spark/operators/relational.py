@@ -134,6 +134,54 @@ def top_customers_by_spend(customer: DataFrame, orders: DataFrame, k: int = 10) 
     )
 
 
+def forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-and-sum with range predicates.
+
+    Every predicate is parquet-pushable (shipdate/discount/quantity are plain
+    columns) — the scan itself skips row groups; zero shuffles, one partial +
+    one final agg. The canonical 'is pushdown working' probe."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def brand_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q19 flavor: broadcast part join with an OR-of-ANDs predicate.
+
+    part is the broadcast side; the disjunctive predicate can't fully push to
+    the scan but its conjunctive residuals (quantity bounds) do. Per-brand
+    revenue keeps the output deterministic."""
+    joined = lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 5) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 40))
+    )
+    return (
+        joined.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def order_priority_counts(
     orders: DataFrame, lineitem: DataFrame, min_discount: float = 0.08
 ) -> DataFrame:

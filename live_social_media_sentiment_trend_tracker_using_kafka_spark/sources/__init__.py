@@ -19,6 +19,7 @@ from .readers import (
     table,
     write_kafka,
 )
+from .writers import compact, write_bucketed, write_partitioned
 
 __all__ = [
     "decode_json_value",
@@ -28,4 +29,7 @@ __all__ = [
     "read_posts_json",
     "table",
     "write_kafka",
+    "compact",
+    "write_bucketed",
+    "write_partitioned",
 ]

@@ -20,7 +20,11 @@ def spark():
         app_name="engine-tests",
         master="local[8]",
         shuffle_partitions=8,
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "2g"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "2g",
+            "spark.sql.warehouse.dir": "/tmp/engine-tests-warehouse",
+        },
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s
