@@ -13,8 +13,11 @@ from .pipeline import (
     windowed_sentiment_counts,
 )
 from .monitor import monitor_streams, stop_all_streams
+from .stateful import dedup_stream, running_user_stats
 
 __all__ = [
+    "dedup_stream",
+    "running_user_stats",
     "enriched_file_stream",
     "enriched_kafka_stream",
     "fan_out_sinks",

@@ -1,0 +1,62 @@
+"""Golden-value tests for the sentiment scorer (SURVEY.md §5.3): the
+vendored lexicon model is deterministic — expected values below are
+hand-computed from the published formula s/sqrt(s^2+15) with negation
+constant -0.74 (skipped when the real vaderSentiment package is present,
+which replaces the fallback)."""
+
+from __future__ import annotations
+
+import pytest
+
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions import sentiment
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.sentiment import (
+    score_text,
+    sentiment_label_col,
+)
+
+fallback_only = pytest.mark.skipif(
+    sentiment._VADER is not None, reason="real vaderSentiment installed; goldens target the fallback"
+)
+
+
+@fallback_only
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("I love this product", 0.6369499429264264),        # love=3.2
+        ("do not love", -0.5216387489026343),               # negation flip -0.74
+        ("terrible bug", -0.7579367289598671),              # -2.9 + -1.6
+        ("#great day", 0.6248933269389457),                 # hashtag stripped
+        ("love terrible", 0.07722832842765427),             # 3.2 - 2.9
+        ("never love", -0.6561996159251343),                # never scores AND negates
+        ("nothing to see", 0.0),
+        ("", 0.0),
+        (None, 0.0),
+        ("   ", 0.0),
+    ],
+)
+def test_score_text_golden(text, expected):
+    assert score_text(text) == pytest.approx(expected, abs=1e-12)
+
+
+def test_score_bounds_and_sign():
+    assert -1.0 < score_text("worst hate awful terrible horrible") < -0.9
+    assert 0.9 < score_text("love amazing awesome excellent best perfect") < 1.0
+
+
+def test_label_thresholds(spark):
+    df = spark.createDataFrame(
+        [(0.05,), (0.049999,), (-0.05,), (-0.049999,), (0.0,), (None,)], ["s"]
+    )
+    out = [r.l for r in df.select(sentiment_label_col(df.s).alias("l")).collect()]
+    assert out == ["positive", "neutral", "negative", "neutral", "neutral", "neutral"]
+
+
+def test_pandas_udf_matches_scalar(spark):
+    texts = ["I love this", "terrible bug", "meh", None, ""]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [
+        r.s
+        for r in df.select(sentiment.sentiment_score_pandas_udf("text").alias("s")).collect()
+    ]
+    assert got == [score_text(t) for t in texts]
