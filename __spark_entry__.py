@@ -43,6 +43,7 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators impor
     analytics,
     dedup,
     multimodal,
+    pipeline,
     relational,
     sessionize,
     similarity,
@@ -192,6 +193,32 @@ def q_latest_events_display(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ts_col="ts", text_col="props", tiebreak="event_id", n=10,
         truncate_at=5, extra_cols=["event_type"],
     )
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per event type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_clean_corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 composed cleaning pipeline (SQL-expressible tier): language
+    allowlist → quality threshold → exact dedup keep-min-id."""
+    return pipeline.clean_corpus_exact(_t(spark, sf_dir, "documents"))
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 full cleaning pipeline: exact tier + MinHash-LSH near-dup
+    removal (rows-only: xxhash64 signatures not DuckDB-expressible)."""
+    return pipeline.clean_corpus(_t(spark, sf_dir, "documents"))
 
 
 def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,6 +448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "brand_revenue": q_brand_revenue,
         "latest_events_display": q_latest_events_display,
+        "value_percentiles": q_value_percentiles,
+        "clean_corpus_exact": q_clean_corpus_exact,
+        "clean_corpus": q_clean_corpus,
     }
 
 
@@ -746,6 +776,45 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             ORDER BY ts DESC, event_id DESC LIMIT 10
         """,
+        # Spark F.percentile == exact linear-interpolation == DuckDB
+        # quantile_cont; both ignore NULLs.
+        "value_percentiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.95), 6) AS p95,
+                   ROUND(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "clean_corpus_exact": rf"""
+            WITH scored AS (
+                SELECT doc_id, lang, source, text,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       len(regexp_extract_all(lower(text), '{_STOPWORD_RE}', 1)) AS n_stop,
+                       len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
+                       length(text) AS n_chars
+                FROM documents
+                WHERE lang IN ('en', 'es', 'de', 'fr')
+            ), q AS (
+                SELECT doc_id, lang, source, text,
+                       LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
+                       + LEAST((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 5.0, 1.0) * 0.4
+                       + (1.0 - LEAST((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 5.0, 1.0)) * 0.2
+                       AS quality_score
+                FROM scored
+            ), filt AS (
+                SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                FROM q WHERE quality_score >= 0.5
+            ), keep AS (
+                SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY fp
+            )
+            SELECT f.doc_id, f.lang, f.source,
+                   ROUND(f.quality_score, 6) AS quality_score
+            FROM filt f JOIN keep k ON f.doc_id = k.doc_id
+            ORDER BY f.doc_id
+        """,
+        # clean_corpus omitted: adds MinHash-LSH (xxhash64) near-dup removal
+        # on top of clean_corpus_exact → rows-only check; the exact tier
+        # above is the oracle-checked twin.
         # approx_distinct_users omitted: HyperLogLog++ is approximate by
         # construction (exact twin: daily_distinct_users).
         # minhash_near_dups / simhash_near_dups / ngram_jaccard_pairs

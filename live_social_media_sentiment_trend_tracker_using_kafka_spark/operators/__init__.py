@@ -2,7 +2,16 @@
 
 from .enrich import enrich_posts, filter_valid_text
 from .normalize import normalize_posts
-from . import analytics, dedup, multimodal, relational, sessionize, similarity, window_funcs
+from . import (
+    analytics,
+    dedup,
+    multimodal,
+    pipeline,
+    relational,
+    sessionize,
+    similarity,
+    window_funcs,
+)
 
 __all__ = [
     "enrich_posts",
@@ -11,6 +20,7 @@ __all__ = [
     "analytics",
     "dedup",
     "multimodal",
+    "pipeline",
     "relational",
     "sessionize",
     "similarity",

@@ -1,0 +1,79 @@
+"""End-to-end training-corpus cleaning — the composition the individual
+§2.8 operators exist for: language filter → quality filter → exact dedup →
+near-dup removal, returning the kept documents.
+
+Two tiers:
+
+- ``clean_corpus_exact``: the fully SQL-expressible slice (lang allowlist,
+  quality threshold, exact-dedup keep-min-id) — oracle-checkable end to end.
+- ``clean_corpus``: adds MinHash-LSH near-dup removal on top (keeps the
+  smallest doc_id of each near-dup cluster's pairs, dropping the rest).
+
+Scale notes: the chain is filter → hash-agg (fingerprint) → LSH band join —
+each stage shuffles once on a key with map-side reduction; nothing collects.
+Near-dup removal drops the *larger* id of each qualifying pair — a greedy,
+deterministic rule that needs no connected-components iteration (transitive
+clusters collapse to their minimum over repeated application; single-pass
+greedy is the standard large-corpus compromise and is documented as such).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import quality_score_cols
+from . import dedup
+
+
+def filter_by_language(docs: DataFrame, langs: list[str], lang_col: str = "lang") -> DataFrame:
+    return docs.filter(F.col(lang_col).isin(langs))
+
+
+def filter_by_quality(
+    docs: DataFrame, min_quality: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    q = quality_score_cols(F.col(text_col))
+    return docs.withColumn("quality_score", q["quality_score"]).filter(
+        F.col("quality_score") >= min_quality
+    )
+
+
+def keep_exact_unique(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of every exact-duplicate group."""
+    keep = (
+        dedup.with_fingerprint(docs, text_col)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+def clean_corpus_exact(
+    docs: DataFrame,
+    langs: list[str] = ("en", "es", "de", "fr"),
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """Oracle-checkable cleaning chain: language → quality → exact dedup."""
+    out = filter_by_language(docs, list(langs))
+    out = filter_by_quality(out, min_quality)
+    out = keep_exact_unique(out)
+    return out.select("doc_id", "lang", "source", F.round("quality_score", 6).alias("quality_score")).orderBy(
+        "doc_id"
+    )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    langs: list[str] = ("en", "es", "de", "fr"),
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.8,
+) -> DataFrame:
+    """Full cleaning chain: exact tier + MinHash-LSH near-dup removal
+    (drops the larger id of every pair with Jaccard ≥ threshold)."""
+    base = clean_corpus_exact(docs, langs, min_quality)
+    survivors = docs.join(base.select("doc_id"), "doc_id", "left_semi")
+    pairs = dedup.minhash_near_duplicates(survivors, threshold=near_dup_threshold)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return base.join(drop, "doc_id", "left_anti").orderBy("doc_id")
