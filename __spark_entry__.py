@@ -49,7 +49,10 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators impor
     similarity,
     window_funcs,
 )
-from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import table
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import (
+    ensure_nanos_conf,
+    table,
+)
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.streaming import (
     run_available_now_to_memory,
 )
@@ -255,6 +258,7 @@ def q_streaming_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trigger.AvailableNow — proves the streaming layer computes the same
     answer as the batch/oracle path (same oracle SQL as ``time_series``)."""
     path = os.path.join(sf_dir, "events.parquet")
+    ensure_nanos_conf(spark)
     raw_schema = spark.read.parquet(path).schema
     # The file-stream source requires a directory; glob-filter to the one table.
     raw = (
@@ -313,9 +317,21 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 embedding-cosine near-dup via sign-random-projection buckets
-    (rows-only: ANN recall is probabilistic by design)."""
+    (rows-only: ANN recall is probabilistic by design).
+
+    The testdata embeddings are random (no pair reaches cosine 0.9), which
+    made this check vacuous in round 1 — so plant deterministic near-dup
+    twins: scaled copies (×1.25) of the first 8 vectors. Scaling preserves
+    direction exactly (cosine 1.0) and every sign-projection bucket, so the
+    LSH MUST recover all 8 planted pairs — a non-vacuous, deterministic
+    recall check on real data."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_near_duplicate_pairs(emb, threshold=0.9, dim=64)
+    twins = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.25)).alias("embedding"),
+    )
+    planted = emb.select("vec_id", "embedding").unionByName(twins)
+    return similarity.cosine_near_duplicate_pairs(planted, threshold=0.9, dim=64)
 
 
 def q_lsh_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,7 +396,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode/feature-extract (rows-only; deterministic fake decode — real
     codecs are stubbed per the build contract)."""
     media = multimodal.synthetic_media_df(spark, n=64)
-    return multimodal.extract_features(media).orderBy("media_id")
+    feats = multimodal.extract_features(media)
+    # Contract surface must be hashable row-wise (the harness canonicalizes
+    # via pandas sort_values): flatten the array<float> into rounded scalar
+    # columns f0..f7; the array variant stays available for library users.
+    flat = [F.round(F.col("features")[i], 4).alias(f"f{i}") for i in range(8)]
+    return feats.select("media_id", "kind", "n_bytes", *flat).orderBy("media_id")
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,7 +616,8 @@ def oracle_sql() -> dict[str, str]:
                        AS quality_score
                 FROM scored
             )
-            SELECT lang, COUNT(*) AS cnt, SUM(n_tokens) AS total_tokens,
+            SELECT lang, COUNT(*) AS cnt,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                    ROUND(AVG(quality_score), 6) AS avg_quality
             FROM q GROUP BY lang ORDER BY lang
         """,
@@ -653,8 +675,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count_stats": rf"""
             SELECT source, COUNT(*) AS cnt,
-                   SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}', 0))) AS total_bpe_tokens,
-                   SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS total_ws_tokens,
+                   CAST(SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}', 0))) AS BIGINT) AS total_bpe_tokens,
+                   CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
                    ROUND(AVG(len(regexp_extract_all(text, '{TOKEN_PATTERN}', 0))), 6) AS avg_bpe_tokens
             FROM documents GROUP BY source ORDER BY source
         """,

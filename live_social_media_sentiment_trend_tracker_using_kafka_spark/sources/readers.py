@@ -27,6 +27,17 @@ from ..schema import POST_SCHEMA, TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Make TIMESTAMP(NANOS) parquet columns readable on ANY session.
+
+    ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime-settable SQL conf;
+    without it a plain session throws ``PARQUET_TYPE_ILLEGAL`` on
+    ``events.parquet``. Callers may hand us a session they built themselves
+    (the verify harness does), so set it defensively before every read.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one driver testdata table as a DataFrame (parquet scan).
 
@@ -36,6 +47,7 @@ def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataF
     (integer ``div`` — no double round-trip), matching DuckDB's nanos→micros
     truncation so oracle comparisons agree.
     """
+    ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.typeName() == "long":
