@@ -85,8 +85,9 @@ def q_flagship_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1-A4: global count + means over events (posts-dashboard KPI row)."""
-    return analytics.global_stats(_t(spark, sf_dir, "events"), ["value"])
+    """A1-A4: global count + means over events (posts-dashboard KPI row),
+    including the A4 positive/neutral/negative band on the mean value."""
+    return analytics.global_stats(_t(spark, sf_dir, "events"), ["value"], band_on="value")
 
 
 def q_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,7 +496,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type ORDER BY cnt DESC, event_type ASC LIMIT 10
         """,
         "global_stats": """
-            SELECT COUNT(*) AS total_rows, ROUND(AVG(value), 6) AS avg_value FROM events
+            SELECT COUNT(*) AS total_rows, ROUND(AVG(value), 6) AS avg_value,
+                   CASE WHEN ROUND(AVG(value), 6) > 0.1 THEN 'positive'
+                        WHEN ROUND(AVG(value), 6) > -0.1 THEN 'neutral'
+                        ELSE 'negative' END AS value_band
+            FROM events
         """,
         "counts_by_source": """
             SELECT source, COUNT(*) AS cnt FROM documents

@@ -33,16 +33,37 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def global_stats(df: DataFrame, mean_cols: list[str], round_digits: int = 6) -> DataFrame:
+def mean_band_col(mean_col: Column) -> Column:
+    """A4 banding (reference: dashboard/streamlit_app.py:281-283): the
+    dashboard labels the mean sentiment positive (> 0.1), neutral (> -0.1),
+    else negative. Pure ``when`` chain — applies to any mean column."""
+    return (
+        F.when(mean_col > 0.1, F.lit("positive"))
+        .when(mean_col > -0.1, F.lit("neutral"))
+        .otherwise(F.lit("negative"))
+    )
+
+
+def global_stats(
+    df: DataFrame,
+    mean_cols: list[str],
+    round_digits: int = 6,
+    band_on: str | None = None,
+) -> DataFrame:
     """A1-A4: one row — total count plus the mean of each named column.
 
     Means are rounded (default 6 dp) so cross-engine float-sum ordering drift
-    can't flip the oracle hash.
+    can't flip the oracle hash. ``band_on`` names a mean column to also label
+    with the dashboard's positive/neutral/negative band (A4); the band is
+    computed on the *rounded* mean so both engines see the same boundary.
     """
     aggs: list[Column] = [F.count(F.lit(1)).alias("total_rows")]
     for c in mean_cols:
         aggs.append(F.round(F.avg(c), round_digits).alias(f"avg_{c}"))
-    return df.agg(*aggs)
+    out = df.agg(*aggs)
+    if band_on is not None:
+        out = out.withColumn(f"{band_on}_band", mean_band_col(F.col(f"avg_{band_on}")))
+    return out
 
 
 def grouped_count(df: DataFrame, key: str, alias: str | None = None) -> DataFrame:

@@ -14,14 +14,17 @@ for 100 TB corpora:
 - **verify** — exact n-gram Jaccard (``array_intersect``/``array_union`` on
   distinct shingles) only on candidate pairs — never O(n²).
 - **simhash** — 64-bit signature via per-bit majority vote over token hashes,
-  all in one Catalyst expression; near-dup candidates via 16-bit chunk
-  banding (Hamming ≤ 3 ⇒ some chunk equal), verified with
-  ``bit_count(xor)``.
+  all in one Catalyst expression; near-dup candidates via Manku-style
+  multi-block banding (Hamming ≤ d ⇒ some (blocks−d)-subset of blocks
+  equal; ~32-bit bucket keys keep intra-bucket joins linear at corpus
+  scale), verified with ``bit_count(xor)``.
 
 Embedding-cosine near-dup lives in operators/similarity.py.
 """
 
 from __future__ import annotations
+
+from itertools import combinations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -63,7 +66,17 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = 
 # --------------------------------------------------------------------------
 
 def _tokens(text: Column) -> Column:
-    return F.split(F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")), r"\s+")
+    """Normalized word tokens, with empty strings filtered out.
+
+    Without the filter, empty/punctuation-only text yields [''] (split of an
+    empty string), giving every degenerate doc the same non-empty shingle set
+    {''} — and therefore a shared MinHash/SimHash signature that welds all of
+    them into one giant mutual near-dup bucket. Degenerate docs now tokenize
+    to an empty array and are excluded from near-dup banding entirely
+    (exact_dedup still groups them by fingerprint).
+    """
+    raw = F.split(F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")), r"\s+")
+    return F.filter(raw, lambda t: t != F.lit(""))
 
 
 def word_shingles_col(text: Column, n: int = 3) -> Column:
@@ -80,7 +93,9 @@ def word_shingles_col(text: Column, n: int = 3) -> Column:
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
-        return F.array_distinct(grams)
+        # Token-less docs produce one empty gram — drop it so degenerate docs
+        # get an EMPTY shingle set (excluded from banding), not a shared one.
+        return F.array_distinct(F.filter(grams, lambda g: g != F.lit("")))
 
     return F.transform(F.array(_tokens(text)), build)[0]
 
@@ -179,7 +194,11 @@ def minhash_near_duplicates(
     at corpus scale this is the difference between one and three full text
     passes. Callers doing their own checkpointing can pass False.
     """
-    sigs = with_minhash(df, text_col, n, num_hashes).select(id_col, "shingles", "minhash")
+    sigs = (
+        with_minhash(df, text_col, n, num_hashes)
+        .filter(F.size("shingles") > 0)  # degenerate docs can't be near-dups
+        .select(id_col, "shingles", "minhash")
+    )
     if reuse_signatures:
         sigs = sigs.persist()
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
@@ -242,41 +261,61 @@ def simhash_col(text: Column) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b))
 
 
-def simhash_near_duplicates(
-    df: DataFrame,
-    text_col: str = "text",
+def _simhash_blocks(blocks: int, bits: int = 63) -> list[tuple[int, int]]:
+    """Partition the low ``bits`` bit positions into (start, length) blocks."""
+    base, extra = divmod(bits, blocks)
+    out, start = [], 0
+    for i in range(blocks):
+        ln = base + (1 if i < extra else 0)
+        out.append((start, ln))
+        start += ln
+    return out
+
+
+def simhash_candidate_pairs(
+    signatures: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    blocks: int = 6,
 ) -> DataFrame:
-    """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
+    """Candidate pairs (id_a, id_b, hamming) from multi-block SimHash banding.
 
-    Pigeonhole banding: split the 64-bit signature into 4 16-bit chunks; any
-    pair within Hamming 3 agrees on ≥1 chunk, so chunk-equality buckets give
-    complete candidates, verified with ``bit_count(xor)``.
+    Manku-style banding (Manku, Jain & Das Sarma, "Detecting Near-Duplicates
+    for Web Crawling", WWW 2007 — public): partition the 63 usable signature
+    bits into ``blocks`` blocks. A pair within Hamming distance d differs in
+    at most d blocks, so it AGREES on some (blocks−d)-subset — keying every
+    C(blocks, blocks−d) block combination gives complete candidates.
+
+    Why not naive 4×16-bit chunks (one chunk equal): a 16-bit key means at
+    most 65,536 buckets, so at 10⁹+ docs each bucket holds ~15k docs and the
+    intra-bucket self-join goes quadratic. With blocks=6, d=3 the key is 3
+    blocks ≈ 32 bits (≈4·10⁹ buckets) across C(6,3)=20 tables: 5× the banding
+    rows, but expected bucket size drops by ~6·10⁴× — the join stays linear
+    at corpus scale. Hamming is verified exactly with ``bit_count(xor)``.
     """
-    sh = df.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
-    chunks = sh.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("cc"),
-    ).select(id_col, "simhash", "cc.chunk", "cc.ckey")
-    l, r = chunks.alias("l"), chunks.alias("r")
+    if not 0 < max_hamming < blocks:
+        raise ValueError("need 0 < max_hamming < blocks for pigeonhole banding")
+    block_vals = [
+        F.shiftright("simhash", start).bitwiseAND(F.lit((1 << ln) - 1))
+        for start, ln in _simhash_blocks(blocks)
+    ]
+    tables = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            F.xxhash64(*[block_vals[i] for i in combo]).alias("key"),
+        )
+        for t, combo in enumerate(combinations(range(blocks), blocks - max_hamming))
+    ]
+    banded = signatures.select(
+        id_col, "simhash", F.explode(F.array(*tables)).alias("tk")
+    ).select(id_col, "simhash", "tk.tbl", "tk.key")
+    l, r = banded.alias("l"), banded.alias("r")
     hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
     return (
         l.join(
             r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.ckey") == F.col("r.ckey"))
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.key") == F.col("r.key"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
@@ -284,7 +323,28 @@ def simhash_near_duplicates(
             F.col(f"r.{id_col}").alias("id_b"),
             hamming.cast("int").alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 6,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
+
+    Multi-block pigeonhole banding (see ``simhash_candidate_pairs``) over
+    per-row Catalyst signatures; token-less (empty/punctuation-only) docs are
+    excluded — they have no content to be "near" anything.
+    """
+    sh = df.filter(F.size(_tokens(F.col(text_col))) > 0).select(
+        F.col(id_col), simhash_col(F.col(text_col)).alias("simhash")
+    )
+    return (
+        simhash_candidate_pairs(sh, id_col, max_hamming, blocks)
+        .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )

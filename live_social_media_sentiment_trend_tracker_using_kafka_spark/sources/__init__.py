@@ -7,9 +7,12 @@ with Spark built-ins:
   (gated: the connector jar may be absent locally; tests use the file source)
 - S3 JSON value decode                        → ``decode_json_value``
 - S5/S6 JSON-lines sink/scan                  → ``read_posts_json`` + parquet sinks
+- S7 multiline-JSON fixture scan              → ``read_posts_json(multiline=True)``
+- P14/P15 producer stamp + feed simulator     → ``feed`` module
 - driver testdata                             → ``load_tables`` / ``table``
 """
 
+from .feed import assign_fixture_rows, feed_simulator, stamp_produce_time
 from .readers import (
     decode_json_value,
     kafka_stream,
@@ -22,6 +25,9 @@ from .readers import (
 from .writers import compact, write_bucketed, write_partitioned
 
 __all__ = [
+    "assign_fixture_rows",
+    "feed_simulator",
+    "stamp_produce_time",
     "decode_json_value",
     "kafka_stream",
     "load_tables",

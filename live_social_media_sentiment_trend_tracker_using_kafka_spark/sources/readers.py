@@ -60,15 +60,24 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {name: table(spark, name, sf_dir) for name in TESTDATA_TABLES}
 
 
-def read_posts_json(spark: SparkSession, path: str) -> DataFrame:
-    """Batch scan of JSON-lines post files with the canonical typed schema.
+def read_posts_json(spark: SparkSession, path: str, multiline: bool = False) -> DataFrame:
+    """Batch scan of JSON post files with the canonical typed schema.
 
     Replaces the reference dashboard's manual glob + per-line json.loads +
     whole-file fallback (dashboard/streamlit_app.py:83-155): Spark's JSON
     reader is already line-oriented, permissive (bad line → null row), and
     distributed.
+
+    ``multiline=True`` reads whole-file JSON arrays — the reference
+    producer's fixture format (producer/kafka_producer.py:44-46 does a
+    ``json.load`` of one multi-document array file). Note multiline files
+    are not splittable (one task per file); fine for small fixtures, use
+    JSON-lines for big data.
     """
-    return spark.read.schema(POST_SCHEMA).json(path)
+    reader = spark.read.schema(POST_SCHEMA)
+    if multiline:
+        reader = reader.option("multiLine", True)
+    return reader.json(path)
 
 
 def posts_file_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:

@@ -6,6 +6,7 @@ from .pipeline import (
     enriched_kafka_stream,
     fan_out_sinks,
     run_available_now_to_memory,
+    run_update_sink_to_parquet,
     start_console_sink,
     start_file_sink,
     windowed_hashtag_counts,
@@ -22,6 +23,7 @@ __all__ = [
     "enriched_kafka_stream",
     "fan_out_sinks",
     "run_available_now_to_memory",
+    "run_update_sink_to_parquet",
     "start_console_sink",
     "start_file_sink",
     "windowed_hashtag_counts",

@@ -233,7 +233,7 @@ def run_available_now_to_memory(
     spark: SparkSession,
     name: str,
     output_mode: str = "append",
-    timeout_sec: int = 300,
+    timeout_sec: float = 300,
 ) -> DataFrame:
     """Drain a streaming DF deterministically (Trigger.AvailableNow) into an
     in-memory table and return it as a batch DataFrame. Test/driver harness
@@ -246,8 +246,55 @@ def run_available_now_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
     finally:
         if q.isActive:
             q.stop()
+    if not finished:
+        # Returning the memory table after a forced stop would silently hand
+        # back a partial (or empty) result.
+        raise TimeoutError(
+            f"AvailableNow drain of '{name}' did not finish within {timeout_sec}s"
+        )
     return spark.table(name)
+
+
+def run_update_sink_to_parquet(
+    agg: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    trigger: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Update-mode streaming aggregate → parquet, via foreachBatch upsert.
+
+    The deployable shape for a windowed aggregate feeding a file-based
+    dashboard: complete-mode memory sinks (fine for tests/oracles) rebuild
+    the whole result per trigger and hold it on the driver — neither works
+    at scale. Spark's native file sink is append-only, so update mode is
+    realized with ``foreachBatch``: each micro-batch delivers only the
+    CHANGED keys (bounded by the watermark), and we rewrite exactly the
+    key-partitions those rows land in (dynamic partition overwrite) — an
+    idempotent upsert, safe under micro-batch replay, without requiring a
+    transactional table format.
+    """
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*key_cols)
+            .parquet(path)
+        )
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()

@@ -87,6 +87,58 @@ def test_simhash_near_duplicates_pairs(spark):
         assert 0 <= r.hamming <= 3
 
 
+def test_simhash_banding_complete_within_hamming(spark):
+    # Plant pairs at Hamming 1/2/3 (bits spread across DIFFERENT blocks — the
+    # worst case for banding) plus one at Hamming 4; pigeonhole says ≤3 must
+    # all be found and the verify filter drops the 4.
+    base = 0x1234_5678_9ABC_DEF
+    sigs = [
+        (0, base),
+        (1, base ^ (1 << 5)),                                # hamming 1
+        (2, base ^ (1 << 5) ^ (1 << 20)),                    # hamming 2
+        (3, base ^ (1 << 5) ^ (1 << 20) ^ (1 << 40)),        # hamming 3
+        (4, base ^ (1 << 5) ^ (1 << 20) ^ (1 << 40) ^ (1 << 60)),  # hamming 4
+    ]
+    df = spark.createDataFrame(sigs, ["doc_id", "simhash"])
+    cands = dedup.simhash_candidate_pairs(df, max_hamming=3)
+    found = {(r.id_a, r.id_b): r.hamming for r in cands.collect()}
+    assert found[(0, 1)] == 1
+    assert found[(0, 2)] == 2
+    assert found[(0, 3)] == 3
+    kept = {(r.id_a, r.id_b) for r in cands.filter(F.col("hamming") <= 3).collect()}
+    assert (0, 4) not in kept
+
+
+def test_simhash_banding_one_shared_block_no_candidates(spark):
+    # Round-1 risk: 16-bit single-chunk keys put every doc sharing ONE chunk
+    # in one bucket (quadratic at scale). Multi-block keys need blocks−d=3
+    # blocks to agree, so docs agreeing on only block 0 must produce ZERO
+    # candidate pairs — bucket membership is bounded by true similarity.
+    import random
+
+    rng = random.Random(11)
+    shared_low = 0x3FF  # block 0 = bits 0..10
+    rows = [(i, shared_low | (rng.getrandbits(50) << 11)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    pair_rows = dedup.simhash_candidate_pairs(df, max_hamming=3).collect()
+    real = [r for r in pair_rows if r.hamming <= 3]
+    assert len(real) == 0
+    # and the candidate set itself stays tiny (no giant bucket): with 32-bit
+    # keys, 40 random docs should hash-collide on ~0 tables.
+    assert len(pair_rows) <= 2
+
+
+def test_degenerate_docs_not_near_dups(spark):
+    # Empty / punctuation-only docs must not band together (they'd otherwise
+    # share the {''} shingle set and weld into one giant candidate bucket).
+    rows = [(1, "!!!"), (2, "???"), (3, "   "), (4, ""), (5, BASE), (6, BASE)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    mh = {(r.id_a, r.id_b) for r in dedup.minhash_near_duplicates(df, threshold=0.5).collect()}
+    sh = {(r.id_a, r.id_b) for r in dedup.simhash_near_duplicates(df).collect()}
+    assert mh == {(5, 6)}
+    assert sh == {(5, 6)}
+
+
 def test_simhash_identical_iff_same_tokens(spark):
     df = spark.createDataFrame(
         [(1, "hello world foo"), (2, "hello   WORLD?! foo"), (3, "totally different words here")],

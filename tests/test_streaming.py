@@ -15,6 +15,7 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.streaming impor
     enriched_file_stream,
     fan_out_sinks,
     run_available_now_to_memory,
+    run_update_sink_to_parquet,
     stop_all_streams,
     windowed_platform_stats,
     windowed_sentiment_counts,
@@ -118,6 +119,58 @@ def test_fan_out_single_query_two_sinks(spark, posts_dir, tmp_path):
     assert rows.count() == 4
     got = {r["platform"]: r["n"] for r in counts.collect()}
     assert got == {"Twitter": 2, "Reddit": 2}
+
+
+def test_update_sink_upserts_across_micro_batches(spark, tmp_path):
+    """The deployable streaming-agg shape: update-mode foreachBatch upsert
+    into key-partitioned parquet. Batch 2 adds rows to an EXISTING window —
+    the rewritten partition must hold the new total, and untouched windows
+    must survive."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "f1.json").write_text("\n".join(json.dumps(p) for p in POSTS[:3]))
+
+    def drain():
+        stream = windowed_sentiment_counts(
+            enriched_file_stream(spark, str(src), with_sentiment_udf=False),
+            window="1 minute",
+        )
+        q = run_update_sink_to_parquet(
+            stream, out, ckpt,
+            key_cols=["window_start", "sentiment_label"],
+            available_now=True,
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    first = {
+        (r["window_start"], r["sentiment_label"]): r["cnt"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert sum(first.values()) == 2  # posts a, b (empty-text c filtered)
+
+    # second micro-batch: two more posts, one landing in a NEW window and one
+    # whose (window, label) key may collide with batch 1 → upsert semantics
+    (src / "f2.json").write_text("\n".join(json.dumps(p) for p in POSTS[3:]))
+    drain()
+    got = spark.read.parquet(out)
+    want = (
+        enrich_posts(read_posts_json(spark, str(src)), with_sentiment_udf=False)
+        .groupBy(F.window("event_ts", "1 minute"), "sentiment_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("window_start"), "sentiment_label", "cnt")
+    )
+    key = lambda r: (r["window_start"], r["sentiment_label"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    assert {key(r): r["cnt"] for r in got.collect()} == {key(r): r["cnt"] for r in want.collect()}
+
+
+def test_available_now_timeout_raises(spark, posts_dir):
+    stream = enriched_file_stream(spark, posts_dir, with_sentiment_udf=False)
+    with pytest.raises(TimeoutError):
+        run_available_now_to_memory(stream, spark, "t_timeout", timeout_sec=0.05)
 
 
 def test_stop_all_streams_idempotent(spark, posts_dir):
