@@ -39,6 +39,9 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.text 
     token_count_col,
     whitespace_token_count_col,
 )
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.fingerprint import (
+    winnow_fingerprints,
+)
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
     analytics,
     dedup,
@@ -47,6 +50,7 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators impor
     relational,
     sessionize,
     similarity,
+    simjoin,
     window_funcs,
 )
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import (
@@ -424,6 +428,30 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_similarity_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 EXACT n-gram Jaccard similarity join via prefix filtering
+    (Vernica/PPJoin) — the oracle-checkable exact twin of the LSH-based
+    ngram_jaccard_pairs: no false negatives, so a brute-force SQL twin
+    computes the identical pair set."""
+    return simjoin.jaccard_similarity_join(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 document fingerprinting: winnowed rolling-hash k-grams
+    (Schleimer et al. 2003). The polynomial hash is arithmetic both engines
+    express identically, so every fingerprint value is oracle-checked."""
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, window=8)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 ANN top-k, IVF variant: KMeans coarse quantizer + nprobe probing
+    (rows-only: cluster assignment is iterative/approximate by design; the
+    exact oracle-checked twin is similarity_topk, and tests assert recall)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head().embedding
+    return similarity.ivf_topk(emb.filter(F.col("vec_id") != _QUERY_VEC_ID), qvec, 10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_event_summary(spark, "/root/testdata/sf0.001")
@@ -455,6 +483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": q_lang_id_counts,
         "token_count_stats": q_token_count_stats,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "similarity_join_exact": q_similarity_join_exact,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "ivf_topk": q_ivf_topk,
         "cosine_near_dups": q_cosine_near_dups,
         "lsh_similarity_topk": q_lsh_similarity_topk,
         "media_features": q_media_features,
@@ -839,6 +870,65 @@ def oracle_sql() -> dict[str, str]:
             FROM filt f JOIN keep k ON f.doc_id = k.doc_id
             ORDER BY f.doc_id
         """,
+        # Exact prefix-filtered Jaccard join: the oracle is the brute-force
+        # all-pairs twin (fine at sf0.01's 500 docs); prefix filtering is
+        # exact, so the answers must be identical. Shingle construction
+        # mirrors operators/dedup.py word_shingles_col token-for-token.
+        "similarity_join_exact": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(regexp_replace(text, '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+                       t -> t <> '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       list_transform(range(1, greatest(len(t) - 3, 0) + 2),
+                                      i -> array_to_string(t[i:i+2], ' ')),
+                       g -> g <> '')) AS s
+              FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(a.s) > 0 AND len(b.s) > 0
+              AND ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        # Winnowing fingerprints: identical polynomial rolling hash
+        # (Horner, B=257, M=1e9+7) — DuckDB's seedless list_reduce equals
+        # Spark's 0-seeded aggregate because 0*B + c1 = c1.
+        "winnow_fingerprints": """
+            WITH norm AS (
+              SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     CASE WHEN len(s) >= 8 THEN
+                       list_transform(range(1, len(s) - 8 + 2), i ->
+                         list_reduce(
+                           list_transform(range(i, i + 8), j -> CAST(unicode(s[j:j]) AS BIGINT)),
+                           (acc, c) -> (acc * 257 + c) % 1000000007))
+                     ELSE CAST([] AS BIGINT[]) END AS hashes
+              FROM norm
+            ), fp AS (
+              SELECT doc_id,
+                     CASE WHEN len(hashes) >= 8 THEN
+                            list_distinct(list_transform(range(1, len(hashes) - 8 + 2),
+                                                         j -> list_min(hashes[j:j+7])))
+                          WHEN len(hashes) > 0 THEN [list_min(hashes)]
+                          ELSE hashes END AS fps
+              FROM h
+            )
+            SELECT doc_id, unnest(fps) AS fingerprint FROM fp
+            ORDER BY doc_id, fingerprint
+        """,
+        # ivf_topk omitted: KMeans cluster assignment is iterative —
+        # rows-only check; similarity_topk is the exact oracle-checked twin
+        # and tests/test_similarity.py asserts IVF recall.
         # clean_corpus omitted: adds MinHash-LSH (xxhash64) near-dup removal
         # on top of clean_corpus_exact → rows-only check; the exact tier
         # above is the oracle-checked twin.

@@ -1,0 +1,102 @@
+"""Winnowing document fingerprints (rolling-hash k-grams, window minima).
+
+Public algorithm: Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms
+for Document Fingerprinting", SIGMOD 2003 (the MOSS fingerprinter). The
+LLM-pipeline use is copy/containment detection that survives insertions and
+reordering better than whole-doc hashes: any shared substring of length
+``k + window - 1`` chars guarantees at least one shared fingerprint.
+
+Pipeline (all one Catalyst projection — no Python, no shuffle until the
+consumer aggregates):
+
+1. normalize: lowercase, strip every non-alphanumeric char (MOSS-style, so
+   whitespace/punctuation edits don't move fingerprints);
+2. k-gram rolling hashes: Horner polynomial hash
+   ``h = fold(chars, acc*B + code mod M)`` with B=257, M=1e9+7 — small
+   enough that ``(M-1)*B + 122`` stays far inside int64, and expressible
+   identically in DuckDB (``list_reduce``) so the oracle can hash-check
+   every fingerprint value;
+3. winnow: take the min hash of every ``window`` consecutive k-gram hashes,
+   distinct — ~2/(window+1) of positions survive, a bounded-density sketch.
+
+Scale shape: per-row O(len·k) JVM work, output ~len·2/(window+1) bigints per
+doc; the downstream inverted index (fingerprint -> docs) is one
+explode+groupBy — same shape as the shingle index in operators/simjoin.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BASE = 257
+HASH_MOD = 1_000_000_007
+
+
+def _normalize(text: Column) -> Column:
+    return F.regexp_replace(F.lower(text), r"[^a-z0-9]", "")
+
+
+def kgram_hashes_col(text: Column, k: int = 8) -> Column:
+    """array<bigint> of rolling k-gram hashes over the normalized text.
+
+    Position i (0-based) hashes chars [i, i+k). Docs shorter than k chars
+    get an empty array.
+
+    The char-code array is **let-bound** through a single-element
+    ``transform`` so every window position slices the same evaluated array.
+    Referencing the raw expression inside the position lambda would make
+    Catalyst re-evaluate the whole char-code pipeline once per position —
+    O(len²) per row (measured: ~40× slower on real docs).
+    """
+    norm = _normalize(text)
+
+    def build(codes: Column) -> Column:
+        n = F.size(codes)
+        horner = lambda gram: F.aggregate(
+            gram, F.lit(0).cast("long"), lambda acc, c: (acc * HASH_BASE + c) % HASH_MOD
+        )
+        hashes = F.transform(
+            F.sequence(F.lit(0), n - k), lambda i: horner(F.slice(codes, i + 1, k))
+        )
+        return F.when(n >= k, hashes).otherwise(F.array().cast("array<bigint>"))
+
+    return F.transform(F.array(F.transform(F.split(norm, ""), F.ascii)), build)[0]
+
+
+def winnow_col(hashes: Column, window: int = 8) -> Column:
+    """Distinct window-minima of a k-gram hash array (the fingerprint set).
+
+    Sequences shorter than ``window`` yield their single overall min —
+    matching the algorithm's guarantee that every non-empty doc has >= 1
+    fingerprint. The hash array is let-bound (see ``kgram_hashes_col``) so
+    the upstream k-gram computation runs once, not once per window.
+    """
+
+    def build(h: Column) -> Column:
+        n = F.size(h)
+        mins = F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda j: F.array_min(F.slice(h, j + 1, window)),
+        )
+        short = F.array(F.array_min(h))
+        return F.array_distinct(F.when(n >= window, mins).when(n > 0, short).otherwise(h))
+
+    return F.transform(F.array(hashes), build)[0]
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 8,
+) -> DataFrame:
+    """Exploded fingerprint table (id, fingerprint) — one row per distinct
+    winnowed hash per document. The natural input to an inverted
+    fingerprint index for containment/plagiarism detection."""
+    fps = winnow_col(kgram_hashes_col(F.col(text_col), k), window)
+    return (
+        df.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+        .orderBy(id_col, "fingerprint")
+    )

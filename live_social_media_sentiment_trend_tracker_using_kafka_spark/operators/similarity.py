@@ -97,6 +97,79 @@ def lsh_topk(
     )
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: KMeans over L2-normalized vectors.
+
+    Returns (embeddings + ``cluster`` int column, centroid matrix). On the
+    unit sphere, nearest-euclidean-centroid == highest-cosine-centroid, so
+    plain KMeans acts as a spherical quantizer for cosine search. At scale
+    the assigned table is written ``partitionBy("cluster")`` (see
+    sources/writers.py) so a probe reads only nprobe partitions — the IVF
+    analogue of the LSH bucket pruning above; the fit itself runs on a
+    sampled subset, and assignment is one broadcast of k centroids.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    norm = F.greatest(
+        F.sqrt(
+            F.aggregate(
+                F.transform(vec_col, lambda y: y.cast("double") * y.cast("double")),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        ),
+        F.lit(1e-12),
+    )
+    with_vec = (
+        embeddings.withColumn("__norm", norm)
+        .withColumn(
+            "__vec",
+            array_to_vector(F.transform(vec_col, lambda x: x.cast("double") / F.col("__norm"))),
+        )
+        .drop("__norm")
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__vec", predictionCol="cluster").fit(with_vec)
+    assigned = model.transform(with_vec).drop("__vec")
+    return assigned, np.array([np.asarray(c) for c in model.clusterCenters()])
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k via IVF: probe the ``nprobe`` clusters whose centroids are
+    most cosine-similar to the query, exact cosine re-rank inside them.
+
+    Same contract as ``lsh_topk``; with ``nprobe == n_clusters`` it is
+    exact. Centroids are a k×dim dim-table — ranking them against the query
+    is driver-side numpy on a handful of floats, not a collect of data rows.
+    """
+    assigned, centroids = ivf_index(embeddings, n_clusters, vec_col, seed)
+    q = np.asarray(query_vec, dtype=float)
+    qn = q / np.linalg.norm(q)
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(cn @ qn))[:nprobe].tolist()
+    sim = cosine_similarity_col(F.col(vec_col), _lit_vec(q))
+    return (
+        assigned.filter(F.col("cluster").isin(probes))
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_near_duplicate_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

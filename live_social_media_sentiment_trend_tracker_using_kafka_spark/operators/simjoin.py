@@ -1,0 +1,113 @@
+"""Exact set-similarity join (n-gram Jaccard) via prefix filtering.
+
+Complements the MinHash-LSH near-dup path (operators/dedup.py): LSH is the
+probabilistic, tunable-recall tier; this operator returns EXACTLY the pairs
+with Jaccard(shingles(a), shingles(b)) >= threshold — no false negatives —
+while still never enumerating O(n²) pairs.
+
+Algorithm (public: Chaudhuri/Ganti/Kaushik SSJoin, ICDE 2006; Vernica, Carey
+& Li, "Efficient Parallel Set-Similarity Joins Using MapReduce", SIGMOD 2010;
+Xiao et al. PPJoin, WWW 2008):
+
+1. Order every document's shingle set by ascending document frequency
+   (rarest first), ties broken lexicographically — one global total order.
+2. **Prefix filter**: two sets with Jaccard >= t must share at least one
+   element among the first ``|s| - ceil(t*|s|) + 1`` elements of each sorted
+   set. Index only prefixes; candidates come from a shingle-equality join of
+   prefixes — the rarest shingles, so the inverted index has short posting
+   lists by construction.
+3. **Length filter**: Jaccard >= t implies t*|a| <= |b| <= |a|/t — applied
+   inside the candidate join.
+4. Exact verify on the candidate pairs only: |a ∩ b| / (|a| + |b| - |a ∩ b|)
+   with ``array_intersect`` on the distinct shingle arrays.
+
+Scale shape: one explode+groupBy for document frequencies, one shuffle to
+rebuild frequency-sorted shingle arrays, one equi-join on prefix shingles
+(AQE handles skew on any residual hot shingle), one join back to verify —
+all linear in candidates. The frequency ordering is what keeps the prefix
+index from degenerating: common shingles ("in the of") sit at the END of
+each sorted set and never enter a prefix at high thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles_col
+
+
+def frequency_sorted_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingles sorted by ascending corpus document-frequency, sz).
+
+    ``collect_list`` order is nondeterministic per partition; sorting the
+    (df, shingle) structs afterwards makes the array order a pure function
+    of the corpus, so every downstream prefix is deterministic.
+    """
+    sh = df.select(
+        F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    ex = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ex.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ranked"))
+        .select(
+            id_col,
+            F.transform("ranked", lambda x: x["shingle"]).alias("shingles"),
+            F.size("ranked").alias("sz"),
+        )
+    )
+
+
+def jaccard_similarity_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """All pairs (id_a, id_b, jaccard) with exact n-gram Jaccard >= threshold.
+
+    Exact (prefix filtering admits no false negatives, unlike LSH banding)
+    and oracle-checkable: a brute-force SQL twin computes the identical
+    answer at test scale. Documents with empty shingle sets (no tokens) are
+    excluded — Jaccard is undefined on empty sets.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    sorted_docs = frequency_sorted_shingles(df, text_col, id_col, n).persist()
+    pref_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    prefixes = sorted_docs.select(
+        F.col(id_col).alias("pid"),
+        F.col("sz"),
+        F.explode(F.slice("shingles", 1, pref_len)).alias("shingle"),
+    )
+    l, r = prefixes.alias("l"), prefixes.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.pid") < F.col("r.pid"))
+            # length filter: t*|a| <= |b| and t*|b| <= |a|
+            & (F.col("r.sz") >= F.lit(threshold) * F.col("l.sz"))
+            & (F.col("l.sz") >= F.lit(threshold) * F.col("r.sz")),
+        )
+        .select(F.col("l.pid").alias("id_a"), F.col("r.pid").alias("id_b"))
+        .distinct()
+    )
+    a = sorted_docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), F.col("sz").alias("sz_a"))
+    b = sorted_docs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(jac, round_digits).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
