@@ -40,6 +40,7 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.text 
     whitespace_token_count_col,
 )
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.fingerprint import (
+    fingerprint_containment_pairs,
     winnow_fingerprints,
 )
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
@@ -186,6 +187,29 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure pushed-down scan-and-sum (zero shuffles)."""
     return relational.forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer-join order-count distribution (zero bucket kept)."""
+    return relational.customer_order_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional agg over a broadcast dim join."""
+    return relational.promo_revenue_share(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on grouped sum, joined back to detail."""
+    return relational.large_orders(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
 
 
 def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,6 +467,15 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, window=8)
 
 
+def q_fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 copy/containment detection over winnowed fingerprints: pairs
+    whose shared fingerprints cover >= 50% of the smaller doc's set —
+    catches short-doc-pasted-into-long-doc cases Jaccard misses."""
+    return fingerprint_containment_pairs(
+        _t(spark, sf_dir, "documents"), k=8, window=8, threshold=0.5
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 ANN top-k, IVF variant: KMeans coarse quantizer + nprobe probing
     (rows-only: cluster assignment is iterative/approximate by design; the
@@ -485,7 +518,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "similarity_join_exact": q_similarity_join_exact,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "fingerprint_containment": q_fingerprint_containment,
         "ivf_topk": q_ivf_topk,
+        "customer_order_distribution": q_customer_order_distribution,
+        "promo_revenue_share": q_promo_revenue_share,
+        "large_orders": q_large_orders,
         "cosine_near_dups": q_cosine_near_dups,
         "lsh_similarity_topk": q_lsh_similarity_topk,
         "media_features": q_media_features,
@@ -925,6 +962,78 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, unnest(fps) AS fingerprint FROM fp
             ORDER BY doc_id, fingerprint
+        """,
+        # Containment over the same winnowed fingerprints: inverted index
+        # (df-capped at 100), pair counts, shared / min(set sizes).
+        "fingerprint_containment": """
+            WITH norm AS (
+              SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     CASE WHEN len(s) >= 8 THEN
+                       list_transform(range(1, len(s) - 8 + 2), i ->
+                         list_reduce(
+                           list_transform(range(i, i + 8), j -> CAST(unicode(s[j:j]) AS BIGINT)),
+                           (acc, c) -> (acc * 257 + c) % 1000000007))
+                     ELSE CAST([] AS BIGINT[]) END AS hashes
+              FROM norm
+            ), fpl AS (
+              SELECT doc_id,
+                     CASE WHEN len(hashes) >= 8 THEN
+                            list_distinct(list_transform(range(1, len(hashes) - 8 + 2),
+                                                         j -> list_min(hashes[j:j+7])))
+                          WHEN len(hashes) > 0 THEN [list_min(hashes)]
+                          ELSE hashes END AS fps
+              FROM h
+            ), fp0 AS (SELECT doc_id, unnest(fps) AS fingerprint FROM fpl),
+            idx AS (SELECT doc_id, fingerprint FROM
+                      (SELECT doc_id, fingerprint,
+                              COUNT(*) OVER (PARTITION BY fingerprint) AS fp_df FROM fp0)
+                    WHERE fp_df <= 100),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id),
+            shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+                       FROM idx a JOIN idx b
+                         ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(n_shared::DOUBLE / LEAST(sa.sz, sb.sz), 6) AS containment
+            FROM shared JOIN sizes sa ON id_a = sa.doc_id
+                        JOIN sizes sb ON id_b = sb.doc_id
+            WHERE ROUND(n_shared::DOUBLE / LEAST(sa.sz, sb.sz), 6) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        # TPC-H Q13 shape: zero-order customers kept by the outer join.
+        "customer_order_distribution": """
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                  GROUP BY c.c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        # TPC-H Q14 shape: promo revenue share in a ship-date window.
+        "promo_revenue_share": """
+            SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0 END)
+                         / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        # TPC-H Q18 shape: HAVING on the grouped sum, joined back to detail.
+        "large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING ROUND(SUM(l_quantity), 2) > 300
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+            FROM big JOIN orders ON l_orderkey = o_orderkey
+                     JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 20
         """,
         # ivf_topk omitted: KMeans cluster assignment is iterative —
         # rows-only check; similarity_topk is the exact oracle-checked twin

@@ -44,6 +44,9 @@ HEADLINE = [
     "lang_id_counts",
     "token_count_stats",
     "ngram_jaccard_pairs",
+    "similarity_join_exact",
+    "winnow_fingerprints",
+    "ivf_topk",
     "cosine_near_dups",
     "lsh_similarity_topk",
     "top_parts_per_brand",

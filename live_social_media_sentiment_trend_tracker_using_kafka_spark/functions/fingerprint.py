@@ -26,7 +26,7 @@ explode+groupBy — same shape as the shingle index in operators/simjoin.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_BASE = 257
@@ -99,4 +99,67 @@ def winnow_fingerprints(
     return (
         df.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
         .orderBy(id_col, "fingerprint")
+    )
+
+
+def fingerprint_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 8,
+    threshold: float = 0.5,
+    max_df: int = 100,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Copy/containment detection: pairs whose shared winnowed fingerprints
+    cover >= ``threshold`` of the SMALLER document's fingerprint set.
+
+    Containment (not Jaccard) is the right measure for "doc B contains doc
+    A": a short doc pasted into a long one scores ~1.0 here but near 0 on
+    Jaccard. Pipeline: inverted fingerprint index (explode + groupBy) →
+    drop fingerprints appearing in more than ``max_df`` docs (boilerplate;
+    they contribute no discrimination and their posting lists are the one
+    quadratic risk) → pair counts from per-fingerprint self-join → verify
+    against per-doc set sizes. Sizes are measured on the same
+    df-filtered index so the ratio is internally consistent.
+
+    Scale shape: two shuffles (index build, pair groupBy); pair volume is
+    bounded by sum over fingerprints of df², with df <= max_df.
+    """
+    fp = (
+        df.select(
+            F.col(id_col),
+            F.explode(winnow_col(kgram_hashes_col(F.col(text_col), k), window)).alias(
+                "fingerprint"
+            ),
+        )
+    )
+    idx = fp.withColumn(
+        "fp_df", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+    ).filter(F.col("fp_df") <= max_df)
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = idx.alias("a"), idx.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    containment = F.col("n_shared").cast("double") / F.least("sz_a", "sz_b").cast("double")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(containment, round_digits).alias("containment")
+        )
+        .filter(F.col("containment") >= threshold)
+        .orderBy("id_a", "id_b")
     )

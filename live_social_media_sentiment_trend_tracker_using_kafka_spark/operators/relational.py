@@ -182,6 +182,91 @@ def brand_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count, including
+    the zero-order bucket via a left outer join.
+
+    Two-level aggregation: the first groupBy shrinks orders to one row per
+    customer *before* anything joins, the second is over |distinct counts|
+    rows — tiny. The outer join preserves order-less customers (counted as
+    c_count = 0), which a plain inner-join+groupBy silently drops.
+    """
+    per_cust = (
+        customer.select("c_custkey")
+        .join(orders.select("o_custkey", "o_orderkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count skips nulls -> 0
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def promo_revenue_share(
+    part: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue as a percentage of total revenue in a
+    ship-date window — conditional aggregation over a broadcast dim join.
+
+    The date filter pushes to the lineitem scan; part is broadcast; one
+    partial+final agg produces a single row, so the only shuffle is the
+    broadcast exchange. Rounded to 4 dp for oracle stability.
+    """
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def large_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_quantity: float = 300.0,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest orders (HAVING on a
+    grouped sum, joined back to the order/customer detail).
+
+    lineitem aggregates to one row per orderkey *first*; the HAVING filter
+    then cuts that to the few qualifying orders, so the joins back to orders
+    and (broadcast) customer move almost nothing. Top-k via
+    TakeOrderedAndProject, deterministic tiebreak on orderkey.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > min_quantity)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
 def order_priority_counts(
     orders: DataFrame, lineitem: DataFrame, min_discount: float = 0.08
 ) -> DataFrame:

@@ -7,6 +7,7 @@ from .pipeline import (
     fan_out_sinks,
     run_available_now_to_memory,
     run_update_sink_to_parquet,
+    session_window_stats,
     start_console_sink,
     start_file_sink,
     windowed_hashtag_counts,
@@ -24,6 +25,7 @@ __all__ = [
     "fan_out_sinks",
     "run_available_now_to_memory",
     "run_update_sink_to_parquet",
+    "session_window_stats",
     "start_console_sink",
     "start_file_sink",
     "windowed_hashtag_counts",

@@ -55,6 +55,26 @@ def test_analytics_paths_stay_jvm_side(spark):
         assert_no_python_udf(df)
 
 
+def test_promo_revenue_broadcasts_part_and_pushes_dates(spark):
+    df = entrymod.q_promo_revenue_share(spark, SF)
+    assert_broadcast_join(df, expected=1)
+    plan = plan_text(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert_no_python_udf(df)
+
+
+def test_large_orders_broadcasts_customer(spark):
+    df = entrymod.q_large_orders(spark, SF)
+    assert_broadcast_join(df, expected=1)
+    assert "TakeOrderedAndProject" in plan_text(df)
+    assert_no_python_udf(df)
+
+
+def test_customer_order_distribution_outer_join(spark):
+    plan = plan_text(entrymod.q_customer_order_distribution(spark, SF))
+    assert "LeftOuter" in plan, plan
+
+
 def test_window_query_partitions_not_global_sort(spark):
     df = entrymod.q_top_parts_per_brand(spark, SF)
     plan = plan_text(df)

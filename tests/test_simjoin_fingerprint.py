@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.fingerprint import (
+    fingerprint_containment_pairs,
     winnow_fingerprints,
 )
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import similarity
@@ -139,6 +140,33 @@ def test_winnow_density_bound(spark):
     n_windows = n_hashes - 8 + 1
     count = winnow_fingerprints(df, k=8, window=8).count()
     assert 0 < count <= n_windows
+
+
+def test_containment_finds_pasted_doc(spark):
+    # Doc 1 is pasted verbatim inside doc 2's much longer text: containment
+    # must be ~1.0 even though Jaccard of their fingerprint sets is low.
+    short = "winnowing fingerprints survive insertions and reordering of text"
+    long_parts = [
+        "completely unrelated preamble about distributed query planning and shuffles",
+        short,
+        "followed by a long discussion of broadcast joins partition pruning and "
+        "adaptive execution in modern engines with many more unrelated words",
+    ]
+    docs = [(1, short), (2, " ".join(long_parts)), (3, "nothing in common here at all")]
+    df = spark.createDataFrame(docs, DOC_SCHEMA)
+    rows = {(r.id_a, r.id_b): r.containment
+            for r in fingerprint_containment_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in rows and rows[(1, 2)] >= 0.9
+    assert all({a, b} == {1, 2} for a, b in rows)
+
+
+def test_containment_hot_fingerprint_cap(spark):
+    # With max_df=1 every fingerprint is "hot" (appears in both copies) and
+    # is dropped -> no pairs survive; sanity-check the boilerplate cap wiring.
+    docs = [(1, "identical text for the df cap check"), (2, "identical text for the df cap check")]
+    df = spark.createDataFrame(docs, DOC_SCHEMA)
+    assert fingerprint_containment_pairs(df, threshold=0.1, max_df=1).count() == 0
+    assert fingerprint_containment_pairs(df, threshold=0.99, max_df=2).count() == 1
 
 
 EMB_SCHEMA = T.StructType(
