@@ -45,6 +45,7 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.finge
 )
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
     analytics,
+    asof,
     dedup,
     multimodal,
     pipeline,
@@ -187,6 +188,53 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure pushed-down scan-and-sum (zero shuffles)."""
     return relational.forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+def q_priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all four grouping sets in one pass."""
+    return window_funcs.priority_status_cube(_t(spark, sf_dir, "orders"))
+
+
+def q_users_purchase_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op INTERSECT: users with both a purchase and an error event."""
+    return analytics.users_with_both_event_types(
+        _t(spark, sf_dir, "events"), "purchase", "error"
+    )
+
+
+def q_users_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op EXCEPT: purchasers who never hit an error."""
+    return analytics.users_with_only_first_type(
+        _t(spark, sf_dir, "events"), "purchase", "error"
+    )
+
+
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event annotated with the user's most recent
+    purchase at-or-before it (union + per-key carry-forward window — one
+    shuffle, no interval cross-product). Right side pre-aggregated to one
+    row per (user, ts) so ties are deterministic; oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    joined = asof.asof_join(
+        ev.select("event_id", "ts", "user_id", "event_type"),
+        purchases,
+        key_col="user_id",
+        right_cols=["ts", "pval"],
+    )
+    return joined.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.col("r_ts").alias("last_purchase_ts"),
+        F.col("r_pval").alias("last_purchase_value"),
+    ).orderBy("event_id")
 
 
 def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,6 +524,15 @@ def q_fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_pairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 exact cosine pair baseline on a bounded sample (vec_id < 100):
+    hash-checks the pair-generation + cosine arithmetic that the bucketed
+    cosine_near_dups path builds on. O(sample²) by design — never run
+    unbounded; the scale path is cosine_near_dups."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return similarity.cosine_pairs_exact(emb, threshold=0.2)
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 ANN top-k, IVF variant: KMeans coarse quantizer + nprobe probing
     (rows-only: cluster assignment is iterative/approximate by design; the
@@ -519,7 +576,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join_exact": q_similarity_join_exact,
         "winnow_fingerprints": q_winnow_fingerprints,
         "fingerprint_containment": q_fingerprint_containment,
+        "cosine_pairs_sample": q_cosine_pairs_sample,
         "ivf_topk": q_ivf_topk,
+        "asof_last_purchase": q_asof_last_purchase,
+        "priority_status_cube": q_priority_status_cube,
+        "users_purchase_and_error": q_users_purchase_and_error,
+        "users_purchase_no_error": q_users_purchase_no_error,
         "customer_order_distribution": q_customer_order_distribution,
         "promo_revenue_share": q_promo_revenue_share,
         "large_orders": q_large_orders,
@@ -1002,6 +1064,60 @@ def oracle_sql() -> dict[str, str]:
                         JOIN sizes sb ON id_b = sb.doc_id
             WHERE ROUND(n_shared::DOUBLE / LEAST(sa.sz, sb.sz), 6) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        # Exact cosine pairs on the bounded sample; DOUBLE[] cast because
+        # DuckDB list math on FLOAT[] computes in float32.
+        "cosine_pairs_sample": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 100
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.2
+            ORDER BY id_a, id_b
+        """,
+        # CUBE twin of the rollup query: all four grouping sets.
+        "priority_status_cube": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COALESCE(o_orderstatus, 'ALL') AS status,
+                   CAST(COUNT(*) AS BIGINT) AS order_count,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+            ORDER BY priority, status
+        """,
+        # Set ops on the events user sets.
+        "users_purchase_and_error": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'error'
+            ORDER BY user_id
+        """,
+        "users_purchase_no_error": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'error'
+            ORDER BY user_id
+        """,
+        # As-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
+        # union+carry-forward window implementation.
+        "asof_last_purchase": """
+            WITH p AS (
+              SELECT user_id, ts, max(value) AS pval
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts
+            )
+            SELECT e.event_id, e.ts, e.user_id, e.event_type,
+                   p.ts AS last_purchase_ts, p.pval AS last_purchase_value
+            FROM events e ASOF LEFT JOIN p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
+            ORDER BY e.event_id
         """,
         # TPC-H Q13 shape: zero-order customers kept by the outer join.
         "customer_order_distribution": """

@@ -46,8 +46,14 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "similarity_join_exact",
     "winnow_fingerprints",
+    "fingerprint_containment",
     "ivf_topk",
     "cosine_near_dups",
+    "cosine_pairs_sample",
+    "asof_last_purchase",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "large_orders",
     "lsh_similarity_topk",
     "top_parts_per_brand",
     "running_revenue",

@@ -4,12 +4,14 @@ from .enrich import enrich_posts, filter_valid_text
 from .normalize import normalize_posts
 from . import (
     analytics,
+    asof,
     dedup,
     multimodal,
     pipeline,
     relational,
     sessionize,
     similarity,
+    simjoin,
     window_funcs,
 )
 
@@ -18,11 +20,13 @@ __all__ = [
     "filter_valid_text",
     "normalize_posts",
     "analytics",
+    "asof",
     "dedup",
     "multimodal",
     "pipeline",
     "relational",
     "sessionize",
     "similarity",
+    "simjoin",
     "window_funcs",
 ]

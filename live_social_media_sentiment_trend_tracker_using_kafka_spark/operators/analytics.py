@@ -152,3 +152,27 @@ def latest_display(
         *[F.col(c) for c in (extra_cols or [])],
     ]
     return df.orderBy(F.desc(ts_col), F.desc(tiebreak)).limit(n).select(*cols)
+
+
+def users_with_both_event_types(
+    events: DataFrame, type_a: str, type_b: str, user_col: str = "user_id"
+) -> DataFrame:
+    """Set-op INTERSECT: users who performed BOTH event types.
+
+    ``intersect`` plans as a distinct + co-partitioned semi-style join —
+    one shuffle per side on the user key; inputs are pre-projected to the
+    single key column so the shuffle moves keys, not rows.
+    """
+    a = events.filter(F.col("event_type") == type_a).select(user_col)
+    b = events.filter(F.col("event_type") == type_b).select(user_col)
+    return a.intersect(b).orderBy(user_col)
+
+
+def users_with_only_first_type(
+    events: DataFrame, type_a: str, type_b: str, user_col: str = "user_id"
+) -> DataFrame:
+    """Set-op EXCEPT (distinct): users with ``type_a`` events but no
+    ``type_b`` events ever. Same shuffle shape as the intersect twin."""
+    a = events.filter(F.col("event_type") == type_a).select(user_col)
+    b = events.filter(F.col("event_type") == type_b).select(user_col)
+    return a.subtract(b).orderBy(user_col)

@@ -170,6 +170,33 @@ def ivf_topk(
     )
 
 
+def cosine_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold — O(n²) BY DESIGN.
+
+    This is the verification baseline for ``cosine_near_duplicate_pairs``
+    (the bucketed scale path): run it on an explicitly bounded sample to
+    hash-check the bucketed path's arithmetic and recall, never on the full
+    table. The pair generation is a nested-loop join on ``id_a < id_b`` —
+    Spark broadcasts the smaller side; at sample sizes (10²-10³ rows) that
+    is a single executor-local loop.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = F.round(cosine_similarity_col(F.col("va"), F.col("vb")), round_digits)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def cosine_near_duplicate_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

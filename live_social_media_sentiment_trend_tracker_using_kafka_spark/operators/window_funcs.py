@@ -83,6 +83,29 @@ def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFram
     )
 
 
+def priority_status_cube(orders: DataFrame) -> DataFrame:
+    """Order counts + revenue over ALL grouping-set combinations:
+    CUBE(priority, status).
+
+    Cube adds the per-status subtotal rollup omits; still one shuffle —
+    Spark expands the 4 grouping sets inside a single aggregate. NULL group
+    markers labeled 'ALL' as in the rollup twin."""
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "order_count",
+            "revenue",
+        )
+        .orderBy("priority", "status")
+    )
+
+
 def priority_status_rollup(orders: DataFrame) -> DataFrame:
     """Order counts + revenue with subtotals: ROLLUP(priority, status).
 

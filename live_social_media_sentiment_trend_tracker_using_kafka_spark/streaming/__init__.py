@@ -5,6 +5,7 @@ from .pipeline import (
     enriched_file_stream,
     enriched_kafka_stream,
     fan_out_sinks,
+    interval_join_streams,
     run_available_now_to_memory,
     run_update_sink_to_parquet,
     session_window_stats,
@@ -23,6 +24,7 @@ __all__ = [
     "enriched_file_stream",
     "enriched_kafka_stream",
     "fan_out_sinks",
+    "interval_join_streams",
     "run_available_now_to_memory",
     "run_update_sink_to_parquet",
     "session_window_stats",

@@ -177,6 +177,48 @@ def session_window_stats(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "event_ts",
+    right_ts: str = "event_ts",
+    max_delay: str = "10 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream inner join: right rows within ``(left_ts, left_ts +
+    max_delay]`` per key (e.g. "purchase within 10 minutes of a view").
+
+    Both sides are watermarked and the join carries an explicit time-range
+    constraint — that pair is what lets Spark BOUND the join state: each
+    side's buffer holds only rows younger than watermark + max_delay,
+    instead of growing forever. Right columns come back ``prefix``-renamed
+    so self-joins don't collide. Same operator works in batch (watermark is
+    a no-op there) — tests assert streaming == batch.
+    """
+    r = right.select(
+        F.col(key_col).alias(f"{prefix}{key_col}"),
+        F.col(right_ts).alias(f"{prefix}{right_ts}"),
+        *[
+            F.col(c).alias(f"{prefix}{c}")
+            for c in right.columns
+            if c not in (key_col, right_ts)
+        ],
+    )
+    lw = left.withWatermark(left_ts, watermark)
+    rw = r.withWatermark(f"{prefix}{right_ts}", watermark)
+    cond = (
+        (F.col(key_col) == F.col(f"{prefix}{key_col}"))
+        & (F.col(f"{prefix}{right_ts}") > F.col(left_ts))
+        & (
+            F.col(f"{prefix}{right_ts}")
+            <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return lw.join(rw, cond).drop(f"{prefix}{key_col}")
+
+
 # --------------------------------------------------------------------------
 # Sinks
 # --------------------------------------------------------------------------

@@ -1,0 +1,74 @@
+"""As-of join semantics: inclusive vs strict boundaries, no-match nulls,
+carry-forward across multiple right rows, key isolation — plus oracle parity
+via the contract query (tests/test_oracle_parity.py covers sf0.001)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import types as T
+
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.asof import asof_join
+
+TS = lambda s: dt.datetime.fromisoformat(s)
+
+LEFT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("k", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+RIGHT_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("px", T.DoubleType(), False),
+    ]
+)
+
+
+def _fixture(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "a", TS("2024-01-01 10:00:00")),  # before any right row
+            (2, "a", TS("2024-01-01 10:05:00")),  # equal to right ts
+            (3, "a", TS("2024-01-01 10:20:00")),  # after two right rows
+            (4, "b", TS("2024-01-01 10:30:00")),  # other key
+            (5, "c", TS("2024-01-01 10:30:00")),  # key with no right rows
+        ],
+        LEFT_SCHEMA,
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", TS("2024-01-01 10:05:00"), 1.0),
+            ("a", TS("2024-01-01 10:10:00"), 2.0),
+            ("b", TS("2024-01-01 10:00:00"), 9.0),
+        ],
+        RIGHT_SCHEMA,
+    )
+    return left, right
+
+
+def test_asof_inclusive(spark):
+    left, right = _fixture(spark)
+    got = {r.id: (r.r_px, r.r_ts) for r in asof_join(left, right, "k").collect()}
+    assert got[1] == (None, None)                          # nothing at-or-before
+    assert got[2] == (1.0, TS("2024-01-01 10:05:00"))      # equal ts matches
+    assert got[3] == (2.0, TS("2024-01-01 10:10:00"))      # latest of two
+    assert got[4] == (9.0, TS("2024-01-01 10:00:00"))      # key isolation
+    assert got[5] == (None, None)                          # no right rows for key
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    left, right = _fixture(spark)
+    got = {r.id: r.r_px for r in asof_join(left, right, "k", strict=True).collect()}
+    assert got[2] is None   # 10:05 right row no longer visible at left 10:05
+    assert got[3] == 2.0    # strictly-earlier rows still match
+
+
+def test_asof_preserves_left_rows_and_columns(spark):
+    left, right = _fixture(spark)
+    out = asof_join(left, right, "k")
+    assert out.count() == left.count()
+    assert out.columns == ["id", "k", "ts", "r_ts", "r_px"]

@@ -75,6 +75,16 @@ def test_customer_order_distribution_outer_join(spark):
     assert "LeftOuter" in plan, plan
 
 
+def test_asof_join_is_window_not_cartesian(spark):
+    """The as-of join must plan as one per-key window pass — no interval
+    cross-product, no nested-loop join."""
+    df = entrymod.q_asof_last_purchase(spark, SF)
+    plan = plan_text(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan and "hashpartitioning(_k" in plan, plan
+    assert_no_python_udf(df)
+
+
 def test_window_query_partitions_not_global_sort(spark):
     df = entrymod.q_top_parts_per_brand(spark, SF)
     plan = plan_text(df)

@@ -14,6 +14,7 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.streaming import (
     enriched_file_stream,
     fan_out_sinks,
+    interval_join_streams,
     run_available_now_to_memory,
     run_update_sink_to_parquet,
     session_window_stats,
@@ -209,6 +210,34 @@ def test_update_sink_upserts_across_micro_batches(spark, tmp_path):
     key = lambda r: (r["window_start"], r["sentiment_label"])
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
     assert {key(r): r["cnt"] for r in got.collect()} == {key(r): r["cnt"] for r in want.collect()}
+
+
+def test_interval_join_streams_match_batch(spark, tmp_path):
+    """Stream-stream interval self-join (platform as key): each post joined
+    to later posts on the same platform within 2 minutes, streaming output
+    equal to the identical join run in batch."""
+    d = tmp_path / "ij"
+    d.mkdir()
+    (d / "f.json").write_text("\n".join(json.dumps(p) for p in POSTS))
+    mk = lambda: enriched_file_stream(spark, str(d), with_sentiment_udf=False).select(
+        "user", "platform", "event_ts"
+    )
+    joined = interval_join_streams(
+        mk(), mk(), key_col="platform", max_delay="2 minutes"
+    )
+    got = run_available_now_to_memory(joined, spark, "t_ij")
+    batch = enrich_posts(read_posts_json(spark, str(d)), with_sentiment_udf=False).select(
+        "user", "platform", "event_ts"
+    )
+    want = interval_join_streams(batch, batch, key_col="platform", max_delay="2 minutes")
+    key = lambda r: (r["user"], r["r_user"])
+    got_pairs = sorted(map(key, got.collect()))
+    want_pairs = sorted(map(key, want.collect()))
+    assert got_pairs == want_pairs and len(got_pairs) > 0
+    # Twitter: a(10:00:10) -> d(10:01:30); Reddit: b(10:00:40) -> e(10:02:15)
+    assert ("a", "d") in got_pairs and ("b", "e") in got_pairs
+    # no self-pairs (strictly-later constraint)
+    assert all(a != b for a, b in got_pairs)
 
 
 def test_available_now_timeout_raises(spark, posts_dir):
