@@ -43,6 +43,9 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.finge
     fingerprint_containment_pairs,
     winnow_fingerprints,
 )
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.heavy_hitters import (
+    heavy_hitters,
+)
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
     analytics,
     asof,
@@ -515,6 +518,38 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, window=8)
 
 
+def q_media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 multimodal metadata aggregation over typed binary columns: docs'
+    text bytes stand in as payloads (deterministic, so — unlike the
+    in-memory synthetic media table — DuckDB can hash-check the byte
+    arithmetic); groups by kind with byte-size stats."""
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.col("source").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.max(F.length("payload")).alias("max_bytes"),
+        )
+        .orderBy("kind")
+    )
+
+
+def q_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 exact heavy hitters (tokens in >= 1% of token occurrences):
+    per-partition Misra-Gries candidates via mapInPandas (O(1/phi) memory),
+    exact verify of candidates only. EXACT output — candidate phase can only
+    over-generate — so a plain GROUP BY/HAVING twin oracle-checks it."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(dedup.word_tokens_col(F.col("text"))).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", phi=0.01)
+
+
 def q_fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 copy/containment detection over winnowed fingerprints: pairs
     whose shared fingerprints cover >= 50% of the smaller doc's set —
@@ -576,6 +611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join_exact": q_similarity_join_exact,
         "winnow_fingerprints": q_winnow_fingerprints,
         "fingerprint_containment": q_fingerprint_containment,
+        "heavy_tokens": q_heavy_tokens,
+        "media_metadata_stats": q_media_metadata_stats,
         "cosine_pairs_sample": q_cosine_pairs_sample,
         "ivf_topk": q_ivf_topk,
         "asof_last_purchase": q_asof_last_purchase,
@@ -1064,6 +1101,31 @@ def oracle_sql() -> dict[str, str]:
                         JOIN sizes sb ON id_b = sb.doc_id
             WHERE ROUND(n_shared::DOUBLE / LEAST(sa.sz, sb.sz), 6) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        # Binary-column metadata stats; SUM cast to BIGINT (DuckDB SUM(int)
+        # is HUGEINT, which pandas would load as float64).
+        "media_metadata_stats": """
+            SELECT source AS kind,
+                   CAST(COUNT(*) AS BIGINT) AS n_media,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                   CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+            FROM documents
+            GROUP BY source
+            ORDER BY kind
+        """,
+        # Exact heavy hitters: Misra-Gries only over-generates candidates,
+        # so the verified output equals a plain GROUP BY/HAVING.
+        "heavy_tokens": """
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                       string_split_regex(lower(regexp_replace(text, '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+                       t -> t <> '')) AS tok
+              FROM documents
+            )
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS count
+            FROM toks GROUP BY tok
+            HAVING COUNT(*) >= CEIL(0.01 * (SELECT COUNT(*) FROM toks))
+            ORDER BY count DESC, tok
         """,
         # Exact cosine pairs on the bounded sample; DOUBLE[] cast because
         # DuckDB list math on FLOAT[] computes in float32.

@@ -47,6 +47,7 @@ HEADLINE = [
     "similarity_join_exact",
     "winnow_fingerprints",
     "fingerprint_containment",
+    "heavy_tokens",
     "ivf_topk",
     "cosine_near_dups",
     "cosine_pairs_sample",
@@ -59,6 +60,9 @@ HEADLINE = [
     "running_revenue",
     "customers_without_orders",
     "priority_status_rollup",
+    "priority_status_cube",
+    "users_purchase_and_error",
+    "users_purchase_no_error",
     "user_sessions",
     "daily_distinct_users",
     "approx_distinct_users",

@@ -6,12 +6,14 @@ from . import (
     analytics,
     asof,
     dedup,
+    heavy_hitters,
     multimodal,
     pipeline,
     relational,
     sessionize,
     similarity,
     simjoin,
+    skew,
     window_funcs,
 )
 
@@ -22,11 +24,13 @@ __all__ = [
     "analytics",
     "asof",
     "dedup",
+    "heavy_hitters",
     "multimodal",
     "pipeline",
     "relational",
     "sessionize",
     "similarity",
     "simjoin",
+    "skew",
     "window_funcs",
 ]

@@ -79,6 +79,11 @@ def _tokens(text: Column) -> Column:
     return F.filter(raw, lambda t: t != F.lit(""))
 
 
+# Public name for the normalized word tokenizer — other operators (heavy
+# hitters, simjoin) share it so their oracles share one token definition.
+word_tokens_col = _tokens
+
+
 def word_shingles_col(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as array<string> (per-row, no shuffle).
 

@@ -102,6 +102,7 @@ def ivf_index(
     n_clusters: int = 16,
     vec_col: str = "embedding",
     seed: int = 7,
+    max_iter: int = 10,
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF coarse quantizer: KMeans over L2-normalized vectors.
 
@@ -134,7 +135,12 @@ def ivf_index(
         )
         .drop("__norm")
     )
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="__vec", predictionCol="cluster").fit(with_vec)
+    # A coarse quantizer doesn't need convergence — a few Lloyd iterations
+    # give the same probe recall at a fraction of the fit cost.
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=max_iter,
+        featuresCol="__vec", predictionCol="cluster",
+    ).fit(with_vec)
     assigned = model.transform(with_vec).drop("__vec")
     return assigned, np.array([np.asarray(c) for c in model.clusterCenters()])
 

