@@ -45,6 +45,12 @@ def asof_join(
     the match's age.
     """
     rc = right_cols if right_cols is not None else [c for c in right.columns if c != key_col]
+    # SQL equality never matches NULL keys and `>=` never matches NULL
+    # timestamps; Window.partitionBy would happily group null keys together
+    # and a null _ts would sort first and be carried into every left row.
+    # Dropping degenerate right rows restores ASOF-join semantics (null-key
+    # left rows keep a null payload: their partition has no right rows).
+    right = right.filter(F.col(key_col).isNotNull() & F.col(right_ts).isNotNull())
     r_tagged = right.select(
         F.col(key_col).alias("_k"),
         F.col(right_ts).alias("_ts"),

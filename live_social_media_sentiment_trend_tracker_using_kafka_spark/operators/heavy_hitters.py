@@ -30,6 +30,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _misra_gries_partial(k: int, col: str):
@@ -40,14 +41,20 @@ def _misra_gries_partial(k: int, col: str):
         # and drop the non-positive ones. Same guarantee as row-at-a-time
         # Misra-Gries (undercount <= n_p/(k+1)), batch-speed in pandas.
         counters = pd.Series(dtype="int64")
+        n_rows = 0
         for batch in batches:
+            n_rows += len(batch)
             vc = batch[col].dropna().value_counts()
             counters = counters.add(vc, fill_value=0)
             if len(counters) > k:
                 cut = counters.nlargest(k + 1).iloc[-1]
                 counters = counters - cut
                 counters = counters[counters > 0]
-        yield pd.DataFrame({col: counters.index})
+        # candidates, plus one null-item row carrying the partition's row
+        # count — so the total N rides out of the same pass (no extra scan).
+        yield pd.DataFrame(
+            {col: list(counters.index) + [None], "_n": [0] * len(counters) + [n_rows]}
+        )
 
     return summarize
 
@@ -57,26 +64,37 @@ def heavy_hitters(
     item_col: str,
     phi: float = 0.01,
 ) -> DataFrame:
-    """All items with count >= phi * N, with their EXACT counts.
+    """All items with count >= ceil(phi * N), with their EXACT counts
+    (N = input rows, nulls included).
 
-    Memory per task is O(1/phi) regardless of data size; the only full
-    shuffle carries candidate rows. Output: (item_col, count), count desc,
-    item asc tiebreak.
+    Memory per task is O(1/phi) regardless of data size; the input is
+    scanned exactly TWICE (candidate pass — which also emits N — and verify
+    pass), and the only full shuffle carries candidate rows. Output:
+    (item_col, count), count desc, item asc tiebreak. The tiny summary
+    table is persisted for the duration of the returned plan — it feeds
+    both the threshold and the candidate set.
     """
     if not 0.0 < phi <= 1.0:
         raise ValueError("phi must be in (0, 1]")
     k = math.ceil(1.0 / phi)
     items = df.select(item_col)
-    candidates = (
-        items.mapInPandas(_misra_gries_partial(k, item_col), schema=items.schema)
-        .distinct()
+    out_schema = T.StructType(
+        [
+            # nullable regardless of source: the sentinel total row is None
+            T.StructField(item_col, items.schema[item_col].dataType, True),
+            T.StructField("_n", T.LongType(), False),
+        ]
     )
-    total = items.count()
-    threshold = math.ceil(phi * total)
+    summary = items.mapInPandas(_misra_gries_partial(k, item_col), schema=out_schema)
+    summary = summary.persist()  # <= (k+1) rows per partition
+    totals = summary.agg(F.sum("_n").alias("_total"))
+    candidates = summary.filter(F.col(item_col).isNotNull()).select(item_col).distinct()
     return (
         items.join(F.broadcast(candidates), item_col, "left_semi")
         .groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("count"))
-        .filter(F.col("count") >= threshold)
+        .crossJoin(F.broadcast(totals))  # 1-row threshold table
+        .filter(F.col("count") >= F.ceil(F.lit(phi) * F.col("_total")))
+        .drop("_total")
         .orderBy(F.desc("count"), F.asc(item_col))
     )

@@ -70,6 +70,7 @@ def jaccard_similarity_join(
     threshold: float = 0.5,
     n: int = 3,
     round_digits: int = 6,
+    reuse_index: bool = True,
 ) -> DataFrame:
     """All pairs (id_a, id_b, jaccard) with exact n-gram Jaccard >= threshold.
 
@@ -77,10 +78,17 @@ def jaccard_similarity_join(
     and oracle-checkable: a brute-force SQL twin computes the identical
     answer at test scale. Documents with empty shingle sets (no tokens) are
     excluded — Jaccard is undefined on empty sets.
+
+    ``reuse_index=True`` persists the sorted-shingle table so the prefix
+    branch and both verify sides share one tokenization pass; pass False
+    when managing caching/checkpointing externally (the cache lives until
+    the session evicts it — same contract as minhash's reuse_signatures).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
-    sorted_docs = frequency_sorted_shingles(df, text_col, id_col, n).persist()
+    sorted_docs = frequency_sorted_shingles(df, text_col, id_col, n)
+    if reuse_index:
+        sorted_docs = sorted_docs.persist()
     pref_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
     prefixes = sorted_docs.select(
         F.col(id_col).alias("pid"),

@@ -92,8 +92,17 @@ def salted_join(
     replicate into every bucket, the join runs on (key, salt).
 
     Cost: ``small`` is shuffled ``salt_buckets``-fold — use the smallest
-    salt that flattens the hot partition. Output equals the plain join.
+    salt that flattens the hot partition. Output equals the plain join for
+    ``inner``/``left`` (big-side-preserving) joins ONLY: a small-side-
+    preserving join (right/full/anti/semi-on-small) would surface the
+    replicated small rows, so those modes are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "the small side is replicated per salt bucket, so small-side-"
+            "preserving join modes would emit duplicate/spurious rows"
+        )
     b = big.withColumn("_salt", _salt_col(salt_buckets, det_col))
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -83,16 +83,13 @@ def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFram
     )
 
 
-def priority_status_cube(orders: DataFrame) -> DataFrame:
-    """Order counts + revenue over ALL grouping-set combinations:
-    CUBE(priority, status).
-
-    Cube adds the per-status subtotal rollup omits; still one shuffle —
-    Spark expands the 4 grouping sets inside a single aggregate. NULL group
-    markers labeled 'ALL' as in the rollup twin."""
+def _priority_status_totals(grouped) -> DataFrame:
+    """Shared body for the rollup/cube twins: counts + revenue with NULL
+    group markers labeled 'ALL' (oracle-comparable — DuckDB emits the same
+    NULLs). Either way it's ONE shuffle: Spark expands the grouping sets
+    inside a single aggregate."""
     return (
-        orders.cube("o_orderpriority", "o_orderstatus")
-        .agg(
+        grouped.agg(
             F.count(F.lit(1)).alias("order_count"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
@@ -104,25 +101,13 @@ def priority_status_cube(orders: DataFrame) -> DataFrame:
         )
         .orderBy("priority", "status")
     )
+
+
+def priority_status_cube(orders: DataFrame) -> DataFrame:
+    """CUBE(priority, status): adds the per-status subtotal rollup omits."""
+    return _priority_status_totals(orders.cube("o_orderpriority", "o_orderstatus"))
 
 
 def priority_status_rollup(orders: DataFrame) -> DataFrame:
-    """Order counts + revenue with subtotals: ROLLUP(priority, status).
-
-    Rollup is one pass: Spark expands grouping sets in the aggregate, still a
-    single shuffle. NULL group markers are labeled 'ALL' so the result is
-    oracle-comparable (DuckDB emits the same NULLs)."""
-    return (
-        orders.rollup("o_orderpriority", "o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-        .select(
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            "order_count",
-            "revenue",
-        )
-        .orderBy("priority", "status")
-    )
+    """ROLLUP(priority, status): counts + revenue with subtotals."""
+    return _priority_status_totals(orders.rollup("o_orderpriority", "o_orderstatus"))

@@ -52,6 +52,10 @@ def assign_fixture_rows(ticks: DataFrame, fixture: DataFrame, seed: int = 42) ->
     is broadcast (fixture is a dim) — no shuffle on the stream side.
     """
     n = fixture.count()
+    if n == 0:
+        # pmod(x, 0) is NULL, which would silently join-drop every tick —
+        # fail loudly like the reference's random.choice([]) would.
+        raise ValueError("fixture is empty: the feed would emit no rows")
     indexed = with_index(fixture)
     pick = F.pmod(F.xxhash64(F.col("value"), F.lit(seed)), F.lit(n)).alias("__pick")
     return (

@@ -353,9 +353,23 @@ def run_update_sink_to_parquet(
     key-partitions those rows land in (dynamic partition overwrite) — an
     idempotent upsert, safe under micro-batch replay, without requiring a
     transactional table format.
+
+    ``key_cols`` must be the aggregate's FULL grouping key: overwriting a
+    partition keyed by a strict subset would drop that partition's other
+    group rows (e.g. key_cols=[window] for a (window, label) agg deletes
+    every label but the batch's). Each batch is guarded: duplicate key
+    tuples mean the key is partial, and the query is failed loudly instead
+    of silently losing data.
     """
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        dup = batch.groupBy(*key_cols).count().filter(F.col("count") > 1)
+        if dup.limit(1).count() > 0:  # batch is tiny (aggregated, changed keys only)
+            raise ValueError(
+                f"key_cols {key_cols} do not uniquely key the aggregate "
+                "output — partition overwrite would drop sibling group rows; "
+                "pass the aggregate's full grouping key"
+            )
         (
             batch.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

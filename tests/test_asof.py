@@ -67,6 +67,39 @@ def test_asof_strict_excludes_equal_ts(spark):
     assert got[3] == 2.0    # strictly-earlier rows still match
 
 
+def test_asof_null_keys_and_ts_never_match(spark):
+    """SQL equality never matches NULL: a null-key left row gets a null
+    payload (not a match with a null-key right row), and null-ts right rows
+    are ignored entirely."""
+    left = spark.createDataFrame(
+        [(1, None, TS("2024-01-01 10:10:00")), (2, "a", TS("2024-01-01 10:10:00"))],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("k", T.StringType(), True),
+                T.StructField("ts", T.TimestampType(), False),
+            ]
+        ),
+    )
+    right = spark.createDataFrame(
+        [
+            (None, TS("2024-01-01 10:00:00"), 5.0),   # null key: never matches
+            ("a", None, 7.0),                          # null ts: never matches
+            ("a", TS("2024-01-01 10:05:00"), 1.0),
+        ],
+        T.StructType(
+            [
+                T.StructField("k", T.StringType(), True),
+                T.StructField("ts", T.TimestampType(), True),
+                T.StructField("px", T.DoubleType(), False),
+            ]
+        ),
+    )
+    got = {r.id: r.r_px for r in asof_join(left, right, "k").collect()}
+    assert got[1] is None
+    assert got[2] == 1.0
+
+
 def test_asof_preserves_left_rows_and_columns(spark):
     left, right = _fixture(spark)
     out = asof_join(left, right, "k")

@@ -77,6 +77,17 @@ def test_salted_join_equals_plain(spark):
     assert g == w
 
 
+def test_salted_join_rejects_small_side_preserving_modes(spark):
+    import pytest
+
+    big = _skewed(spark)
+    small = spark.createDataFrame([("hot", 1.5)], ["k", "w"])
+    # right/full/anti would surface the salt-replicated small rows
+    for how in ("right", "full", "left_anti", "left_semi"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, "k", how=how)
+
+
 def test_salted_join_left_outer(spark):
     big = _skewed(spark)
     small = spark.createDataFrame([("hot", 1.5)], ["k", "w"])
