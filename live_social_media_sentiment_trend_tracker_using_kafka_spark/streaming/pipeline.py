@@ -85,10 +85,15 @@ def windowed_sentiment_counts(
     watermark: str = DEFAULT_WATERMARK,
     ts_col: str = "event_ts",
 ) -> DataFrame:
-    """Per-window sentiment-label counts (A5 made incremental)."""
+    """Per-window sentiment-label counts (A5 made incremental).
+
+    ``watermark=None`` skips the ``withWatermark`` call — pass None when the
+    upstream already set one (e.g. after ``dedup_stream``): Spark disallows
+    redefining the watermark in a multi-stateful-operator chain."""
     win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    wm = enriched if watermark is None else enriched.withWatermark(ts_col, watermark)
     return (
-        enriched.withWatermark(ts_col, watermark)
+        wm
         .groupBy(win, "sentiment_label")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
@@ -106,10 +111,12 @@ def windowed_platform_stats(
     watermark: str = DEFAULT_WATERMARK,
     ts_col: str = "event_ts",
 ) -> DataFrame:
-    """Per-window platform counts + mean engagement (A2/A3/A6 incremental)."""
+    """Per-window platform counts + mean engagement (A2/A3/A6 incremental);
+    ``watermark=None`` = upstream already watermarked."""
     win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    wm = enriched if watermark is None else enriched.withWatermark(ts_col, watermark)
     return (
-        enriched.withWatermark(ts_col, watermark)
+        wm
         .groupBy(win, "platform")
         .agg(
             F.count(F.lit(1)).alias("cnt"),

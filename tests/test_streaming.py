@@ -240,6 +240,56 @@ def test_interval_join_streams_match_batch(spark, tmp_path):
     assert all(a != b for a, b in got_pairs)
 
 
+def test_end_to_end_dedup_window_upsert(spark, tmp_path):
+    """Full deployable topology in one query: file stream → enrichment →
+    watermark-scoped dedup → tumbling-window counts → update-mode parquet
+    upsert, drained across two micro-batch runs with replayed duplicates.
+    The final table must equal the batch pipeline over the deduped union."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.streaming import (
+        dedup_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (src / "f1.json").write_text("\n".join(json.dumps(p) for p in POSTS[:3]))
+
+    def drain():
+        enriched = enriched_file_stream(spark, str(src), with_sentiment_udf=False)
+        deduped = dedup_stream(enriched, key_cols=["user", "text"])
+        windowed = windowed_sentiment_counts(deduped, window="1 minute", watermark=None)
+        q = run_update_sink_to_parquet(
+            windowed, out, ckpt,
+            key_cols=["window_start", "sentiment_label"],
+            available_now=True,
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    # second batch: replay post b (duplicate — must NOT count twice) + new posts
+    (src / "f2.json").write_text(
+        "\n".join(json.dumps(p) for p in [POSTS[1]] + POSTS[3:])
+    )
+    drain()
+
+    got = {
+        (r["window_start"], r["sentiment_label"]): r["cnt"]
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = enrich_posts(read_posts_json(spark, str(src)), with_sentiment_udf=False)
+    want_df = (
+        batch.dropDuplicates(["user", "text"])
+        .groupBy(F.window("event_ts", "1 minute"), "sentiment_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("window_start"), "sentiment_label", "cnt")
+    )
+    want = {
+        (r["window_start"], r["sentiment_label"]): r["cnt"] for r in want_df.collect()
+    }
+    assert got == want
+    assert sum(got.values()) == 4  # a, b (once), d, e
+
+
 def test_available_now_timeout_raises(spark, posts_dir):
     stream = enriched_file_stream(spark, posts_dir, with_sentiment_udf=False)
     with pytest.raises(TimeoutError):
