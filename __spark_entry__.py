@@ -49,6 +49,7 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.heavy
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
     analytics,
     asof,
+    corpus,
     dedup,
     multimodal,
     pipeline,
@@ -518,6 +519,24 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, window=8)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 text analysis: top-3 tf·idf terms per document (smoothed
+    ln(1 + N/df) idf; explode → two hash aggs → broadcast idf → per-doc
+    window). Every score value is oracle-checked."""
+    return corpus.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 training-data curation: deterministic quota sample — 20 docs per
+    language chosen by md5(doc_id) order, so every engine (and every rerun)
+    picks the identical rows."""
+    return corpus.stratified_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars"),
+        strata_col="lang",
+        n_per_stratum=20,
+    )
+
+
 def q_media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 multimodal metadata aggregation over typed binary columns: docs'
     text bytes stand in as payloads (deterministic, so — unlike the
@@ -557,6 +576,12 @@ def q_fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_containment_pairs(
         _t(spark, sf_dir, "documents"), k=8, window=8, threshold=0.5
     )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 per-label embedding centroids (exploded (label, dim, value) —
+    the seed step for class-conditional IVF / nearest-centroid labeling)."""
+    return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
 
 
 def q_cosine_pairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,8 +637,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "fingerprint_containment": q_fingerprint_containment,
         "heavy_tokens": q_heavy_tokens,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "stratified_sample": q_stratified_sample,
         "media_metadata_stats": q_media_metadata_stats,
         "cosine_pairs_sample": q_cosine_pairs_sample,
+        "label_centroids": q_label_centroids,
         "ivf_topk": q_ivf_topk,
         "asof_last_purchase": q_asof_last_purchase,
         "priority_status_cube": q_priority_status_cube,
@@ -1102,6 +1130,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(n_shared::DOUBLE / LEAST(sa.sz, sb.sz), 6) >= 0.5
             ORDER BY id_a, id_b
         """,
+        # tf-idf: identical token definition as heavy_tokens; ln(1 + N/df)
+        # in double on both engines, rounded to 6.
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(lower(regexp_replace(text, '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+                       t -> t <> '')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ), n AS (
+              SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
+            ), scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     ROUND(tf.tf * ln(1.0 + n.n_docs::DOUBLE / dfreq.df), 6) AS tfidf,
+                     ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                        ORDER BY ROUND(tf.tf * ln(1.0 + n.n_docs::DOUBLE / dfreq.df), 6) DESC,
+                                                 tf.term ASC) AS rank
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, df, tfidf
+            FROM scored WHERE rank <= 3
+            ORDER BY doc_id, tfidf DESC, term
+        """,
+        # Deterministic quota sample: md5(id) order is engine-independent.
+        "stratified_sample": """
+            SELECT doc_id, lang, source, n_chars FROM (
+              SELECT doc_id, lang, source, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 20
+            ORDER BY lang, doc_id
+        """,
         # Binary-column metadata stats; SUM cast to BIGINT (DuckDB SUM(int)
         # is HUGEINT, which pandas would load as float64).
         "media_metadata_stats": """
@@ -1126,6 +1192,19 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY tok
             HAVING COUNT(*) >= CEIL(0.01 * (SELECT COUNT(*) FROM toks))
             ORDER BY count DESC, tok
+        """,
+        # Per-label centroids: multiple unnests in one DuckDB SELECT zip
+        # positionally; generate_subscripts is 1-based vs posexplode's 0.
+        "label_centroids": """
+            SELECT label, dim, ROUND(AVG(v), 6) AS centroid_v
+            FROM (
+              SELECT label,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(embedding, 1) - 1 AS dim
+              FROM embeddings
+            )
+            GROUP BY label, dim
+            ORDER BY label, dim
         """,
         # Exact cosine pairs on the bounded sample; DOUBLE[] cast because
         # DuckDB list math on FLOAT[] computes in float32.

@@ -48,6 +48,8 @@ HEADLINE = [
     "winnow_fingerprints",
     "fingerprint_containment",
     "heavy_tokens",
+    "tfidf_top_terms",
+    "stratified_sample",
     "ivf_topk",
     "cosine_near_dups",
     "cosine_pairs_sample",

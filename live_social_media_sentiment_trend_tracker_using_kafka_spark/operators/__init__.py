@@ -5,6 +5,7 @@ from .normalize import normalize_posts
 from . import (
     analytics,
     asof,
+    corpus,
     dedup,
     heavy_hitters,
     multimodal,
@@ -23,6 +24,7 @@ __all__ = [
     "normalize_posts",
     "analytics",
     "asof",
+    "corpus",
     "dedup",
     "heavy_hitters",
     "multimodal",

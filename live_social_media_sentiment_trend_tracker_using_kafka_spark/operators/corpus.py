@@ -1,0 +1,93 @@
+"""Corpus-level text operators for training-data curation: TF-IDF term
+scoring and deterministic stratified sampling.
+
+Both are pure DataFrame compositions (no UDFs) designed so a DuckDB twin
+computes identical values — the correctness bar every operator here meets.
+
+- ``tfidf_top_terms``: classic tf·idf (smoothed idf ``ln(1 + N/df)``) over
+  the word-token stream; top-k terms per document via a per-doc window.
+  Scale shape: one explode + two hash aggregations (term frequencies per
+  doc, document frequencies per term) + a broadcast of the |vocab|-sized
+  idf table; the window partitions by document — never global.
+- ``stratified_sample``: exactly ``n_per_stratum`` rows per stratum, chosen
+  by md5-hash order of the id — deterministic, reproducible, engine-
+  independent (unlike ``DataFrame.sampleBy``, whose RNG stream is
+  Spark-specific and approximate). The hash order is an unbiased
+  pseudo-random permutation, so the quota sample is uniform per stratum.
+  Scale shape: one shuffle on the stratum key for the row_number window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import word_tokens_col
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k tf·idf terms per document: (id, term, tf, df, tfidf).
+
+    tf = in-document term count; idf = ln(1 + N/df) with N = docs that have
+    at least one token (docs with no tokens can't contribute terms). Ties
+    broken by term ascending so output is deterministic.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens_col(F.col(text_col))).alias("term")
+    )
+    # tf feeds three branches (df table, N, scores) — persist so the corpus
+    # is tokenized once; tiny relative to the input (one row per doc-term).
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.agg(F.countDistinct(id_col).alias("_n_docs"))  # stays in-plan
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.lit(1.0) + F.col("_n_docs").cast("double") / F.col("df")),
+                round_digits,
+            ),
+        )
+        .drop("_n_docs")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf")
+        .orderBy(id_col, F.desc("tfidf"), "term")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic quota sample: the ``n_per_stratum`` rows per stratum
+    that rank first under md5(id) order.
+
+    md5 of the id string is a fixed pseudo-random permutation shared by
+    every SQL engine, so the exact same rows are chosen everywhere — the
+    reproducibility a training-data pipeline needs from a downsampling
+    step (re-runs, audits, and the oracle all agree row-for-row).
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+        .orderBy(strata_col, id_col)
+    )

@@ -176,6 +176,29 @@ def ivf_topk(
     )
 
 
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-label centroid of the embedding vectors, in exploded
+    (label, dim, value) form.
+
+    posexplode + one hash aggregation on (label, dim) — map-side partials
+    make the shuffle |labels|·|dims| rows regardless of input size. The
+    exploded form keeps the result hashable row-by-row (and directly
+    SQL-expressible), unlike an array-valued centroid column; zip it back
+    with ``collect_list`` ordered by dim when an array is needed.
+    """
+    return (
+        embeddings.select(F.col(label_col), F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy(label_col, "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), round_digits).alias("centroid_v"))
+        .orderBy(label_col, "dim")
+    )
+
+
 def cosine_pairs_exact(
     embeddings: DataFrame,
     threshold: float,

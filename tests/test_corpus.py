@@ -1,0 +1,65 @@
+"""tf-idf and stratified sampling: golden semantics on constructed docs
+(the oracle-parity tests cover value equality on the driver corpus)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import types as T
+
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+    stratified_sample,
+    tfidf_top_terms,
+)
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    docs = [
+        (1, "common rare rare", "en"),
+        (2, "common words here", "en"),
+        (3, "common again common", "en"),
+    ]
+    df = spark.createDataFrame(docs, DOC_SCHEMA)
+    rows = tfidf_top_terms(df, k=1).collect()
+    top = {r.doc_id: r for r in rows}
+    # 'rare' (tf=2, df=1): 2*ln(1+3/1) ~ 2.77 beats 'common' (tf=1, df=3):
+    # 1*ln(1+3/3) ~ 0.69
+    assert top[1].term == "rare"
+    assert math.isclose(top[1].tfidf, round(2 * math.log(1 + 3 / 1), 6), abs_tol=1e-9)
+    assert top[1].df == 1 and top[1].tf == 2
+
+
+def test_tfidf_k_and_ordering(spark):
+    docs = [(1, "a a b b c", "en"), (2, "a c", "en")]
+    df = spark.createDataFrame(docs, DOC_SCHEMA)
+    rows = [r for r in tfidf_top_terms(df, k=2).collect() if r.doc_id == 1]
+    assert len(rows) == 2
+    assert rows[0].tfidf >= rows[1].tfidf
+    assert rows[0].term == "b"  # tf=2, df=1 — the most distinctive
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    docs = [(i, f"text {i}", "en" if i % 2 == 0 else "fr") for i in range(50)]
+    df = spark.createDataFrame(docs, DOC_SCHEMA)
+    s1 = stratified_sample(df, "lang", 5).collect()
+    s2 = stratified_sample(df, "lang", 5).collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]  # reproducible
+    by_lang = {}
+    for r in s1:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert {k: len(v) for k, v in by_lang.items()} == {"en": 5, "fr": 5}
+
+
+def test_stratified_sample_small_stratum_keeps_all(spark):
+    docs = [(1, "x", "en"), (2, "y", "fr"), (3, "z", "fr")]
+    df = spark.createDataFrame(docs, DOC_SCHEMA)
+    got = stratified_sample(df, "lang", 10).collect()
+    assert len(got) == 3
