@@ -53,6 +53,7 @@ HEADLINE = [
     "ivf_topk",
     "cosine_near_dups",
     "cosine_pairs_sample",
+    "label_centroids",
     "asof_last_purchase",
     "customer_order_distribution",
     "promo_revenue_share",
