@@ -305,6 +305,13 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.clean_corpus(_t(spark, sf_dir, "documents"))
 
 
+def q_clean_corpus_exact_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 full cleaning pipeline, fully oracle-checked: exact tier +
+    EXACT prefix-filtered Jaccard-join near-dup removal (no LSH
+    probabilism anywhere, so DuckDB verifies the whole chain)."""
+    return pipeline.clean_corpus_exact_neardup(_t(spark, sf_dir, "documents"))
+
+
 def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 exact dedup: duplicate fingerprint groups over documents."""
     return dedup.exact_duplicate_groups(_t(spark, sf_dir, "documents"))
@@ -667,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_events_display": q_latest_events_display,
         "value_percentiles": q_value_percentiles,
         "clean_corpus_exact": q_clean_corpus_exact,
+        "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
         "clean_corpus": q_clean_corpus,
     }
 
@@ -1033,6 +1041,57 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(f.quality_score, 6) AS quality_score
             FROM filt f JOIN keep k ON f.doc_id = k.doc_id
             ORDER BY f.doc_id
+        """,
+        # Full chain with exact near-dup removal: base CTEs as above, then
+        # the brute-force pair twin over the surviving docs, drop id_b.
+        "clean_corpus_exact_neardup": rf"""
+            WITH scored AS (
+                SELECT doc_id, lang, source, text,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       len(regexp_extract_all(lower(text), '{_STOPWORD_RE}', 1)) AS n_stop,
+                       len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
+                       length(text) AS n_chars
+                FROM documents
+                WHERE lang IN ('en', 'es', 'de', 'fr')
+            ), q AS (
+                SELECT doc_id, lang, source, text,
+                       LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
+                       + LEAST((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 5.0, 1.0) * 0.4
+                       + (1.0 - LEAST((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 5.0, 1.0)) * 0.2
+                       AS quality_score
+                FROM scored
+            ), filt AS (
+                SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                FROM q WHERE quality_score >= 0.5
+            ), keep AS (
+                SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY fp
+            ), base AS (
+                SELECT f.doc_id, f.lang, f.source, f.text,
+                       ROUND(f.quality_score, 6) AS quality_score
+                FROM filt f JOIN keep k ON f.doc_id = k.doc_id
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(
+                         string_split_regex(lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                         t -> t <> '') AS t
+                FROM base
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                         list_transform(range(1, greatest(len(t) - 3, 0) + 2),
+                                        i -> array_to_string(t[i:i+2], ' ')),
+                         g -> g <> '')) AS s
+                FROM toks
+            ), dropped AS (
+                SELECT DISTINCT b.doc_id
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(a.s) > 0 AND len(b.s) > 0
+                  AND ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
+            )
+            SELECT doc_id, lang, source, quality_score FROM base
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+            ORDER BY doc_id
         """,
         # Exact prefix-filtered Jaccard join: the oracle is the brute-force
         # all-pairs twin (fine at sf0.01's 500 docs); prefix filtering is

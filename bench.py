@@ -73,6 +73,7 @@ HEADLINE = [
     "forecast_revenue",
     "brand_revenue",
     "latest_events_display",
+    "clean_corpus_exact_neardup",
 ]
 
 

@@ -77,3 +77,25 @@ def clean_corpus(
     pairs = dedup.minhash_near_duplicates(survivors, threshold=near_dup_threshold)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return base.join(drop, "doc_id", "left_anti").orderBy("doc_id")
+
+
+def clean_corpus_exact_neardup(
+    docs: DataFrame,
+    langs: list[str] = ("en", "es", "de", "fr"),
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.8,
+) -> DataFrame:
+    """Full cleaning chain with EXACT near-dup removal: same pipeline as
+    ``clean_corpus`` but the pair set comes from the prefix-filtered exact
+    Jaccard join (operators/simjoin.py) instead of MinHash-LSH — no
+    probabilistic misses, and the whole chain is expressible in plain SQL,
+    so the oracle hash-checks it end to end. Use this tier when recall must
+    be provable; the LSH tier when the corpus is too big to verify exactly.
+    """
+    from .simjoin import jaccard_similarity_join
+
+    base = clean_corpus_exact(docs, langs, min_quality)
+    survivors = docs.join(base.select("doc_id"), "doc_id", "left_semi")
+    pairs = jaccard_similarity_join(survivors, threshold=near_dup_threshold)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return base.join(drop, "doc_id", "left_anti").orderBy("doc_id")
