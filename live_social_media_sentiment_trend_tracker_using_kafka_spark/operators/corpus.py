@@ -31,6 +31,7 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     k: int = 3,
     round_digits: int = 6,
+    reuse_tf: bool = True,
 ) -> DataFrame:
     """Top-k tf·idf terms per document: (id, term, tf, df, tfidf).
 
@@ -43,7 +44,10 @@ def tfidf_top_terms(
     )
     # tf feeds three branches (df table, N, scores) — persist so the corpus
     # is tokenized once; tiny relative to the input (one row per doc-term).
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    # reuse_tf=False for callers managing caching externally.
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if reuse_tf:
+        tf = tf.persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.agg(F.countDistinct(id_col).alias("_n_docs"))  # stays in-plan
     scored = (

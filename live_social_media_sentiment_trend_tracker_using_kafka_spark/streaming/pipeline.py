@@ -141,10 +141,10 @@ def windowed_hashtag_counts(
 ) -> DataFrame:
     """Per-window hashtag counts (A7 incremental; top-k is a batch read over
     this table — streaming top-k per window would need complete mode, which
-    doesn't scale)."""
+    doesn't scale). ``watermark=None`` = upstream already watermarked."""
+    wm = enriched if watermark is None else enriched.withWatermark(ts_col, watermark)
     return (
-        enriched.withWatermark(ts_col, watermark)
-        .select(F.col(ts_col), F.explode("hashtags").alias("tag"))
+        wm.select(F.col(ts_col), F.explode("hashtags").alias("tag"))
         .groupBy(F.window(ts_col, window), "tag")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("window.start").alias("window_start"), "tag", "cnt")
@@ -166,10 +166,11 @@ def session_window_stats(
     a session closes (and emits) once the watermark passes its end + gap.
     State is bounded by |active keys|, not history — the scale-correct
     replacement for batch re-sessionizing ever-growing history.
+    ``watermark=None`` = upstream already watermarked.
     """
+    wm = enriched if watermark is None else enriched.withWatermark(ts_col, watermark)
     return (
-        enriched.withWatermark(ts_col, watermark)
-        .groupBy(F.session_window(ts_col, gap), F.col(key_col))
+        wm.groupBy(F.session_window(ts_col, gap), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("likes"), 2).alias("total_likes"),
