@@ -49,6 +49,7 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.heavy
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
     analytics,
     asof,
+    cluster,
     corpus,
     dedup,
     multimodal,
@@ -310,6 +311,37 @@ def q_clean_corpus_exact_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT prefix-filtered Jaccard-join near-dup removal (no LSH
     probabilism anywhere, so DuckDB verifies the whole chain)."""
     return pipeline.clean_corpus_exact_neardup(_t(spark, sf_dir, "documents"))
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard≥0.8 near-dup pairs — the shared input of the cluster
+    queries. Exact (prefix-filtered) rather than LSH so the whole cluster
+    chain stays DuckDB-verifiable."""
+    return simjoin.jaccard_similarity_join(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    ).select("id_a", "id_b")
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 dedup clustering: connected components (alternating
+    large-star/small-star, Kiveris et al. SoCC 2014) over exact
+    Jaccard≥0.8 near-dup pairs → (doc_id, component=min id in cluster)."""
+    cc = cluster.connected_components(_neardup_pairs(spark, sf_dir))
+    return cc.select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 dedup clustering: cluster-size histogram (component, n_members)."""
+    cc = cluster.connected_components(_neardup_pairs(spark, sf_dir))
+    return cluster.cluster_sizes(cc).orderBy("component")
+
+
+def q_clean_corpus_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 cluster-based dedup: keep ONE representative (min id) per
+    near-dup cluster. The principled keep-rule — pairwise right-side
+    dropping (clean_corpus_exact_neardup) over-deletes on chains A~B~C."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return cluster.cluster_dedup(docs, _neardup_pairs(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,6 +663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "top_customers": q_top_customers,
         "order_priority_counts": q_order_priority_counts,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "clean_corpus_clustered": q_clean_corpus_clustered,
         "exact_dedup_groups": q_exact_dedup_groups,
         "doc_quality": q_doc_quality,
         "similarity_topk": q_similarity_topk,
@@ -688,6 +723,45 @@ _STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
 
 def _marker_re(lang: str) -> str:
     return r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+
+
+# Shared CTE chain for the cluster-dedup oracles: exact Jaccard≥0.8 pairs
+# (same shingle construction as operators/dedup.py word_shingles_col) →
+# symmetric edges → recursive label propagation → per-node component min.
+# Tractable at sf0.01 (the graph is ~50 nodes); the Spark side scales via
+# large-star/small-star instead of brute-force reachability.
+_CLUSTER_CTES = r"""
+toks AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+           t -> t <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           list_transform(range(1, greatest(len(t) - 3, 0) + 2),
+                          i -> array_to_string(t[i:i+2], ' ')),
+           g -> g <> '')) AS s
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.s) > 0 AND len(b.s) > 0
+    AND ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS node, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -800,6 +874,21 @@ def oracle_sql() -> dict[str, str]:
                 WHERE l_orderkey = o_orderkey AND l_discount >= 0.08
             )
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_CLUSTER_CTES}
+            SELECT node AS doc_id, component FROM comp ORDER BY doc_id
+        """,
+        "dedup_cluster_sizes": f"""
+            WITH RECURSIVE {_CLUSTER_CTES}
+            SELECT component, COUNT(*) AS n_members FROM comp
+            GROUP BY component ORDER BY component
+        """,
+        "clean_corpus_clustered": f"""
+            WITH RECURSIVE {_CLUSTER_CTES}
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+            ORDER BY doc_id
         """,
         "exact_dedup_groups": r"""
             SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,

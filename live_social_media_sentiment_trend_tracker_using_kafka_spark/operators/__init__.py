@@ -5,6 +5,7 @@ from .normalize import normalize_posts
 from . import (
     analytics,
     asof,
+    cluster,
     corpus,
     dedup,
     heavy_hitters,
@@ -24,6 +25,7 @@ __all__ = [
     "normalize_posts",
     "analytics",
     "asof",
+    "cluster",
     "corpus",
     "dedup",
     "heavy_hitters",

@@ -1,0 +1,137 @@
+"""Connected components + cluster-based dedup (SURVEY.md §2.8 extension).
+
+Near-dup detection (operators/dedup.py, operators/simjoin.py) emits PAIRS.
+A real corpus-cleaning pipeline needs CLUSTERS: near-duplication is
+transitive-ish (A~B, B~C ⇒ A,B,C are one group even when A~C missed the
+threshold), and the keep-rule is "one representative per cluster", not
+"drop the right side of every pair" — pairwise dropping over-deletes on
+chains (B dropped for A, C dropped for B even though C's only surviving
+neighbor is gone).
+
+``connected_components`` implements the alternating **large-star /
+small-star** algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii
+— "Connected Components in MapReduce and Beyond", ACM SoCC 2014 — public):
+each round is two groupBy-min + join passes over the edge list, and the
+edge diameter contracts quadratically, converging in O(log d) rounds (2-3
+rounds for the shallow clusters dedup produces). Per round the edge set is
+``localCheckpoint``-ed: iterative DataFrame algorithms otherwise grow an
+exponentially deep lineage that kills the planner long before the data
+hurts. On a multi-node cluster prefer ``spark.sparkContext.setCheckpointDir``
++ reliable ``checkpoint`` for fault tolerance; the algorithm is unchanged.
+
+Scale shape: every round is (groupBy node → min neighbor) + (join edges to
+mins) — two hash shuffles on node ids, both linear in |E|. No collect; the
+only driver-side value per round is the convergence checksum (2 longs).
+
+Reference parity: the reference has no dedup at all (SURVEY.md §2.8); this
+is driver-contract extension scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(N(u) ∪ {u}).
+
+    Takes a one-directional undirected edge list and symmetrizes it first:
+    each center must see its FULL neighborhood, and after round one the
+    stored edges are all larger→smaller, which would otherwise hide the
+    incoming half of every neighborhood and collapse the edge set.
+    """
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect u and every neighbor v ≤ u to min(N≤(u) ∪ {u})."""
+    le = edges.filter(F.col("v") <= F.col("u"))
+    mins = le.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    relinked = le.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_edge = mins.select(F.col("u"), F.col("m").alias("v"))
+    return relinked.unionAll(self_edge).filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``.
+
+    ``component`` is the minimum node id of the connected component —
+    deterministic, join-able back to the corpus. Alternates large-star /
+    small-star until the edge set reaches a fixed point (checked by
+    count + order-insensitive hash checksum — one tiny action per round,
+    never a collect of the data itself).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col(id_a) != F.col(id_b))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # XOR fold: order-insensitive and immune to ANSI-mode sum overflow
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).head()
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _sig(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # Fixed point: every edge is (node, component-min). Roots appear only on
+    # the v side — they are their own component.
+    members = edges.select("u", F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("u"), F.col("v").alias("component")).distinct()
+    return (
+        members.unionAll(roots)
+        .groupBy("u")
+        .agg(F.min("component").alias("component"))
+        .select(F.col("u").alias("node"), "component")
+    )
+
+
+def cluster_sizes(components: DataFrame) -> DataFrame:
+    """(component, n_members) per cluster — the dup-group histogram."""
+    return components.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Corpus with one representative (min id) kept per near-dup cluster.
+
+    Docs not in any pair are singletons and always kept. The components
+    table is tiny relative to the corpus (only docs that had a near-dup),
+    so the join back is broadcast-able at any realistic dup rate; Spark's
+    AQE converts it automatically when small, which is why no explicit
+    broadcast hint is hard-coded.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -1,0 +1,75 @@
+"""Unit tests for connected-components dedup clustering (operators/cluster.py).
+
+Covers graph shapes the driver's oracle-checked queries exercise only
+lightly: chains (transitive closure), stars, singletons, reversed-order
+pairs, duplicate pairs, and the over-deletion case where pairwise dropping
+and cluster dedup genuinely differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import cluster
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_components_mixed_shapes(spark):
+    # chain 1-2-3-4, star 10-{11,12,13}, pair (20,21), reversed pair (31,30),
+    # duplicate edge (2,1)
+    pairs = _pairs(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21), (31, 30), (2, 1)],
+    )
+    got = {(r["node"], r["component"]) for r in cluster.connected_components(pairs).collect()}
+    want = {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20), (30, 30), (31, 30),
+    }
+    assert got == want
+
+
+def test_long_chain_converges(spark):
+    # Worst-case diameter for label propagation; large-star/small-star must
+    # still collapse it to one component labeled by the minimum node.
+    pairs = _pairs(spark, [(i, i + 1) for i in range(30)])
+    cc = cluster.connected_components(pairs)
+    rows = cc.collect()
+    assert len(rows) == 31
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_cluster_sizes(spark):
+    pairs = _pairs(spark, [(1, 2), (2, 3), (5, 6)])
+    sizes = {
+        r["component"]: r["n_members"]
+        for r in cluster.cluster_sizes(cluster.connected_components(pairs)).collect()
+    }
+    assert sizes == {1: 3, 5: 2}
+
+
+def test_cluster_dedup_keeps_one_per_cluster(spark):
+    docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    # chain 1~2~3: pairwise "drop the right side" would drop 2 and 3; cluster
+    # dedup also keeps exactly {1} — but for A~B, B~C with (3,2),(2,1) given
+    # in arbitrary orientation the cluster min is still 1.
+    pairs = _pairs(spark, [(3, 2), (2, 1), (7, 8)])
+    kept = sorted(r["doc_id"] for r in cluster.cluster_dedup(docs, pairs).collect())
+    assert kept == [0, 1, 4, 5, 6, 7, 9]
+
+
+def test_self_pairs_ignored(spark):
+    pairs = _pairs(spark, [(1, 1), (2, 3)])
+    got = {(r["node"], r["component"]) for r in cluster.connected_components(pairs).collect()}
+    assert got == {(2, 2), (3, 2)}
+
+
+def test_empty_pairs(spark):
+    pairs = _pairs(spark, [])
+    assert cluster.connected_components(pairs).count() == 0
+    docs = spark.range(0, 5).withColumnRenamed("id", "doc_id")
+    assert cluster.cluster_dedup(docs, pairs).count() == 5
