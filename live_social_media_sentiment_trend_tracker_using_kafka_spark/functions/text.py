@@ -80,6 +80,50 @@ def fingerprint_col(text: Column) -> Column:
     return F.md5(normalized)
 
 
+# --- PII redaction ----------------------------------------------------------
+# Patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB) treat
+# identically: char classes, bounded repetition, \b — no backreferences or
+# lookaround (RE2 has neither). Order matters: emails first (they contain
+# dots and digits that the narrower patterns could nibble at).
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii_col(text: Column) -> Column:
+    """Text with emails/phones/IPv4s replaced by typed placeholder tokens.
+
+    The standard pre-training scrub (public recipes: The Pile, FineWeb,
+    Dolma all regex-redact contact PII). Pure Catalyst ``regexp_replace``
+    chain — whole-stage codegen, no Python; the same rules run verbatim in
+    DuckDB (``regexp_replace(..., 'g')``) so redacted output is
+    oracle-checkable byte-for-byte.
+    """
+    out = text
+    for _, pattern, token in PII_RULES:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_count_cols(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (n_email, n_phone, n_ipv4).
+
+    Counted on the progressively-redacted text exactly as ``redact_pii_col``
+    rewrites it, so counts always agree with what redaction removed (an
+    email's digit runs can otherwise double-count as phone fragments).
+    """
+    counts: dict[str, Column] = {}
+    cur = text
+    for kind, pattern, token in PII_RULES:
+        counts[f"n_{kind}"] = F.size(
+            F.regexp_extract_all(cur, F.lit(pattern), F.lit(0))
+        ).cast("long")
+        cur = F.regexp_replace(cur, pattern, token)
+    return counts
+
+
 # --- language-ID heuristic -------------------------------------------------
 # Character-class n-gram heuristic: score text against tiny per-language
 # marker sets (top function words + diacritics). Returns the argmax language

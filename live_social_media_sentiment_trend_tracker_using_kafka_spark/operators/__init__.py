@@ -6,6 +6,7 @@ from . import (
     analytics,
     asof,
     cluster,
+    contamination,
     corpus,
     dedup,
     heavy_hitters,
@@ -26,6 +27,7 @@ __all__ = [
     "analytics",
     "asof",
     "cluster",
+    "contamination",
     "corpus",
     "dedup",
     "heavy_hitters",

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import word_tokens_col
+from .dedup import word_grams_col, word_tokens_col
 
 
 def tfidf_top_terms(
@@ -69,6 +69,50 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf")
         .orderBy(id_col, F.desc("tfidf"), "term")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-doc n-gram repetition metrics (Gopher quality filters — Rae et
+    al., "Scaling Language Models: ... Gopher", 2021, §A1.1 — public).
+
+    Returns (id, n_grams, n_distinct, dup_frac, top_gram_share): total word
+    n-grams with multiplicity, distinct count, the duplicated fraction
+    ``1 − distinct/total``, and the share of the single most frequent gram —
+    the two signals Gopher thresholds to drop boilerplate/spam. Docs with
+    no n-grams are excluded (no repetition evidence).
+
+    Scale shape: one explode + two hash aggregations, both map-side
+    combinable; no windows, no joins.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(word_grams_col(F.col(text_col), n)).alias("gram")
+    )
+    per_gram = ex.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        .select(
+            id_col,
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), round_digits
+            ).alias("dup_frac"),
+            F.round(F.col("max_cnt") / F.col("n_grams"), round_digits).alias(
+                "top_gram_share"
+            ),
+        )
     )
 
 

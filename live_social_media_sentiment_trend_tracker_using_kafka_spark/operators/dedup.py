@@ -84,8 +84,8 @@ def _tokens(text: Column) -> Column:
 word_tokens_col = _tokens
 
 
-def word_shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string> (per-row, no shuffle).
+def word_grams_col(text: Column, n: int = 3) -> Column:
+    """Word n-grams WITH multiplicity as array<string> (per-row, no shuffle).
 
     The token array is **let-bound** through a single-element ``transform`` so
     the gram-builder lambda sees a bound variable: referencing the raw token
@@ -99,10 +99,15 @@ def word_shingles_col(text: Column, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
         # Token-less docs produce one empty gram — drop it so degenerate docs
-        # get an EMPTY shingle set (excluded from banding), not a shared one.
-        return F.array_distinct(F.filter(grams, lambda g: g != F.lit("")))
+        # get an EMPTY gram list, not a shared {''} singleton.
+        return F.filter(grams, lambda g: g != F.lit(""))
 
     return F.transform(F.array(_tokens(text)), build)[0]
+
+
+def word_shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string> (per-row, no shuffle)."""
+    return F.array_distinct(word_grams_col(text, n))
 
 
 def minhash_signature_col(shingles: Column, num_hashes: int = 32) -> Column:

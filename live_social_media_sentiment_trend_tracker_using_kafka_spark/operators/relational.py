@@ -284,3 +284,128 @@ def order_priority_counts(
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+def nation_trade_volume(
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year — supplier nation on the lineitem side, customer nation via the
+    order, either direction.
+
+    Scale shape: both nation-tagged dimension tables are broadcast; the two
+    fact-side joins shuffle once each on their keys; the nation-pair filter
+    prunes before aggregation.
+    """
+    supp_n = (
+        supplier.join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        ).select("s_suppkey", "supp_nation")
+    )
+    cust_n = (
+        customer.join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+            customer.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey", "cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+        | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    )
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def brand_market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    region_name: str = "ASIA",
+    brand: str = "Brand#1",
+) -> DataFrame:
+    """TPC-H Q8 shape: one brand's share of a region's customer revenue per
+    order year — conditional aggregation over the same joined fact stream
+    (no second pass, no self-join).
+    """
+    cust_in_region = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == region_name)),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            customer.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(F.when(F.col("p_brand") == brand, rev).otherwise(F.lit(0.0))), 2).alias("brand_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(
+                F.sum(F.when(F.col("p_brand") == brand, rev).otherwise(F.lit(0.0))) / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def dormant_high_value_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    cutoff: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count and balance of above-average-balance
+    customers with NO orders since ``cutoff`` — scalar aggregate subquery +
+    anti-join.
+
+    The global average is a 1-row aggregate cross-joined in (broadcast,
+    stays in-plan — no collect); the anti-join streams the customer side
+    against the (date-pruned) distinct buyer set.
+    """
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    recent_buyers = (
+        orders.filter(F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent_buyers, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -67,3 +67,56 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     b = _one(spark, "  hello world ", fingerprint_col(F.col("text")))
     c = _one(spark, "hello worlds", fingerprint_col(F.col("text")))
     assert a == b != c
+
+
+def test_pii_redaction_golden(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.text import (
+        pii_count_cols,
+        redact_pii_col,
+    )
+
+    text = (
+        "mail alice.smith+spam@sub.example.co.uk or bob@x.io, "
+        "call +1 555-123-4567 or 555 987 6543, host 192.168.0.1 done"
+    )
+    assert _one(spark, text, redact_pii_col(F.col("text"))) == (
+        "mail <EMAIL> or <EMAIL>, call +1 <PHONE> or <PHONE>, host <IP> done"
+    )
+    counts = pii_count_cols(F.col("text"))
+    assert _one(spark, text, counts["n_email"]) == 2
+    assert _one(spark, text, counts["n_phone"]) == 2
+    assert _one(spark, text, counts["n_ipv4"]) == 1
+    clean = "no personal data here at all"
+    assert _one(spark, clean, redact_pii_col(F.col("text"))) == clean
+
+
+def test_pii_email_digits_not_double_counted_as_phone(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.text import (
+        pii_count_cols,
+    )
+
+    # digits that could look phone-ish live inside the email; counting on the
+    # progressively redacted text must not see them
+    text = "reach 123-456-7890abc@example.com please"
+    counts = pii_count_cols(F.col("text"))
+    assert _one(spark, text, counts["n_email"]) == 1
+    assert _one(spark, text, counts["n_phone"]) == 0
+
+
+def test_repetition_stats_golden(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        repetition_stats,
+    )
+
+    rows = [
+        (1, "a b a b a b"),        # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+        (2, "w x y z"),            # 3 distinct bigrams, no repeats
+        (3, ""),                   # no grams -> excluded
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_grams"] == 5 and out[1]["n_distinct"] == 2
+    assert out[1]["dup_frac"] == 0.6
+    assert out[1]["top_gram_share"] == 0.6  # "a b" appears 3/5
+    assert out[2]["dup_frac"] == 0.0 and out[2]["top_gram_share"] == pytest.approx(1 / 3, abs=1e-6)
