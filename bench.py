@@ -74,6 +74,15 @@ HEADLINE = [
     "brand_revenue",
     "latest_events_display",
     "clean_corpus_exact_neardup",
+    "dedup_clusters",
+    "clean_corpus_clustered",
+    "benchmark_contamination",
+    "decontaminated_corpus",
+    "repetition_stats",
+    "pii_redaction",
+    "nation_trade_volume",
+    "brand_market_share",
+    "dormant_customers",
 ]
 
 

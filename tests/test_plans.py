@@ -107,3 +107,43 @@ def test_sentiment_udf_is_arrow_vectorized(spark):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_nation_trade_volume_broadcasts_nation_dims(spark):
+    df = entrymod.q_nation_trade_volume(spark, SF)
+    assert_broadcast_join(df, expected=2)
+    assert_no_python_udf(df)
+
+
+def test_brand_market_share_single_fact_pass(spark):
+    """Conditional aggregation: brand share computed in ONE pass over the
+    joined fact stream — the plan must contain exactly one lineitem scan."""
+    df = entrymod.q_brand_market_share(spark, SF)
+    plan = plan_text(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert_no_python_udf(df)
+
+
+def test_contamination_no_cartesian_and_jvm_side(spark):
+    df = entrymod.q_benchmark_contamination(spark, SF)
+    plan = plan_text(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert_no_python_udf(df)
+
+
+def test_repetition_stats_partial_aggregation(spark):
+    """The explode+count path must partial-aggregate map-side (two-phase
+    HashAggregate), not shuffle raw gram rows."""
+    df = entrymod.q_repetition_stats(spark, SF)
+    plan = plan_text(df)
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert_no_python_udf(df)
+
+
+def test_pii_redaction_stays_jvm_side(spark):
+    assert_no_python_udf(entrymod.q_pii_redaction(spark, SF))
+
+
+def test_dormant_customers_anti_join(spark):
+    plan = plan_text(entrymod.q_dormant_customers(spark, SF))
+    assert "LeftAnti" in plan, plan
