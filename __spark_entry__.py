@@ -35,6 +35,7 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.text 
     TOKEN_PATTERN,
     fingerprint_col,
     lang_id_col,
+    extract_domains_col,
     pii_count_cols,
     quality_score_cols,
     redact_pii_col,
@@ -446,6 +447,39 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 web-corpus provenance: per-domain URL counts over text with
+    deterministically planted URLs (corpus is clean words — same
+    de-vacuifying pattern as pii_redaction)."""
+    d = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" see https://site"), (d % 7).cast("string"), F.lit(".example.org/p/"), d.cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit(" http://Mirror"), (d % 5).cast("string"), F.lit(".example.net")),
+        ).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", dirty.alias("dirty"))
+    return (
+        docs.select(F.explode(extract_domains_col(F.col("dirty"))).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .orderBy(F.desc("n_urls"), F.asc("domain"))
+    )
+
+
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 sequence packing: docs laid end-to-end per source shard, cut
+    into 512-token training sequences (window cumsum, shard-partitioned)."""
+    return corpus.pack_documents(_t(spark, sf_dir, "documents"), max_tokens=512).orderBy(
+        "source", "doc_id"
+    )
+
+
 def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 exact dedup: duplicate fingerprint groups over documents."""
     return dedup.exact_duplicate_groups(_t(spark, sf_dir, "documents"))
@@ -768,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormant_customers": q_dormant_customers,
         "top_customers": q_top_customers,
         "order_priority_counts": q_order_priority_counts,
+        "url_domain_stats": q_url_domain_stats,
+        "packed_sequences": q_packed_sequences,
         "repetition_stats": q_repetition_stats,
         "pii_redaction": q_pii_redaction,
         "benchmark_contamination": q_benchmark_contamination,
@@ -1057,6 +1093,43 @@ def oracle_sql() -> dict[str, str]:
                 WHERE l_orderkey = o_orderkey AND l_discount >= 0.08
             )
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "url_domain_stats": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                                  || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                             ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN ' http://Mirror' || CAST(doc_id % 5 AS VARCHAR) || '.example.net'
+                             ELSE '' END AS dirty
+              FROM documents
+            ), ex AS (
+              SELECT lower(unnest(regexp_extract_all(dirty, 'https?://([A-Za-z0-9.-]+)', 1))) AS domain
+              FROM planted
+            )
+            SELECT domain, COUNT(*) AS n_urls FROM ex
+            GROUP BY domain ORDER BY n_urls DESC, domain ASC
+        """,
+        "packed_sequences": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(list_filter(
+                       string_split_regex(lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                       x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS seq_id,
+                   CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset
+            FROM c ORDER BY source, doc_id
         """,
         "repetition_stats": r"""
             WITH toks AS (

@@ -80,6 +80,8 @@ HEADLINE = [
     "decontaminated_corpus",
     "repetition_stats",
     "pii_redaction",
+    "url_domain_stats",
+    "packed_sequences",
     "nation_trade_volume",
     "brand_market_share",
     "dormant_customers",

@@ -124,6 +124,29 @@ def pii_count_cols(text: Column) -> dict[str, Column]:
     return counts
 
 
+# --- URL extraction ---------------------------------------------------------
+# Same Java-regex/RE2-compatible constraint as PII_RULES.
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]*)?"
+DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls_col(text: Column) -> Column:
+    """``array<string>`` of http(s) URLs found in the text."""
+    return F.regexp_extract_all(text, F.lit(URL_PATTERN), F.lit(0))
+
+
+def extract_domains_col(text: Column) -> Column:
+    """``array<string>`` of lowercased host names of the URLs in the text.
+
+    Domain frequency is the standard provenance/quality signal in web-corpus
+    curation (domain allow/deny lists, per-domain sampling caps — public
+    recipes: C4, RefinedWeb, FineWeb)."""
+    return F.transform(
+        F.regexp_extract_all(text, F.lit(DOMAIN_PATTERN), F.lit(1)),
+        lambda d: F.lower(d),
+    )
+
+
 # --- language-ID heuristic -------------------------------------------------
 # Character-class n-gram heuristic: score text against tiny per-language
 # marker sets (top function words + diacritics). Returns the argmax language

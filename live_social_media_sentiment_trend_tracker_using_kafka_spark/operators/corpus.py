@@ -116,6 +116,49 @@ def repetition_stats(
     )
 
 
+def pack_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+    max_tokens: int = 512,
+) -> DataFrame:
+    """Sequence packing: assign docs to fixed token-budget training
+    sequences (id, shard, n_tokens, seq_id, seq_offset).
+
+    The streaming-concatenation packing every LLM data loader performs
+    (public: GPT/T5 "example packing"): docs are laid end-to-end in
+    deterministic id order within each shard and cut into ``max_tokens``
+    windows — ``seq_id = floor(prefix_tokens / max_tokens)`` where
+    ``prefix_tokens`` counts all prior docs' tokens in the shard. A doc
+    straddling a boundary belongs to the sequence it starts in (documented
+    deviation from fit-entirely greedy packing, which is inherently
+    sequential and not SQL-expressible — this definition is exactly
+    reproducible by any engine).
+
+    Scale shape: one window cumsum partitioned by the shard key — shards
+    (sources, crawl segments) are the natural unit a 100 TB corpus is
+    already split by, so no global ordering is ever imposed.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(word_tokens_col(F.col(text_col))).cast("long")
+    return (
+        df.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            shard_col,
+            "n_tokens",
+            F.floor((F.col("_cum") - F.col("n_tokens")) / max_tokens).alias("seq_id"),
+            ((F.col("_cum") - F.col("n_tokens")) % max_tokens).alias("seq_offset"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -63,3 +63,29 @@ def test_stratified_sample_small_stratum_keeps_all(spark):
     df = spark.createDataFrame(docs, DOC_SCHEMA)
     got = stratified_sample(df, "lang", 10).collect()
     assert len(got) == 3
+
+
+def test_pack_documents_golden(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        pack_documents,
+    )
+
+    rows = [
+        # shard A: 3 + 4 + 2 tokens, budget 5:
+        #   doc 1 starts at 0 (seq 0), doc 2 at 3 (seq 0), doc 3 at 7 (seq 1)
+        (1, "a b c", "A"),
+        (2, "d e f g", "A"),
+        (3, "h i", "A"),
+        # shard B independent: starts again at 0
+        (4, "x y z", "B"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["doc_id"]: r
+        for r in pack_documents(df, max_tokens=5, shard_col="source").collect()
+    }
+    assert (out[1]["seq_id"], out[1]["seq_offset"]) == (0, 0)
+    assert (out[2]["seq_id"], out[2]["seq_offset"]) == (0, 3)
+    assert (out[3]["seq_id"], out[3]["seq_offset"]) == (1, 2)
+    assert (out[4]["seq_id"], out[4]["seq_offset"]) == (0, 0)
+    assert out[2]["n_tokens"] == 4

@@ -120,3 +120,20 @@ def test_repetition_stats_golden(spark):
     assert out[1]["dup_frac"] == 0.6
     assert out[1]["top_gram_share"] == 0.6  # "a b" appears 3/5
     assert out[2]["dup_frac"] == 0.0 and out[2]["top_gram_share"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_url_and_domain_extraction(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.text import (
+        extract_domains_col,
+        extract_urls_col,
+    )
+
+    text = (
+        "read https://Docs.Example.org/a/b?q=1 and http://cdn.example.net "
+        "but not ftp://old.example.com nor plain example.org"
+    )
+    urls = _one(spark, text, extract_urls_col(F.col("text")))
+    assert urls == ["https://Docs.Example.org/a/b?q=1", "http://cdn.example.net"]
+    domains = _one(spark, text, extract_domains_col(F.col("text")))
+    assert domains == ["docs.example.org", "cdn.example.net"]
+    assert _one(spark, "no links here", extract_urls_col(F.col("text"))) == []
