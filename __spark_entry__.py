@@ -65,7 +65,7 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators impor
     window_funcs,
 )
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import (
-    ensure_nanos_conf,
+    normalize_ts,
     table,
 )
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.streaming import (
@@ -514,20 +514,27 @@ def q_streaming_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trigger.AvailableNow — proves the streaming layer computes the same
     answer as the batch/oracle path (same oracle SQL as ``time_series``)."""
     path = os.path.join(sf_dir, "events.parquet")
-    ensure_nanos_conf(spark)
-    raw_schema = spark.read.parquet(path).schema
+    raw_schema = table(spark, "events", sf_dir).schema
     # The file-stream source requires a directory; glob-filter to the one table.
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks require TIMESTAMP (not NTZ): pin the session tz to UTC so
+    # the NTZ→timestamp cast is exact, window on it, and cast the bucket
+    # start back to NTZ so the output matches the timezone-free batch twin.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = normalize_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"))
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
-        .select(F.col("window.start").alias("bucket_ts"), "cnt", "avg_value")
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("bucket_ts"),
+            "cnt",
+            "avg_value",
+        )
     )
     _STREAM_SEQ[0] += 1
     name = f"stream_ts_agg_{_STREAM_SEQ[0]}"

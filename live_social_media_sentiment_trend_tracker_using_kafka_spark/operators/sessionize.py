@@ -22,6 +22,17 @@ from pyspark.sql import functions as F
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def _day(ts_col: str = "ts") -> F.Column:
+    """Day-truncate in the timezone-free domain.
+
+    ``F.date_trunc`` returns session-tz TIMESTAMP even for NTZ input — on a
+    harness session whose tz isn't UTC that shifts every bucket (observed
+    +05:30 under TZ=Asia/Kolkata). date→NTZ double cast stays wall-clock
+    pure on any session.
+    """
+    return F.col(ts_col).cast("date").cast("timestamp_ntz")
+
+
 def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gap-based sessions per user: start, event count, summed value."""
     return (
@@ -63,7 +74,7 @@ def daily_distinct_users(events: DataFrame) -> DataFrame:
     count(distinct) expands to a two-phase aggregate (partial distinct per
     partition, then merge) — no driver collection."""
     return (
-        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        events.groupBy(_day().alias("day"))
         .agg(
             F.countDistinct("user_id").alias("distinct_users"),
             F.count(F.lit(1)).alias("n_events"),
@@ -77,7 +88,7 @@ def approx_daily_distinct_users(events: DataFrame, rsd: float = 0.05) -> DataFra
     (single-pass, fixed-size sketch per group, no distinct expansion).
     Rows-only check: approximate by construction."""
     return (
-        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        events.groupBy(_day().alias("day"))
         .agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"))
         .orderBy("day")
     )
@@ -86,7 +97,7 @@ def approx_daily_distinct_users(events: DataFrame, rsd: float = 0.05) -> DataFra
 def event_type_pivot(events: DataFrame) -> DataFrame:
     """Per-day event counts pivoted to one column per event type."""
     return (
-        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        events.groupBy(_day().alias("day"))
         .pivot("event_type", EVENT_TYPES)
         .agg(F.count(F.lit(1)))
         .na.fill(0, EVENT_TYPES)

@@ -42,13 +42,10 @@ def build_session(
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Session-local timezone pinned to UTC so timestamp semantics match
-        # the DuckDB oracle regardless of host timezone.
+        # the DuckDB oracle regardless of host timezone. (events.ts itself
+        # reads as TIMESTAMP_NTZ on Spark >= 4.1 — timezone-free — but other
+        # timestamp exprs, e.g. current_timestamp, still honor this.)
         "spark.sql.session.timeZone": "UTC",
-        # The driver testdata writes events.ts as parquet TIMESTAMP(NANOS),
-        # which Spark refuses by default; read it as long and let
-        # sources.table() convert (truncate) to microsecond timestamps —
-        # the same truncation DuckDB applies.
-        "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
     if extra_conf:
         conf.update(extra_conf)

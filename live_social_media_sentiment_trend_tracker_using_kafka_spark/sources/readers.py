@@ -28,31 +28,50 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def ensure_nanos_conf(spark: SparkSession) -> None:
-    """Make TIMESTAMP(NANOS) parquet columns readable on ANY session.
+    """Legacy-Spark escape hatch for parquet TIMESTAMP(NANOS) columns.
 
-    ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime-settable SQL conf;
-    without it a plain session throws ``PARQUET_TYPE_ILLEGAL`` on
-    ``events.parquet``. Callers may hand us a session they built themselves
-    (the verify harness does), so set it defensively before every read.
+    Spark >= 4.1 reads TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ (micros
+    truncation) and *ignores* this conf. Spark 3.x refuses the type unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set, which scans it as a
+    bigint of epoch-nanos. Called only from the read-failure fallback so we
+    never mutate a caller-owned session's conf unnecessarily.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize any ``ts`` column to microsecond TIMESTAMP_NTZ.
+
+    Spark >= 4.1 already delivers TIMESTAMP_NTZ for parquet TIMESTAMP(NANOS)
+    (no-op here). On legacy Sparks reading via ``nanosAsLong`` the column
+    arrives as epoch-nano bigint: truncate with integer ``div`` (no double
+    round-trip) — the same nanos→micros truncation DuckDB applies — then
+    cast to NTZ (exact under the UTC session tz ``build_session`` pins).
+    """
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.typeName() == "long":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+    return df
 
 
 def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one driver testdata table as a DataFrame (parquet scan).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as a bigint of
-    epoch-nanos, which we truncate to a microsecond TimestampType here
-    (integer ``div`` — no double round-trip), matching DuckDB's nanos→micros
-    truncation so oracle comparisons agree.
+    Works on ANY session, including harness-supplied ones: if a legacy Spark
+    refuses TIMESTAMP(NANOS) (``PARQUET_TYPE_ILLEGAL``), retry with the
+    nanosAsLong conf and normalize back to TIMESTAMP_NTZ.
     """
-    ensure_nanos_conf(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.typeName() == "long":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception as exc:  # AnalysisException on legacy Sparks
+        if "PARQUET_TYPE_ILLEGAL" not in str(exc):
+            raise
+        ensure_nanos_conf(spark)
+        df = spark.read.parquet(path)
+    return normalize_ts(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
