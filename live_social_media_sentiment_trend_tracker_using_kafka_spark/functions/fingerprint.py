@@ -26,7 +26,7 @@ explode+groupBy — same shape as the shingle index in operators/simjoin.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 HASH_BASE = 257
@@ -85,19 +85,38 @@ def winnow_col(hashes: Column, window: int = 8) -> Column:
     return F.transform(F.array(hashes), build)[0]
 
 
+def winnow_fps_col(text: Column, k: int = 8, window: int = 8, arrow: bool = True) -> Column:
+    """Distinct winnowed fingerprints of raw text, as array<bigint>.
+
+    ``arrow=True`` (default) normalizes JVM-side and runs the rolling-hash +
+    window-min kernel Arrow-vectorized (functions/kernels.make_winnow_udf) —
+    measured ~10× over the interpreted-HOF twin, same values (parity
+    unit-tested; only intra-array order differs, and every consumer
+    explodes). ``arrow=False`` keeps the pure-Catalyst expression.
+    """
+    if arrow:
+        from .kernels import make_winnow_udf
+
+        return make_winnow_udf(k, window)(_normalize(text))
+    return winnow_col(kgram_hashes_col(text, k), window)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
     window: int = 8,
+    arrow: bool = True,
 ) -> DataFrame:
     """Exploded fingerprint table (id, fingerprint) — one row per distinct
     winnowed hash per document. The natural input to an inverted
     fingerprint index for containment/plagiarism detection."""
-    fps = winnow_col(kgram_hashes_col(F.col(text_col), k), window)
+    from ..operators.skew import fan_out
+
+    fps = winnow_fps_col(F.col(text_col), k, window, arrow)
     return (
-        df.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+        fan_out(df).select(F.col(id_col), F.explode(fps).alias("fingerprint"))
         .orderBy(id_col, "fingerprint")
     )
 
@@ -127,17 +146,29 @@ def fingerprint_containment_pairs(
     Scale shape: two shuffles (index build, pair groupBy); pair volume is
     bounded by sum over fingerprints of df², with df <= max_df.
     """
+    from ..operators.skew import fan_out
+
     fp = (
-        df.select(
+        fan_out(df).select(
             F.col(id_col),
-            F.explode(winnow_col(kgram_hashes_col(F.col(text_col), k), window)).alias(
-                "fingerprint"
-            ),
+            F.explode(winnow_fps_col(F.col(text_col), k, window)).alias("fingerprint"),
         )
     )
-    idx = fp.withColumn(
-        "fp_df", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
-    ).filter(F.col("fp_df") <= max_df)
+    # df-filter via aggregate + semi-join, NOT a count-over-window: the same
+    # shuffle on fingerprint either way, but the window adds a per-partition
+    # sort and carries every row through it; the aggregate reduces map-side
+    # and the semi-join streams.
+    rare = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("fp_df"))
+        .filter(F.col("fp_df") <= max_df)
+        .select("fingerprint")
+    )
+    # The filtered index feeds THREE consumers (sizes, both self-join sides);
+    # persist it so the winnowing pass over the text runs once, not three
+    # times. ~(len·2/(window+1)) bigint rows per doc — small relative to the
+    # corpus it indexes.
+    idx = fp.join(rare, "fingerprint", "left_semi").persist()
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = idx.alias("a"), idx.alias("b")
     shared = (

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import word_shingles_col
+from .skew import fan_out
 
 
 def frequency_sorted_shingles(
@@ -46,7 +47,7 @@ def frequency_sorted_shingles(
     (df, shingle) structs afterwards makes the array order a pure function
     of the corpus, so every downstream prefix is deterministic.
     """
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
     ex = sh.select(id_col, F.explode("shingles").alias("shingle"))

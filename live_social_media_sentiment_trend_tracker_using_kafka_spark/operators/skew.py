@@ -28,6 +28,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def fan_out(df: DataFrame, min_factor: int = 1) -> DataFrame:
+    """Guarantee enough partitions for CPU-bound per-row work.
+
+    A small local parquet file scans as ONE split, so signature/fingerprint
+    kernels (~1 ms/doc) run on a single core while 31 idle — measured 4-10×
+    of several operators' wall time at sf0.1. On any real deployment the
+    scan already has >= defaultParallelism splits and this is a NO-OP (no
+    shuffle inserted); only under-partitioned inputs get a round-robin
+    repartition. Never call it on a path that doesn't do heavy per-row
+    compute — an unconditional repartition of a 100 TB scan would be the
+    bug, which is why this is opt-in per operator and not in ``table()``.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _salt_col(salt_buckets: int, det_col: str | None) -> Column:
     if det_col is not None:
         return F.pmod(F.xxhash64(F.col(det_col)), F.lit(salt_buckets)).cast("int")

@@ -55,6 +55,17 @@ def test_analytics_paths_stay_jvm_side(spark):
         assert_no_python_udf(df)
 
 
+def test_arrow_kernels_are_vectorized_not_rowwise(spark):
+    """Kernel queries must cross into Python ONLY via ArrowEvalPython
+    (vectorized batches) — a row-at-a-time BatchEvalPython is a regression."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.plans import plan_text
+
+    for name in ("winnow_fingerprints", "cosine_near_dups", "ivf_topk"):
+        plan = plan_text(entrymod.queries()[name](spark, SF))
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" in plan, f"{name} lost its Arrow kernel:\n{plan}"
+
+
 def test_promo_revenue_broadcasts_part_and_pushes_dates(spark):
     df = entrymod.q_promo_revenue_share(spark, SF)
     assert_broadcast_join(df, expected=1)
