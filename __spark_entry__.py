@@ -59,6 +59,7 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators impor
     multimodal,
     pipeline,
     relational,
+    sampling,
     sessionize,
     similarity,
     simjoin,
@@ -784,6 +785,52 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb.filter(F.col("vec_id") != _QUERY_VEC_ID), qvec, 10)
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 training-data curation: deterministic 90/5/5 train/val/test
+    split via md5(doc_id) bucketing — stateless per-row labeling (no
+    shuffle), identical assignment on every engine/rerun, reported as the
+    per-split doc + token audit summary."""
+    return sampling.split_summary(_t(spark, sf_dir, "documents"))
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 dataset mixing: per-source BPE-token budgets filled in
+    deterministic md5 priority order (one running-sum window per source) —
+    the op that turns source weights into an actual training mixture."""
+    return sampling.token_budget_mix(
+        _t(spark, sf_dir, "documents"), budgets={"src0": 1500, "src1": 800, "src2": 300}
+    )
+
+
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 relative quality gate: keep docs at/above their LANGUAGE's
+    median quality score — per-group percentile cutoffs broadcast back, the
+    standard way corpus filters avoid wiping out whole languages."""
+    return sampling.quality_percentile_filter(_t(spark, sf_dir, "documents"), pct=0.5)
+
+
+def q_priority_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 provenance-aware exact dedup: within each exact-duplicate group
+    keep the copy from the preferred source (curated > everything), not the
+    min id. The sf corpus has no cross-source exact dups, so the query
+    plants deterministic copies — doc_id<10 re-sourced 'aaa_curated' (must
+    WIN over their originals) and 10<=doc_id<20 re-sourced 'zzz_scrape'
+    (must LOSE to their originals) — making both keep-rules non-vacuous."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    curated = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.lit("aaa_curated").alias("source"),
+        "text",
+    )
+    scraped = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.lit("zzz_scrape").alias("source"),
+        "text",
+    )
+    aug = docs.unionByName(curated).unionByName(scraped)
+    return sampling.priority_source_dedup(aug, priority=["aaa_curated"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_event_summary(spark, "/root/testdata/sf0.001")
@@ -863,6 +910,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_exact": q_clean_corpus_exact,
         "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
         "clean_corpus": q_clean_corpus,
+        "hash_split": q_hash_split,
+        "token_budget_mix": q_token_budget_mix,
+        "quality_percentile_filter": q_quality_percentile_filter,
+        "priority_source_dedup": q_priority_source_dedup,
     }
 
 
@@ -1770,6 +1821,91 @@ def oracle_sql() -> dict[str, str]:
                      JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 20
+        """,
+        # 90/5/5 md5-bucket split: boundaries 0.9*65536=58982=0xe666 and
+        # 0.95*65536=62259=0xf333, compared as 4-char hex strings (both
+        # engines emit lowercase hex md5, and hex chars sort numerically).
+        "hash_split": rf"""
+            WITH b AS (
+                SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+                            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+                            ELSE 'test' END AS split,
+                       len(regexp_extract_all(text, '{TOKEN_PATTERN}', 0)) AS n_tokens
+                FROM documents
+            )
+            SELECT split, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM b GROUP BY split ORDER BY split
+        """,
+        "token_budget_mix": rf"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       len(regexp_extract_all(text, '{TOKEN_PATTERN}', 0)) AS n_tokens
+                FROM documents WHERE source IN ('src0', 'src1', 'src2')
+            ), c AS (
+                SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                       CAST(SUM(n_tokens) OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS cum_tokens
+                FROM t
+            )
+            SELECT doc_id, source, n_tokens, cum_tokens FROM c
+            WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1500
+                                            WHEN 'src1' THEN 800
+                                            ELSE 300 END
+            ORDER BY source, doc_id
+        """,
+        "quality_percentile_filter": rf"""
+            WITH scored AS (
+                SELECT doc_id, lang,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       len(regexp_extract_all(lower(text), '{_STOPWORD_RE}', 1)) AS n_stop,
+                       len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
+                       length(text) AS n_chars
+                FROM documents
+            ), q AS (
+                SELECT doc_id, lang,
+                       LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
+                       + LEAST((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 5.0, 1.0) * 0.4
+                       + (1.0 - LEAST((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 5.0, 1.0)) * 0.2
+                       AS quality_score
+                FROM scored
+            ), cut AS (
+                SELECT lang, quantile_cont(quality_score, 0.5) AS cutoff
+                FROM q GROUP BY lang
+            )
+            SELECT q.doc_id, q.lang,
+                   ROUND(q.quality_score, 6) AS quality_score,
+                   ROUND(cut.cutoff, 6) AS cutoff
+            FROM q JOIN cut ON q.lang = cut.lang
+            WHERE q.quality_score >= cut.cutoff
+            ORDER BY q.doc_id
+        """,
+        "priority_source_dedup": r"""
+            WITH aug AS (
+                SELECT doc_id, source, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, 'aaa_curated', text FROM documents WHERE doc_id < 10
+                UNION ALL
+                SELECT doc_id + 2000000, 'zzz_scrape', text FROM documents
+                WHERE doc_id >= 10 AND doc_id < 20
+            ), fp AS (
+                SELECT doc_id, source,
+                       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+                FROM aug
+            ), ranked AS (
+                SELECT doc_id, source, fingerprint,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY fingerprint
+                           ORDER BY CASE WHEN source = 'aaa_curated' THEN 0 ELSE 1 END,
+                                    doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY fingerprint) AS dup_count
+                FROM fp
+            )
+            SELECT doc_id, source, fingerprint, dup_count
+            FROM ranked WHERE rn = 1 ORDER BY doc_id
         """,
         # ivf_topk omitted: KMeans cluster assignment is iterative —
         # rows-only check; similarity_topk is the exact oracle-checked twin

@@ -85,6 +85,10 @@ HEADLINE = [
     "nation_trade_volume",
     "brand_market_share",
     "dormant_customers",
+    "hash_split",
+    "token_budget_mix",
+    "quality_percentile_filter",
+    "priority_source_dedup",
 ]
 
 

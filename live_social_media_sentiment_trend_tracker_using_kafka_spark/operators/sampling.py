@@ -1,0 +1,210 @@
+"""Dataset selection operators for training-corpus assembly (§2.8
+extension): deterministic splits, token-budget mixing, percentile quality
+gates, and priority-source dedup.
+
+All four follow the repo's reproducibility rule for sampling-ish steps
+(see corpus.stratified_sample): any "random" choice is a pure function of
+the data via md5 — re-runs, audits, and the DuckDB oracle pick the exact
+same rows on any engine.
+
+Scale shapes:
+
+- ``hash_split``: stateless per-row labeling — no shuffle at all; the split
+  ratios hold per-partition by hash uniformity, so a 100 TB corpus splits
+  in one map pass.
+- ``token_budget_mix``: one window pass per source (shuffle on source,
+  per-key sort) — the grouping key is the handful of sources, so skew is
+  the norm; the window is a running sum, which Spark computes with a single
+  per-partition scan after the sort. For few-source corpora at extreme
+  scale, pre-aggregate per (source, md5-prefix) chunk to shard the sort.
+- ``quality_percentile_filter``: per-language exact percentile is one
+  hash aggregation (few groups) broadcast back — no second scan of text
+  (the score column is reused); swap ``F.percentile`` for
+  ``F.approx_percentile`` at scales where exact per-group sort-based
+  percentiles are too hot (documented scale path, same plan shape).
+- ``priority_source_dedup``: row_number over (fingerprint) — one shuffle
+  on the dup key, same cost as plain exact dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_col, quality_score_cols, token_count_col
+
+
+def _md5_bucket_hex(id_col: str) -> F.Column:
+    """First 4 hex chars of md5(id) — a uniform 16-bit bucket, compared AS A
+    STRING so Spark and any SQL oracle agree without hex→int conversions
+    (hex chars are 0-9 < a-f in every collation that matters)."""
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """[(label, exclusive-upper-bound-hex)] in declaration order; the last
+    label absorbs any rounding remainder."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out, cum = [], 0.0
+    for label, frac in fractions.items():
+        cum += frac
+        out.append((label, format(min(int(cum * 65536), 65536), "04x")))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: (id, split).
+
+    Buckets md5(id) into 65,536 cells and cuts at the cumulative-fraction
+    boundaries. Stateless and engine-portable: the same doc lands in the
+    same split on every run, on every engine, regardless of partitioning —
+    the property that keeps eval sets leak-free across pipeline re-runs.
+    """
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bounds = split_thresholds(fractions)
+    bucket = _md5_bucket_hex(id_col)
+    expr = None
+    for label, ub in bounds[:-1]:
+        cond = bucket < F.lit(ub)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    expr = F.lit(bounds[0][0]) if expr is None else expr.otherwise(bounds[-1][0])
+    return df.select(F.col(id_col), expr.alias("split"))
+
+
+def split_summary(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(split, n_docs, total_tokens) — the auditable split report."""
+    assigned = hash_split(df, fractions, id_col).join(
+        df.select(id_col, token_count_col(F.col(text_col)).alias("n_tokens")), id_col
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Dataset mixing: per-source token budgets, deterministically filled.
+
+    Docs within each source are ranked by (md5(id), id) — a fixed
+    pseudo-random priority — and kept while the running BPE-token total
+    stays within that source's budget (inclusive: the doc that crosses the
+    boundary is dropped). Sources absent from ``budgets`` are dropped
+    entirely. Returns (id, source, n_tokens, cum_tokens) for the kept docs.
+    """
+    budget = None
+    for src, b in budgets.items():
+        cond = F.col(source_col) == src
+        budget = F.when(cond, b) if budget is None else budget.when(cond, b)
+    budget = budget.otherwise(F.lit(None)) if budget is not None else F.lit(None)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(source_col),
+            token_count_col(F.col(text_col)).alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("__budget", budget)
+        .filter(F.col("cum_tokens") <= F.col("__budget"))
+        .drop("__budget")
+        .orderBy(source_col, id_col)
+    )
+
+
+def quality_percentile_filter(
+    df: DataFrame,
+    pct: float = 0.5,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    approx: bool = False,
+) -> DataFrame:
+    """Keep docs whose quality score clears their language's pct-percentile.
+
+    Relative (per-group) thresholds beat one global cutoff when languages
+    have different score distributions — the standard way corpus filters
+    avoid wiping out whole languages. ``approx=True`` switches to
+    ``approx_percentile`` (t-digest sketch, single-pass mergeable) — the
+    100 TB path when exact per-group percentiles get hot; same plan shape,
+    not oracle-exact.
+    """
+    q = quality_score_cols(F.col(text_col))
+    scored = df.select(
+        F.col(id_col), F.col(lang_col), q["quality_score"].alias("quality_score")
+    )
+    agg = (
+        F.percentile("quality_score", F.lit(pct))
+        if not approx
+        else F.approx_percentile("quality_score", F.lit(pct), F.lit(10000))
+    )
+    cut = scored.groupBy(lang_col).agg(agg.alias("cutoff"))
+    return (
+        scored.join(F.broadcast(cut), lang_col)
+        .filter(F.col("quality_score") >= F.col("cutoff"))
+        .select(
+            id_col,
+            lang_col,
+            F.round("quality_score", 6).alias("quality_score"),
+            F.round("cutoff", 6).alias("cutoff"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def priority_source_dedup(
+    df: DataFrame,
+    priority: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Exact dedup keeping the best-PROVENANCE copy, not the min-id one.
+
+    Within each exact-duplicate group (normalized-text fingerprint) keep the
+    doc from the earliest source in ``priority`` (unlisted sources rank
+    last), tie-broken by min id. This is how multi-crawl corpora keep the
+    curated copy (e.g. wiki) over the web scrape of the same text. Returns
+    the kept (id, source, fingerprint, dup_count).
+    """
+    rank = None
+    for i, src in enumerate(priority):
+        cond = F.col(source_col) == src
+        rank = F.when(cond, i) if rank is None else rank.when(cond, i)
+    rank = rank.otherwise(F.lit(len(priority))) if rank is not None else F.lit(0)
+    w = Window.partitionBy("fingerprint").orderBy(rank.asc(), F.col(id_col).asc())
+    cnt = Window.partitionBy("fingerprint")
+    return (
+        df.select(
+            F.col(id_col), F.col(source_col), fingerprint_col(F.col(text_col)).alias("fingerprint")
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy(id_col)
+    )
