@@ -831,6 +831,13 @@ def q_priority_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.priority_source_dedup(aug, priority=["aaa_curated"])
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 fluency scoring: per-doc mean add-one-smoothed unigram
+    log-probability estimated from the corpus itself — the SQL-expressible
+    analogue of a KenLM perplexity quality gate. Every score oracle-checked."""
+    return corpus.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_event_summary(spark, "/root/testdata/sf0.001")
@@ -914,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": q_token_budget_mix,
         "quality_percentile_filter": q_quality_percentile_filter,
         "priority_source_dedup": q_priority_source_dedup,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -1821,6 +1829,25 @@ def oracle_sql() -> dict[str, str]:
                      JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 20
+        """,
+        "unigram_logprob": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                           t -> t <> '')) AS tok
+                FROM documents
+            ), uni AS (
+                SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+            ), tot AS (
+                SELECT CAST(SUM(c) AS DOUBLE) AS n_total,
+                       CAST(COUNT(*) AS DOUBLE) AS vocab
+                FROM uni
+            )
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(ln((c + 1) / (n_total + vocab))), 6) AS avg_logprob
+            FROM toks JOIN uni USING (tok) CROSS JOIN tot
+            GROUP BY doc_id ORDER BY doc_id
         """,
         # 90/5/5 md5-bucket split: boundaries 0.9*65536=58982=0xe666 and
         # 0.95*65536=62259=0xf333, compared as 4-char hex strings (both

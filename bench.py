@@ -89,6 +89,7 @@ HEADLINE = [
     "token_budget_mix",
     "quality_percentile_filter",
     "priority_source_dedup",
+    "unigram_logprob",
 ]
 
 

@@ -182,3 +182,56 @@ def stratified_sample(
         .drop("__rn")
         .orderBy(strata_col, id_col)
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+    reuse_tokens: bool = True,
+) -> DataFrame:
+    """Per-doc mean unigram log-probability — the fluency/perplexity filter.
+
+    The corpus-level analogue of a KenLM-style perplexity gate (public
+    practice in CCNet/RefinedWeb-type pipelines): estimate add-one-smoothed
+    unigram probabilities ``(c+1)/(N+V)`` from the corpus itself, then score
+    every doc by the mean ``ln p(token)`` of its token stream (with
+    multiplicity). Gibberish/rare-token soup scores far more negative than
+    natural prose; thresholding on the score is a quality gate that needs
+    no external model — exactly expressible in SQL, so every score value is
+    oracle-checked.
+
+    Scale shape: one explode + one hash agg builds the unigram table, a
+    2-value scalar aggregate (N, V) broadcasts by value, and the token
+    stream joins the unigram table on token — the same shuffle shape as
+    tf·idf; AQE promotes the join to broadcast when the vocab fits. The
+    token stream feeds both the unigram build and the scoring join;
+    ``reuse_tokens`` persists it to keep corpus tokenization a single pass.
+    """
+    toks = df.select(F.col(id_col), F.explode(word_tokens_col(F.col(text_col))).alias("tok"))
+    if reuse_tokens:
+        toks = toks.persist()
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = uni.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    scored = (
+        toks.join(uni, "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c") + 1).cast("double")
+                        / (F.col("n_total") + F.col("vocab")).cast("double")
+                    )
+                ),
+                round_digits,
+            ).alias("avg_logprob"),
+        )
+        .orderBy(id_col)
+    )
+    return scored
