@@ -52,9 +52,17 @@ def contamination_stats(
     doc with at least one n-gram: distinct word n-grams, how many of them
     occur anywhere in the benchmark, and the fraction.
     """
-    sh = docs.select(
-        F.col(id_col), word_shingles_col(F.col(text_col), n).alias("grams")
-    ).filter(F.size("grams") > 0)
+    from .skew import fan_out
+
+    # The shingle table feeds both the probe explode and the final n_grams
+    # projection — persist so per-row shingling runs once; fan_out gives the
+    # CPU-bound shingling full parallelism on under-split local scans.
+    sh = (
+        fan_out(docs)
+        .select(F.col(id_col), word_shingles_col(F.col(text_col), n).alias("grams"))
+        .filter(F.size("grams") > 0)
+        .persist()
+    )
     cand = sh.select(id_col, F.explode("grams").alias("gram")).select(
         id_col, _gram_key(F.col("gram"), use_hash).alias("gram_key")
     )

@@ -39,7 +39,9 @@ def tfidf_top_terms(
     at least one token (docs with no tokens can't contribute terms). Ties
     broken by term ascending so output is deterministic.
     """
-    toks = df.select(
+    from .skew import fan_out
+
+    toks = fan_out(df).select(
         F.col(id_col), F.explode(word_tokens_col(F.col(text_col))).alias("term")
     )
     # tf feeds three branches (df table, N, scores) — persist so the corpus
@@ -91,7 +93,9 @@ def repetition_stats(
     Scale shape: one explode + two hash aggregations, both map-side
     combinable; no windows, no joins.
     """
-    ex = df.select(
+    from .skew import fan_out
+
+    ex = fan_out(df).select(
         F.col(id_col), F.explode(word_grams_col(F.col(text_col), n)).alias("gram")
     )
     per_gram = ex.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
@@ -209,7 +213,11 @@ def unigram_logprob_scores(
     token stream feeds both the unigram build and the scoring join;
     ``reuse_tokens`` persists it to keep corpus tokenization a single pass.
     """
-    toks = df.select(F.col(id_col), F.explode(word_tokens_col(F.col(text_col))).alias("tok"))
+    from .skew import fan_out
+
+    toks = fan_out(df).select(
+        F.col(id_col), F.explode(word_tokens_col(F.col(text_col))).alias("tok")
+    )
     if reuse_tokens:
         toks = toks.persist()
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))

@@ -76,8 +76,13 @@ def heavy_hitters(
     """
     if not 0.0 < phi <= 1.0:
         raise ValueError("phi must be in (0, 1]")
+    from .skew import fan_out
+
     k = math.ceil(1.0 / phi)
-    items = df.select(item_col)
+    # fan_out matters doubly here: the summaries are per-PARTITION, so an
+    # under-split input both serializes the pass and degrades it to one
+    # global Misra-Gries (still correct — candidates only over-generate).
+    items = fan_out(df).select(item_col)
     out_schema = T.StructType(
         [
             # nullable regardless of source: the sentinel total row is None
