@@ -148,6 +148,8 @@ def make_ivf_assign_udf(centroids: np.ndarray):
 
     @pandas_udf("int")
     def assign_cluster(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=np.int32)
         M = np.vstack(emb.to_numpy()).astype(np.float64)
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         return pd.Series((M @ C.T - half_sq).argmax(axis=1).astype(np.int32))
@@ -170,6 +172,8 @@ def make_srp_buckets_udf(planes_per_table: list[np.ndarray]):
 
     @pandas_udf("array<int>")
     def srp_buckets(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
         mat = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim)
         signs = (mat @ all_planes.T) > 0  # (n, T*P)
         signs = signs.reshape(len(mat), num_tables, planes_per)

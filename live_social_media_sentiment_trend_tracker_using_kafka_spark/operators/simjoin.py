@@ -109,8 +109,13 @@ def jaccard_similarity_join(
         .select(F.col("l.pid").alias("id_a"), F.col("r.pid").alias("id_b"))
         .distinct()
     )
-    a = sorted_docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), F.col("sz").alias("sz_a"))
-    b = sorted_docs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), F.col("sz").alias("sz_b"))
+    # Array-carrying verify sides must never broadcast (see
+    # dedup.minhash_near_duplicates — measured driver GC-thrash at 20×
+    # sf0.1 from a stale cached-size estimate); pin to sort-merge, which
+    # spills where a hash build would OOM.
+    ranked = sorted_docs.hint("merge")
+    a = ranked.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), F.col("sz").alias("sz_a"))
+    b = ranked.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), F.col("sz").alias("sz_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
     return (
