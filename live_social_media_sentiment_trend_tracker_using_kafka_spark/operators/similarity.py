@@ -64,7 +64,13 @@ def signature_col(vec_col: Column, planes: np.ndarray) -> Column:
 def with_lsh_bucket(
     df: DataFrame, dim: int, num_planes: int = 8, vec_col: str = "embedding", seed: int = 7
 ) -> DataFrame:
-    return df.withColumn("bucket", signature_col(F.col(vec_col), _hyperplanes(dim, num_planes, seed)))
+    """Attach the SRP bucket id — Arrow kernel (one matmul per batch; the
+    interpreted ``signature_col`` twin measured ~0.2 ms/row and dominated
+    full-corpus bucketing at 100k vectors)."""
+    from ..functions.kernels import make_srp_buckets_udf
+
+    srp = make_srp_buckets_udf([_hyperplanes(dim, num_planes, seed)])
+    return df.withColumn("bucket", srp(F.col(vec_col))[0])
 
 
 def lsh_topk(
@@ -87,8 +93,13 @@ def lsh_topk(
     planes = _hyperplanes(len(q), num_planes, seed)
     qsig = sum((1 << p) for p, plane in enumerate(planes) if float(np.dot(q, plane)) > 0)
     probes = [qsig] + ([qsig ^ (1 << p) for p in range(num_planes)] if multi_probe else [])
+    from ..functions.kernels import make_query_cosine_udf
+
     bucketed = with_lsh_bucket(embeddings, len(q), num_planes, vec_col, seed)
-    sim = cosine_similarity_col(F.col(vec_col), _lit_vec(q))
+    # Arrow rerank: one matmul per batch vs an interpreted fold per row —
+    # this is the rows-only scale path (the oracle-exact twin is
+    # brute_force_topk, which keeps the Catalyst cosine).
+    sim = make_query_cosine_udf(q)(F.col(vec_col))
     return (
         bucketed.filter(F.col("bucket").isin(probes))
         .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
@@ -192,8 +203,10 @@ def ivf_topk(
     q = np.asarray(query_vec, dtype=float)
     qn = q / np.linalg.norm(q)
     cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    from ..functions.kernels import make_query_cosine_udf
+
     probes = np.argsort(-(cn @ qn))[:nprobe].tolist()
-    sim = cosine_similarity_col(F.col(vec_col), _lit_vec(q))
+    sim = make_query_cosine_udf(q)(F.col(vec_col))
     return (
         assigned.filter(F.col("cluster").isin(probes))
         .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
@@ -252,14 +265,45 @@ def cosine_pairs_exact(
     )
 
 
+def srp_parameters(
+    n_rows: int, threshold: float, target_bucket: int = 8, miss_rate: float = 0.01
+) -> tuple[int, int]:
+    """(num_planes, num_tables) for OR-amplified SRP at a given corpus size.
+
+    Bucket count must GROW with the corpus: with p planes there are only 2^p
+    buckets, so fixed p makes expected bucket size n/2^p — and intra-bucket
+    candidate pairs O(n²/2^p) — quadratic as n grows (measured: the x50
+    probe exploded exactly this way). planes = ceil(log2(n/target_bucket))
+    keeps buckets ~target_bucket rows, so candidates stay ~n·target_bucket.
+    Recall per table is p_coll^planes with p_coll = 1 - arccos(threshold)/π;
+    tables = ceil(ln(miss_rate)/ln(1 - p_coll^planes)) restores overall
+    recall 1 - miss_rate — the standard OR-amplification tradeoff: table
+    count grows slowly (log in miss rate) while bucket pressure drops
+    exponentially in planes. Verify-candidate volume scales ~
+    target_bucket^0.85 · n while banding rows grow only ~target^-0.15, so
+    SMALL target buckets win: 8 (default) cut the 100k-vector verify ~5×
+    vs 64 in measurement.
+    """
+    import math
+
+    planes = max(4, min(24, math.ceil(math.log2(max(n_rows, 2) / target_bucket))))
+    p_coll = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    per_table = p_coll**planes
+    if per_table >= 1.0 - 1e-12:
+        tables = 1
+    else:
+        tables = max(1, min(32, math.ceil(math.log(miss_rate) / math.log(1.0 - per_table))))
+    return planes, tables
+
+
 def cosine_near_duplicate_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    num_planes: int = 8,
-    num_tables: int = 4,
+    num_planes: int | None = None,
+    num_tables: int | None = None,
     seed: int = 7,
 ) -> DataFrame:
     """Embedding-cosine near-dup: LSH candidates → exact cosine verify.
@@ -271,8 +315,18 @@ def cosine_near_duplicate_pairs(
     (AND-only) misses near pairs with non-trivial probability; four tables
     push the miss rate below 1e-4 at cosine ≥ 0.95. Only intra-bucket pairs
     are exactly scored — never O(n²); the banded id table is id+bucket only
-    (vectors are joined back just for the verify)."""
+    (vectors are joined back just for the verify).
+
+    ``num_planes``/``num_tables`` default to ``srp_parameters`` — sized from
+    ONE count() of the input so bucket population stays bounded as the
+    corpus grows; pass explicit values to pin a layout (e.g. when writing a
+    bucket-partitioned table for reuse)."""
     from ..functions.kernels import make_srp_buckets_udf
+
+    if num_planes is None or num_tables is None:
+        auto_planes, auto_tables = srp_parameters(embeddings.count(), threshold)
+        num_planes = num_planes or auto_planes
+        num_tables = num_tables or auto_tables
 
     # All num_tables×num_planes projections in ONE Arrow matmul per batch —
     # the interpreted-HOF twin (signature_col per table) costs ~0.4 ms/row at
@@ -297,8 +351,12 @@ def cosine_near_duplicate_pairs(
     )
     from ..functions.kernels import pair_cosine_udf
 
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    # Vector-carrying verify sides must never broadcast (same measured
+    # failure as the shingle joins in operators/dedup.py: stale size
+    # estimate -> driver GC-thrash at 50x sf0.1); sort-merge spills.
+    vecs = embeddings.hint("merge")
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     # Candidate volume is ~|buckets|·avg_bucket² pairs — verify each with the
     # Arrow pair-cosine kernel (one vectorized reduction per batch) instead
     # of an interpreted per-row HOF cosine, which dominated this operator.
