@@ -831,6 +831,17 @@ def q_priority_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.priority_source_dedup(aug, priority=["aaa_curated"])
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 ANN top-k, product-quantization variant (Jégou et al. 2011):
+    sample-fit subspace codebooks, m-byte codes, ADC table-lookup scan,
+    exact rerank of the refined set (rows-only: quantization is
+    approximate by design; recall asserted in tests/test_similarity.py,
+    exact twin is similarity_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head().embedding
+    return similarity.pq_topk(emb.filter(F.col("vec_id") != _QUERY_VEC_ID), qvec, 10)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 fluency scoring: per-doc mean add-one-smoothed unigram
     log-probability estimated from the corpus itself — the SQL-expressible
@@ -922,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile_filter": q_quality_percentile_filter,
         "priority_source_dedup": q_priority_source_dedup,
         "unigram_logprob": q_unigram_logprob,
+        "pq_topk": q_pq_topk,
     }
 
 
@@ -1934,6 +1946,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, fingerprint, dup_count
             FROM ranked WHERE rn = 1 ORDER BY doc_id
         """,
+        # pq_topk omitted: product quantization is approximate by design —
+        # rows-only check; recall vs brute force asserted in unit tests.
         # ivf_topk omitted: KMeans cluster assignment is iterative —
         # rows-only check; similarity_topk is the exact oracle-checked twin
         # and tests/test_similarity.py asserts IVF recall.

@@ -90,6 +90,7 @@ HEADLINE = [
     "quality_percentile_filter",
     "priority_source_dedup",
     "unigram_logprob",
+    "pq_topk",
 ]
 
 

@@ -205,3 +205,50 @@ def make_srp_buckets_udf(planes_per_table: list[np.ndarray]):
         return pd.Series(list(buckets))
 
     return srp_buckets
+
+
+def make_pq_encode_udf(codebooks: np.ndarray):
+    """PQ encoder (array<float> -> array<int> of m subspace codes).
+
+    ``codebooks``: (m, k, dsub) tensor in the closure. Rows L2-normalize,
+    then each subvector takes its argmin-distance centroid via the same
+    half-norm trick as the IVF assigner — m small matmuls per batch.
+    """
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = cb.shape
+    half = 0.5 * (cb**2).sum(axis=2)  # (m, k)
+
+    @pandas_udf("array<int>")
+    def pq_encode(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        M = np.vstack(emb.to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(M), m), dtype=np.int32)
+        for j in range(m):
+            sub = M[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = (sub @ cb[j].T - half[j]).argmax(1)
+        return pd.Series(list(codes))
+
+    return pq_encode
+
+
+def make_adc_udf(dist_table: np.ndarray):
+    """PQ asymmetric-distance scorer (array<int> codes -> double).
+
+    ``dist_table``: the query's (m, k) per-subspace squared-L2 table. A
+    row's distance is m table lookups summed — one fancy-index gather per
+    batch, no float math against the original vectors.
+    """
+    T = np.asarray(dist_table, dtype=np.float64)
+    m = T.shape[0]
+    rows = np.arange(m)
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        C = np.vstack(codes.to_numpy()).astype(np.int64)  # (n, m)
+        return pd.Series(T[rows, C].sum(axis=1))
+
+    return adc

@@ -368,3 +368,96 @@ def cosine_near_duplicate_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def pq_index(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    fit_sample_rows: int = 4096,
+) -> tuple[DataFrame, np.ndarray]:
+    """Product quantization index: per-subspace codebooks + compact codes.
+
+    Public method (Jégou, Douze, Schmid — "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011): split the dim into ``m`` subspaces, run
+    k-means with ``k`` centroids in each, store each vector as m small codes
+    — dim×4 bytes shrink to m bytes (k<=256), which is what makes
+    billion-vector search fit in memory at all.
+
+    Same scale split as ``ivf_index``: codebooks fit on a bounded
+    hash-ordered sample driver-side (constant cost at any corpus size),
+    encoding is one Arrow pass with the (m, k, dim/m) codebook tensor in
+    the closure. Vectors are L2-normalized before coding so ADC L2
+    distances rank like cosine.
+    """
+    from ..functions.kernels import make_pq_encode_udf
+
+    sample = (
+        embeddings.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)))
+        .limit(fit_sample_rows)
+        .collect()
+    )
+    X = np.vstack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    codebooks = np.stack(
+        [_lloyd_fit(X[:, j * dsub : (j + 1) * dsub], k, seed + j, 10) for j in range(m)]
+    )  # (m, k, dsub)
+    encode = make_pq_encode_udf(codebooks)
+    return embeddings.withColumn("pq_code", encode(F.col(vec_col))), codebooks
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    codebook_k: int = 16,
+    refine: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k via PQ asymmetric distance (ADC) + exact rerank.
+
+    ADC: precompute the query's (m, k) subspace distance table driver-side;
+    a row's approximate distance is m table lookups summed — no float math
+    against the original vector, which never needs to be read for the scan
+    (at 100 TB the codes table is the only thing scanned; original vectors
+    are fetched just for the ``refine``·k rerank). Approximate top
+    ``refine``·k by ADC, then exact cosine on that bounded set — the
+    standard accuracy recovery, keeping the result contract identical to
+    brute_force_topk up to quantization recall (rows-only check; recall
+    asserted in tests).
+    """
+    from ..functions.kernels import make_adc_udf, make_query_cosine_udf
+
+    coded, codebooks = pq_index(embeddings, m, codebook_k, vec_col, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    dsub = len(q) // m
+    # (m, k) table of squared L2 distances query-subvector vs centroids
+    dist_table = np.stack(
+        [
+            ((codebooks[j] - qn[j * dsub : (j + 1) * dsub]) ** 2).sum(1)
+            for j in range(m)
+        ]
+    )
+    adc = make_adc_udf(dist_table)
+    approx = (
+        coded.select(F.col(id_col), F.col(vec_col), adc(F.col("pq_code")).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(refine * k)
+    )
+    sim = make_query_cosine_udf(q)(F.col(vec_col))
+    return (
+        approx.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -64,3 +64,42 @@ def test_cosine_near_dups_empty_on_random(spark):
         df.filter("vec_id < 90"), threshold=0.95, dim=DIM, num_planes=6
     )
     assert out.count() == 0
+
+
+def test_pq_topk_recall_and_exactness_of_rerank(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import similarity
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import table
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    emb = table(spark, "embeddings", SF_SMOKE)
+    qvec = emb.filter(F.col("vec_id") == 0).head().embedding
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in similarity.brute_force_topk(rest, qvec, 10).collect()]
+    pq = similarity.pq_topk(rest, qvec, 10, refine=8)
+    got = [r.vec_id for r in pq.collect()]
+    # exact rerank of the refined set: whatever PQ returns must be scored
+    # identically to brute force, and recall must be solid even on random
+    # vectors (the hardest case for quantization)
+    assert len(got) == 10
+    assert exact[0] in got, "exact top-1 missed"
+    assert len(set(exact) & set(got)) >= 5, f"recall too low: {set(exact) & set(got)}"
+
+
+def test_pq_index_codes_shape(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import similarity
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import table
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    emb = table(spark, "embeddings", SF_SMOKE)
+    coded, books = similarity.pq_index(emb, m=8, k=16)
+    assert books.shape == (8, 16, 8)
+    row = coded.select("pq_code").head()
+    assert len(row.pq_code) == 8
+    assert all(0 <= c < 16 for c in row.pq_code)
+    # codes deterministic under repartition
+    again, _ = similarity.pq_index(emb.repartition(5), m=8, k=16)
+    a = {r.vec_id: list(r.pq_code) for r in coded.select("vec_id", "pq_code").collect()}
+    b = {r.vec_id: list(r.pq_code) for r in again.select("vec_id", "pq_code").collect()}
+    assert a == b
