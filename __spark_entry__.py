@@ -831,6 +831,36 @@ def q_priority_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.priority_source_dedup(aug, priority=["aaa_curated"])
 
 
+def q_streaming_dedup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup, oracle-checked end to end: the events file
+    STREAM is doubled (each row exploded twice — planted duplicates),
+    deduped with ``dropDuplicatesWithinWatermark`` (state evicted by the
+    watermark, the bounded-state shape ``dropDuplicates`` lacks), then
+    counted per day. Drained with AvailableNow; the result must equal the
+    plain batch per-day counts — proving the stateful operator actually
+    removes the planted dups and nothing else (same oracle family as
+    streaming_time_series, which covers windowed aggs)."""
+    raw_schema = table(spark, "events", sf_dir).schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = normalize_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
+    doubled = ev.select("event_id", "ts", F.explode(F.array(F.lit(1), F.lit(2))).alias("copy")).drop("copy")
+    dedup_stream = doubled.withWatermark("ts", "48 hours").dropDuplicatesWithinWatermark(["event_id"])
+    daily = (
+        dedup_stream.groupBy(F.window("ts", "1 day").getField("start").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("day").cast("timestamp_ntz").alias("day"), "n_events")
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"stream_dedup_daily_{_STREAM_SEQ[0]}"
+    out = run_available_now_to_memory(daily, spark, name, output_mode="complete")
+    return out.orderBy("day")
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 ANN top-k, product-quantization variant (Jégou et al. 2011):
     sample-fit subspace codebooks, m-byte codes, ADC table-lookup scan,
@@ -934,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_source_dedup": q_priority_source_dedup,
         "unigram_logprob": q_unigram_logprob,
         "pq_topk": q_pq_topk,
+        "streaming_dedup_daily": q_streaming_dedup_daily,
     }
 
 
@@ -1841,6 +1872,14 @@ def oracle_sql() -> dict[str, str]:
                      JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 20
+        """,
+        # Streaming stateful dedup twin: the stream plants one duplicate per
+        # event and dropDuplicatesWithinWatermark must remove exactly those,
+        # so the drained result equals the plain batch daily counts.
+        "streaming_dedup_daily": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY day ORDER BY day
         """,
         "unigram_logprob": r"""
             WITH toks AS (

@@ -91,6 +91,7 @@ HEADLINE = [
     "priority_source_dedup",
     "unigram_logprob",
     "pq_topk",
+    "streaming_dedup_daily",
 ]
 
 
