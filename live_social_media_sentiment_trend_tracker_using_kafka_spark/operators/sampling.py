@@ -50,7 +50,12 @@ def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
     out, cum = [], 0.0
     for label, frac in fractions.items():
         cum += frac
-        out.append((label, format(min(int(cum * 65536), 65536), "04x")))
+        ub = int(cum * 65536)
+        # A boundary at/above 0x10000 would be 5 hex chars and break the
+        # 4-char lexicographic compare ("ffff" > "10000"); "zzzz" sorts
+        # after every hex string, making such a cut absorb everything —
+        # only reachable when trailing fractions are ~0.
+        out.append((label, "zzzz" if ub >= 65536 else format(ub, "04x")))
     return out
 
 

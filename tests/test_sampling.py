@@ -89,3 +89,11 @@ def test_priority_source_dedup_keep_rules(spark):
     assert set(kept) == {2, 4, 6}       # curated beats web; web beats scrape
     assert kept[2].dup_count == 3
     assert kept[6].dup_count == 2
+
+
+def test_hash_split_degenerate_zero_fraction_tail(spark):
+    docs = table(spark, "documents", SF_SMOKE)
+    out = sampling.hash_split(docs, {"all": 1.0, "none": 0.0})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("all", 0) == docs.count()
+    assert counts.get("none", 0) == 0
