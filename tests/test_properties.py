@@ -101,3 +101,108 @@ def test_salted_count_matches_plain(spark, rows, buckets):
     }
     want = {(r.k, r["count"]) for r in df.groupBy("k").count().collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Winnowing guarantee: two docs sharing a normalized substring of length
+# >= k + window - 1 MUST share at least one fingerprint (Schleimer et al.
+# 2003, the algorithm's defining invariant).
+# ---------------------------------------------------------------------------
+
+_alnum = st.text(alphabet="abcdefghij0123456789", min_size=0, max_size=60)
+
+
+@given(prefix_a=_alnum, suffix_a=_alnum, prefix_b=_alnum, suffix_b=_alnum,
+       shared=st.text(alphabet="klmnopqrstuvwxyz", min_size=15, max_size=40))
+@settings(**SETTINGS)
+def test_winnow_shared_substring_guarantee(spark, prefix_a, suffix_a, prefix_b, suffix_b, shared):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.fingerprint import (
+        winnow_fingerprints,
+    )
+
+    # k=8, window=8 -> guarantee kicks in at shared length 15
+    rows = [(1, prefix_a + shared + suffix_a), (2, prefix_b + shared + suffix_b)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=8, window=8).collect()
+    a = {r.fingerprint for r in fp if r.doc_id == 1}
+    b = {r.fingerprint for r in fp if r.doc_id == 2}
+    assert a & b, f"no shared fingerprint despite {len(shared)}-char shared substring"
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimate: band-free signature agreement approximates true Jaccard.
+# ---------------------------------------------------------------------------
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@settings(**SETTINGS)
+def test_minhash_signature_estimates_jaccard(spark, seed):
+    import random
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import dedup
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(60)]
+    base = rng.sample(vocab, 40)
+    # doc2 = doc1 with ~25% of tokens swapped out
+    swapped = [w if rng.random() > 0.25 else f"x{idx}" for idx, w in enumerate(base)]
+    rows = [(1, " ".join(base)), (2, " ".join(swapped))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = df.select(
+        "doc_id", dedup.word_shingles_col(F.col("text"), 3).alias("sh"),
+        dedup.minhash_signature_col(dedup.word_shingles_col(F.col("text"), 3), 64).alias("sig"),
+    ).collect()
+    d = {r.doc_id: r for r in sh}
+    sa, sb = set(d[1].sh), set(d[2].sh)
+    true_j = len(sa & sb) / len(sa | sb)
+    est = sum(x == y for x, y in zip(d[1].sig, d[2].sig)) / 64.0
+    # 64 hashes -> stderr = sqrt(j(1-j)/64) <= 0.0625; allow 4 sigma
+    assert abs(est - true_j) <= 0.25, f"estimate {est} vs true {true_j}"
+
+
+# ---------------------------------------------------------------------------
+# Connected components vs a driver-side union-find reference.
+# ---------------------------------------------------------------------------
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=25), st.integers(min_value=0, max_value=25)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_match_union_find(spark, edges):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.cluster import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    # normalize: component label = min node of the component
+    comp_min: dict[int, int] = {}
+    for n, r in expected.items():
+        comp_min.setdefault(find(r), min(n, find(r)))
+        comp_min[find(r)] = min(comp_min[find(r)], n)
+    expected = {n: comp_min[find(n)] for n in expected}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == expected
