@@ -72,7 +72,9 @@ def clean_corpus(
 ) -> DataFrame:
     """Full cleaning chain: exact tier + MinHash-LSH near-dup removal
     (drops the larger id of every pair with Jaccard ≥ threshold)."""
-    base = clean_corpus_exact(docs, langs, min_quality)
+    # base feeds the survivors semi-join AND the final anti-join — persist
+    # so the lang/quality/dedup tier (regex-heavy) computes once.
+    base = clean_corpus_exact(docs, langs, min_quality).persist()
     survivors = docs.join(base.select("doc_id"), "doc_id", "left_semi")
     pairs = dedup.minhash_near_duplicates(survivors, threshold=near_dup_threshold)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
@@ -94,7 +96,7 @@ def clean_corpus_exact_neardup(
     """
     from .simjoin import jaccard_similarity_join
 
-    base = clean_corpus_exact(docs, langs, min_quality)
+    base = clean_corpus_exact(docs, langs, min_quality).persist()  # two consumers
     survivors = docs.join(base.select("doc_id"), "doc_id", "left_semi")
     pairs = jaccard_similarity_join(survivors, threshold=near_dup_threshold)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
