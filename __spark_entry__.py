@@ -831,6 +831,22 @@ def q_priority_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.priority_source_dedup(aug, priority=["aaa_curated"])
 
 
+def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 multimodal→dedup bridge: perceptual near-dup pairs over decoded
+    media features. Plants corrupted re-encodes (one payload byte flipped —
+    different hash, near-identical decoded stats) so the check is
+    non-vacuous; rows-only (fake decode is the stubbed contract; recall
+    asserted in tests/test_similarity.py)."""
+    media = multimodal.synthetic_media_df(spark, n=48)
+    rows = media.limit(6).collect()
+    planted = [
+        (r.media_id + 1000, r.kind, bytes([bytes(r.payload)[0] ^ 1]) + bytes(r.payload)[1:], r.meta)
+        for r in rows
+    ]
+    aug = media.unionByName(spark.createDataFrame(planted, media.schema))
+    return multimodal.media_near_duplicates(aug, threshold=0.999)
+
+
 def q_streaming_dedup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup, oracle-checked end to end: the events file
     STREAM is doubled (each row exploded twice — planted duplicates),
@@ -965,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "pq_topk": q_pq_topk,
         "streaming_dedup_daily": q_streaming_dedup_daily,
+        "media_near_dups": q_media_near_dups,
     }
 
 

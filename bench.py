@@ -92,6 +92,7 @@ HEADLINE = [
     "unigram_logprob",
     "pq_topk",
     "streaming_dedup_daily",
+    "media_near_dups",
 ]
 
 

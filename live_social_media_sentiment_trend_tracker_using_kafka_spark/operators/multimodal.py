@@ -78,15 +78,47 @@ def fake_image_decode(payload: bytes, meta: dict) -> np.ndarray:
     return np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
 
 
+def _stat_features(arr: np.ndarray, n_features: int) -> np.ndarray:
+    """Summary statistics of the decoded array (mean/std/min/max/quartiles)."""
+    qs = np.quantile(arr, [0.25, 0.5, 0.75]) if arr.size else np.zeros(3)
+    return np.array(
+        [arr.mean() if arr.size else 0.0, arr.std() if arr.size else 0.0,
+         arr.min() if arr.size else 0.0, arr.max() if arr.size else 0.0,
+         *qs, float(arr.size)],
+        dtype="float32",
+    )[:n_features]
+
+
+def block_features(arr: np.ndarray, n_features: int) -> np.ndarray:
+    """CENTERED block means — the blockhash/pHash-style perceptual signature.
+
+    Split the decoded array into n equal blocks and subtract the global mean
+    from each block mean: unrelated content gives near-orthogonal
+    fluctuation vectors (cosine ≈ 0) while re-encodes/minor corruption move
+    one block slightly (cosine ≈ 1). Plain UNcentered statistics are
+    useless for dedup — every asset's stats concentrate near one direction
+    and everything looks like a near-dup (measured: 1077 of 1431 possible
+    pairs at cosine ≥ 0.999 on random payloads).
+    """
+    if arr.size == 0:
+        return np.zeros(n_features, dtype="float32")
+    flat = arr.ravel().astype("float64")
+    blocks = np.array_split(flat, n_features)
+    means = np.array([b.mean() if b.size else 0.0 for b in blocks])
+    return (means - flat.mean()).astype("float32")
+
+
 def extract_features(
     media: DataFrame,
     decode: Callable[[bytes, dict], np.ndarray] | None = fake_image_decode,
     n_features: int = 8,
+    feature_fn: Callable[[np.ndarray, int], np.ndarray] = _stat_features,
 ) -> DataFrame:
     """Decode + feature-extract media rows via ``mapInPandas``.
 
-    Features here are simple decoded-array statistics (mean/std/quantiles) —
-    the contract a real embedding model would slot into. Partitioning is
+    ``feature_fn`` maps (decoded array, n_features) -> float32 vector:
+    default summary statistics (the contract a real embedding model slots
+    into); ``block_features`` for perceptual dedup. Partitioning is
     preserved; one Arrow batch in flight per worker.
     """
     if decode is None:
@@ -101,13 +133,7 @@ def extract_features(
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 meta_d = dict(meta) if meta is not None else {}
                 arr = decode(bytes(payload) if payload is not None else b"", meta_d).astype("float64")
-                qs = np.quantile(arr, [0.25, 0.5, 0.75]) if arr.size else np.zeros(3)
-                vec = np.array(
-                    [arr.mean() if arr.size else 0.0, arr.std() if arr.size else 0.0,
-                     arr.min() if arr.size else 0.0, arr.max() if arr.size else 0.0,
-                     *qs, float(arr.size)],
-                    dtype="float32",
-                )[:n_features]
+                vec = feature_fn(arr, n_features)
                 feats.append(vec.tolist())
                 nbytes.append(len(payload) if payload is not None else 0)
             yield pd.DataFrame(
@@ -133,4 +159,32 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         "kind",
         F.explode(idx).alias("frame_idx"),
         F.octet_length("payload").alias("payload_bytes"),
+    )
+
+
+def media_near_duplicates(
+    media: DataFrame,
+    decode: Callable[[bytes, dict], np.ndarray] | None = fake_image_decode,
+    threshold: float = 0.999,
+    n_features: int = 8,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Perceptual near-dup pairs over media payloads: decode → feature
+    vector → the SAME corpus-adaptive SRP-LSH + exact-cosine-verify path the
+    embedding tier uses (operators/similarity.py).
+
+    This is the multimodal bridge into the dedup tier: re-encoded or
+    slightly-corrupted copies of an asset keep near-identical decoded
+    statistics even when their BYTES differ entirely (so exact payload
+    hashing misses them). The decode stays a pluggable Arrow stage; at
+    100 TB the features table is the only thing the pair search touches.
+    Returns (id_a, id_b, cosine) with cosine >= threshold.
+    """
+    from .similarity import cosine_near_duplicate_pairs
+
+    feats = extract_features(media, decode, n_features, feature_fn=block_features).select(
+        F.col(id_col), F.col("features")
+    )
+    return cosine_near_duplicate_pairs(
+        feats, threshold=threshold, id_col=id_col, vec_col="features", dim=n_features
     )

@@ -103,3 +103,27 @@ def test_pq_index_codes_shape(spark):
     a = {r.vec_id: list(r.pq_code) for r in coded.select("vec_id", "pq_code").collect()}
     b = {r.vec_id: list(r.pq_code) for r in again.select("vec_id", "pq_code").collect()}
     assert a == b
+
+
+def test_media_near_duplicates_find_reencoded_copies(spark):
+    """Byte-identical copies AND 'corrupted re-encodes' (one byte flipped —
+    different payload hash, near-identical decoded statistics) must pair up;
+    unrelated media must not flood the output."""
+    import numpy as np
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import multimodal
+
+    base = multimodal.synthetic_media_df(spark, n=24)
+    rows = base.collect()
+    planted = []
+    for r in rows[:4]:
+        payload = bytes(r.payload)
+        corrupted = bytes([payload[0] ^ 1]) + payload[1:]  # new hash, ~same stats
+        planted.append((r.media_id + 1000, r.kind, corrupted, r.meta))
+    aug = base.unionByName(spark.createDataFrame(planted, base.schema))
+    pairs = multimodal.media_near_duplicates(aug, threshold=0.999).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    for r in rows[:4]:
+        assert (r.media_id, r.media_id + 1000) in got, f"missed planted pair for {r.media_id}"
+    # precision: unrelated random media must not flood the output (the
+    # uncentered-stats failure mode produced 1077 bogus pairs here)
+    assert len(got) <= 8, f"too many pairs: {len(got)}"
