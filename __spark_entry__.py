@@ -843,7 +843,11 @@ def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.media_id + 1000, r.kind, bytes([bytes(r.payload)[0] ^ 1]) + bytes(r.payload)[1:], r.meta)
         for r in rows
     ]
-    aug = media.unionByName(spark.createDataFrame(planted, media.schema))
+    # 54 rows across defaultParallelism partitions would spawn ~32 Python
+    # workers for one Arrow batch each; coalesce the toy table (real media
+    # tables keep their scan parallelism — this is query-side, not operator-
+    # side, by design).
+    aug = media.unionByName(spark.createDataFrame(planted, media.schema)).coalesce(4)
     return multimodal.media_near_duplicates(aug, threshold=0.999)
 
 

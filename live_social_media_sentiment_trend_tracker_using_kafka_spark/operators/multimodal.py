@@ -182,8 +182,13 @@ def media_near_duplicates(
     """
     from .similarity import cosine_near_duplicate_pairs
 
-    feats = extract_features(media, decode, n_features, feature_fn=block_features).select(
-        F.col(id_col), F.col("features")
+    # The pair search consumes the feature table four times (size count for
+    # the adaptive SRP parameters, banding, both verify sides) — persist so
+    # the decode/mapInPandas pass runs once, not four times.
+    feats = (
+        extract_features(media, decode, n_features, feature_fn=block_features)
+        .select(F.col(id_col), F.col("features"))
+        .persist()
     )
     return cosine_near_duplicate_pairs(
         feats, threshold=threshold, id_col=id_col, vec_col="features", dim=n_features
