@@ -108,6 +108,7 @@ def token_budget_mix(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    chunks: int = 256,
 ) -> DataFrame:
     """Dataset mixing: per-source token budgets, deterministically filled.
 
@@ -116,27 +117,55 @@ def token_budget_mix(
     stays within that source's budget (inclusive: the doc that crosses the
     boundary is dropped). Sources absent from ``budgets`` are dropped
     entirely. Returns (id, source, n_tokens, cum_tokens) for the kept docs.
+
+    Scale shape: a naive running-sum window partitioned by source sorts each
+    source's ENTIRE doc set on one reducer — sources are few, so that's a
+    handful of giant sorted partitions at corpus scale. Instead the md5
+    PREFIX shards the sort: the global priority order is (md5, id), and a
+    hex prefix is an order-preserving chunk key, so per-(source, chunk)
+    running sums plus each chunk's starting offset (a second window over the
+    |sources|·``chunks``-row totals table — tiny) reassemble the exact
+    global running sum with ``chunks``-fold sort parallelism.
     """
     budget = None
     for src, b in budgets.items():
         cond = F.col(source_col) == src
         budget = F.when(cond, b) if budget is None else budget.when(cond, b)
     budget = budget.otherwise(F.lit(None)) if budget is not None else F.lit(None)
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    # effective chunk count is 16^hex_width (nearest power of 16 >= chunks)
+    hex_width = max(1, ((max(chunks, 2) - 1).bit_length() + 3) // 4)
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("__md5"),
+    ).withColumn("__chunk", F.substring("__md5", 1, hex_width))
+    in_chunk = (
+        Window.partitionBy(source_col, "__chunk")
+        .orderBy("__md5", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        df.select(
-            F.col(id_col),
-            F.col(source_col),
-            token_count_col(F.col(text_col)).alias("n_tokens"),
+    chunk_offsets = (
+        Window.partitionBy(source_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = (
+        base.groupBy(source_col, "__chunk")
+        .agg(F.sum("n_tokens").alias("__chunk_total"))
+        .withColumn(
+            "__offset",
+            F.sum("__chunk_total").over(chunk_offsets) - F.col("__chunk_total"),
         )
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(source_col, "__chunk", "__offset")
+    )
+    return (
+        base.withColumn("__cum_in_chunk", F.sum("n_tokens").over(in_chunk))
+        .join(F.broadcast(totals), [source_col, "__chunk"])
+        .withColumn("cum_tokens", F.col("__offset") + F.col("__cum_in_chunk"))
         .withColumn("__budget", budget)
         .filter(F.col("cum_tokens") <= F.col("__budget"))
-        .drop("__budget")
+        .select(id_col, source_col, "n_tokens", "cum_tokens")
         .orderBy(source_col, id_col)
     )
 

@@ -97,3 +97,15 @@ def test_hash_split_degenerate_zero_fraction_tail(spark):
     counts = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts.get("all", 0) == docs.count()
     assert counts.get("none", 0) == 0
+
+
+def test_token_budget_mix_chunked_equals_single_window(spark):
+    """The md5-prefix-chunked running sum must reproduce the naive
+    one-window-per-source cumulative sum EXACTLY (order-preserving chunk
+    key + offsets), at any chunk granularity."""
+    docs = table(spark, "documents", SF_SMOKE)
+    budgets = {"src0": 400, "src1": 150, "src2": 999999}
+    fine = sampling.token_budget_mix(docs, budgets, chunks=256).collect()
+    coarse = sampling.token_budget_mix(docs, budgets, chunks=1).collect()
+    key = lambda rows: sorted((r.doc_id, r.source, r.n_tokens, r.cum_tokens) for r in rows)
+    assert key(fine) == key(coarse)
