@@ -31,3 +31,44 @@ def test_entry_runs_on_foreign_session(spark):
     foreign = spark.newSession()
     out = entrymod.entry(foreign)
     assert out.count() >= 0
+
+
+def test_normalize_ts_legacy_fallback_is_timezone_free(spark):
+    """The nanosAsLong fallback path (epoch-nano bigint -> NTZ) must produce
+    the same values on ANY session timezone — it exists for foreign sessions,
+    whose tz is uncontrolled (ADVICE r2: the timestamp-cast detour shifted
+    values by the zone offset on non-UTC sessions)."""
+    import datetime as dt
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import (
+        normalize_ts,
+    )
+
+    nanos = 1_700_000_123_456_789_123  # 2023-11-14T22:15:23.456789123Z
+    expect = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=nanos // 1000)
+    foreign = spark.newSession()
+    got = {}
+    for tz in ("UTC", "Asia/Kolkata", "America/New_York"):
+        foreign.conf.set("spark.sql.session.timeZone", tz)
+        df = normalize_ts(foreign.createDataFrame([(nanos,)], "ts long"))
+        assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+        got[tz] = df.head().ts
+    assert got["UTC"] == expect
+    assert got["Asia/Kolkata"] == expect
+    assert got["America/New_York"] == expect
+
+
+def test_streaming_queries_do_not_leak_session_timezone(spark):
+    """The streaming queries pin session tz to UTC for the watermark drain;
+    the pin must be scoped — a foreign session's own tz survives the call
+    (ADVICE r2: the unrestored conf.set leaked UTC into later queries)."""
+    import __spark_entry__ as entrymod
+
+    foreign = spark.newSession()
+    foreign.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    out = entrymod.q_streaming_time_series(foreign, SF_SMOKE)
+    assert out.count() > 0
+    assert foreign.conf.get("spark.sql.session.timeZone") == "Asia/Kolkata"
+    out = entrymod.q_streaming_dedup_daily(foreign, SF_SMOKE)
+    assert out.count() > 0
+    assert foreign.conf.get("spark.sql.session.timeZone") == "Asia/Kolkata"

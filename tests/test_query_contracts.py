@@ -1,0 +1,80 @@
+"""Self-validating contracts carried by the rows-only (no-oracle) queries.
+
+The driver can only record row counts for approximate operators, so each of
+those queries emits contract columns (``found_by_lsh`` / ``in_exact_topk`` /
+``planted_pair``) that make the record demonstrate recall rather than just
+"ran". These tests pin the thresholds those columns must satisfy.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from conftest import SF_SMOKE
+
+
+def test_minhash_query_recall_contract(spark):
+    rows = entrymod.q_minhash_near_dups(spark, SF_SMOKE).collect()
+    exact = [r for r in rows if r.in_exact]
+    assert exact, "exact pair set empty — contract vacuous"
+    # precision: every LSH-found pair must be in the exact set (the operator
+    # exact-verifies candidates, so a violation is a bug, not noise)
+    assert all(r.in_exact for r in rows if r.found_by_lsh)
+    # recall: banded MinHash at 8 bands x 4 rows, t=0.8 -> expected miss
+    # rate well under 10%
+    found = sum(1 for r in exact if r.found_by_lsh)
+    assert found >= 0.9 * len(exact), f"recall {found}/{len(exact)}"
+
+
+def test_ngram_query_recall_contract(spark):
+    rows = entrymod.q_ngram_jaccard_pairs(spark, SF_SMOKE).collect()
+    exact = [r for r in rows if r.in_exact]
+    assert exact
+    assert all(r.in_exact for r in rows if r.found_by_lsh)
+    found = sum(1 for r in exact if r.found_by_lsh)
+    assert found >= 0.9 * len(exact), f"recall {found}/{len(exact)}"
+
+
+def _assert_planted_twins_recovered(rows):
+    planted = {2_000_000, 2_000_001, 2_000_002}
+    got = {r.vec_id for r in rows}
+    assert planted <= got, f"ANN missed planted true neighbors: {planted - got}"
+    for r in rows:
+        if r.vec_id in planted:
+            assert r.in_exact_topk, f"planted twin {r.vec_id} not flagged in exact top-k"
+
+
+def test_lsh_topk_query_contract(spark):
+    _assert_planted_twins_recovered(entrymod.q_lsh_similarity_topk(spark, SF_SMOKE).collect())
+
+
+def test_ivf_topk_query_contract(spark):
+    _assert_planted_twins_recovered(entrymod.q_ivf_topk(spark, SF_SMOKE).collect())
+
+
+def test_pq_topk_query_contract(spark):
+    _assert_planted_twins_recovered(entrymod.q_pq_topk(spark, SF_SMOKE).collect())
+
+
+def test_cosine_near_dups_query_contract(spark):
+    rows = entrymod.q_cosine_near_dups(spark, SF_SMOKE).collect()
+    assert sum(1 for r in rows if r.planted_pair) == 8
+
+
+def test_media_near_dups_query_contract(spark):
+    rows = entrymod.q_media_near_dups(spark, SF_SMOKE).collect()
+    assert sum(1 for r in rows if r.planted_pair) == 6
+
+
+def test_queries_release_tracked_caches_between_calls(spark):
+    """The persist-with-cleanup convention: running a query through the
+    registry releases the intermediates the PREVIOUS query persisted, so a
+    long-lived session never accumulates cached blocks (ADVICE r2)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark import caching
+
+    qs = entrymod.queries()
+    qs["minhash_near_dups"](spark, SF_SMOKE).count()  # persists signatures/index
+    assert len(caching._TRACKED) > 0
+    qs["global_stats"](spark, SF_SMOKE).count()  # wrapper releases them first
+    # only caches persisted by global_stats itself (none) may remain
+    assert len(caching._TRACKED) == 0
+    caching.release_all()
