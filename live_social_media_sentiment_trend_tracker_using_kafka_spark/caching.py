@@ -1,0 +1,47 @@
+"""Persist-with-cleanup convention for operator intermediates.
+
+Several operators persist an intermediate that feeds multiple plan branches
+(MinHash signatures, the SRP banded table, prefix-filter indexes, cleaning
+tiers, ...). The persist is load-bearing — it is the difference between one
+and N full passes over corpus-sized data — but a bare ``df.persist()`` has
+no owner: in a long-lived session running many queries the cached blocks
+accumulate and only LRU eviction bounds executor memory.
+
+Convention: operators call :func:`tracked_persist` instead of
+``DataFrame.persist``; anything that runs many queries against one session
+(the driver entrypoint wraps every ``queries()`` callable, ``bench.py``,
+notebook users) calls :func:`release_all` between queries. Unpersisting is
+always correctness-safe — a released plan silently recomputes — so the
+worst case of a missed release stays "slower", never "wrong".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` (default level) + registration for later release."""
+    df = df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_all() -> int:
+    """Unpersist every tracked intermediate; returns how many were released.
+
+    Safe to call at any time: consumers of an unpersisted DataFrame
+    recompute its lineage instead of failing.
+    """
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            # session already stopped — nothing left to release
+            pass
+    return n

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..caching import tracked_persist
 
 HASH_BASE = 257
 HASH_MOD = 1_000_000_007
@@ -168,7 +169,7 @@ def fingerprint_containment_pairs(
     # persist it so the winnowing pass over the text runs once, not three
     # times. ~(len·2/(window+1)) bigint rows per doc — small relative to the
     # corpus it indexes.
-    idx = fp.join(rare, "fingerprint", "left_semi").persist()
+    idx = tracked_persist(fp.join(rare, "fingerprint", "left_semi"))
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = idx.alias("a"), idx.alias("b")
     shared = (

@@ -43,6 +43,41 @@ _WEIGHTS = (np.int64(1) << _SHIFTS).astype(np.int64)
 _CACHE: dict = {}
 
 
+def _stack_vectors(series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(matrix, valid_mask) from an Arrow batch of array columns.
+
+    Fast path: one ``np.vstack`` when every row is a well-formed equal-length
+    array (the overwhelmingly common case — no per-row Python work beyond
+    what vstack itself does). Null or ragged rows — which made the raw
+    vstack kernels die with an opaque traceback while their Catalyst twins
+    were null-tolerant — fall back to a guarded fill: invalid rows become
+    zero rows and are reported in the mask so callers can pick the
+    null-semantics their Catalyst twin has (zero-norm -> score 0.0, etc.).
+    """
+    vals = series.to_numpy()
+    try:
+        M = np.vstack(vals).astype(np.float64)
+        if M.ndim == 2:
+            return M, np.ones(len(vals), dtype=bool)
+    except (ValueError, TypeError):
+        pass
+    mask = np.zeros(len(vals), dtype=bool)
+    dim = 0
+    for v in vals:
+        if v is not None and len(v) > 0:
+            dim = len(v)
+            break
+    M = np.zeros((len(vals), max(dim, 1)), dtype=np.float64)
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        if a.shape == (M.shape[1],):
+            M[i] = a
+            mask[i] = True
+    return M, mask
+
+
 def simhash_udf():
     """SimHash (bigint) from a per-doc array of signed-64 token hashes.
 
@@ -56,7 +91,9 @@ def simhash_udf():
 
     @pandas_udf("long")
     def simhash_from_hashes(hashes: pd.Series) -> pd.Series:
-        lengths = hashes.map(len).to_numpy(dtype=np.int64)
+        # null token arrays hash like empty ones (simhash 0) instead of
+        # crashing the batch — parity with the null-tolerant Catalyst twin
+        lengths = hashes.map(lambda h: 0 if h is None else len(h)).to_numpy(dtype=np.int64)
         out = np.zeros(len(hashes), dtype=np.int64)
         nonempty = lengths > 0
         if nonempty.any():
@@ -124,11 +161,14 @@ def pair_cosine_udf():
     def pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(a) == 0:
             return pd.Series(np.empty(0, dtype=np.float64))
-        ma = np.vstack(a.to_numpy()).astype(np.float64)
-        mb = np.vstack(b.to_numpy()).astype(np.float64)
+        ma, va = _stack_vectors(a)
+        mb, vb = _stack_vectors(b)
+        if ma.shape[1] != mb.shape[1]:  # all-null side degenerated to dim 1
+            return pd.Series(np.zeros(len(a), dtype=np.float64))
         dots = np.einsum("ij,ij->i", ma, mb)
         denom = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        out = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0)
+        valid = va & vb & (denom > 0)
+        out = np.where(valid, dots / np.where(denom > 0, denom, 1.0), 0.0)
         return pd.Series(out)
 
     _CACHE["pair_cosine"] = pair_cosine
@@ -151,10 +191,13 @@ def make_query_cosine_udf(query_vec: np.ndarray):
     def query_cosine(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series(np.empty(0, dtype=np.float64))
-        M = np.vstack(emb.to_numpy()).astype(np.float64)
+        M, valid = _stack_vectors(emb)
+        if M.shape[1] != q.size:  # all-null batch degenerated to dim 1
+            return pd.Series(np.zeros(len(emb), dtype=np.float64))
         denom = np.linalg.norm(M, axis=1) * qn
         dots = M @ q
-        return pd.Series(np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0))
+        ok = valid & (denom > 0)
+        return pd.Series(np.where(ok, dots / np.where(denom > 0, denom, 1.0), 0.0))
 
     return query_cosine
 
@@ -174,7 +217,9 @@ def make_ivf_assign_udf(centroids: np.ndarray):
     def assign_cluster(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype=np.int32)
-        M = np.vstack(emb.to_numpy()).astype(np.float64)
+        M, _ = _stack_vectors(emb)  # null rows -> zero vector -> deterministic
+        if M.shape[1] != C.shape[1]:
+            return pd.Series(np.zeros(len(emb), dtype=np.int32))
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         return pd.Series((M @ C.T - half_sq).argmax(axis=1).astype(np.int32))
 
@@ -198,7 +243,9 @@ def make_srp_buckets_udf(planes_per_table: list[np.ndarray]):
     def srp_buckets(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype=object)
-        mat = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        mat, _ = _stack_vectors(emb)  # null rows -> zero vector -> bucket 0
+        if mat.shape[1] != all_planes.shape[1]:
+            mat = np.zeros((len(emb), all_planes.shape[1]))
         signs = (mat @ all_planes.T) > 0  # (n, T*P)
         signs = signs.reshape(len(mat), num_tables, planes_per)
         buckets = (signs * bit_weights).sum(axis=2).astype(np.int32)  # (n, T)
@@ -222,7 +269,9 @@ def make_pq_encode_udf(codebooks: np.ndarray):
     def pq_encode(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype=object)
-        M = np.vstack(emb.to_numpy()).astype(np.float64)
+        M, _ = _stack_vectors(emb)  # null rows -> zero vector -> deterministic codes
+        if M.shape[1] != m * dsub:
+            M = np.zeros((len(emb), m * dsub))
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         codes = np.empty((len(M), m), dtype=np.int32)
         for j in range(m):
@@ -248,7 +297,11 @@ def make_adc_udf(dist_table: np.ndarray):
     def adc(codes: pd.Series) -> pd.Series:
         if len(codes) == 0:
             return pd.Series(np.empty(0, dtype=np.float64))
-        C = np.vstack(codes.to_numpy()).astype(np.int64)  # (n, m)
-        return pd.Series(T[rows, C].sum(axis=1))
+        C, valid = _stack_vectors(codes)  # (n, m)
+        if C.shape[1] != m:
+            return pd.Series(np.full(len(codes), np.inf))
+        dists = T[rows, C.astype(np.int64)].sum(axis=1)
+        # null/ragged code rows can never win the top-k
+        return pd.Series(np.where(valid, dists, np.inf))
 
     return adc

@@ -84,13 +84,11 @@ NEG_WORDS = [
 ]
 
 
-def score_text(text: str | None) -> float:
-    """Deterministic compound score in [-1, 1]; None/empty/error → 0.0
-    (reference semantics: spark_streaming_job.py:17-25)."""
-    if _VADER is not None:
-        if text is None or text.strip() == "":
-            return 0.0
-        return float(_VADER.polarity_scores(text)["compound"])
+def vendored_score_text(text: str | None) -> float:
+    """The vendored-lexicon compound scorer — always available, always the
+    same values, regardless of whether vaderSentiment is importable (so
+    golden tests exercise THIS path explicitly even on images that ship the
+    real package)."""
     if text is None or not text.strip():
         return 0.0
     tokens = [t.strip("#").strip(".,!?;:'\"()[]") for t in text.lower().split()]
@@ -104,6 +102,17 @@ def score_text(text: str | None) -> float:
     if s == 0.0:
         return 0.0
     return s / math.sqrt(s * s + _ALPHA)
+
+
+def score_text(text: str | None) -> float:
+    """Deterministic compound score in [-1, 1]; None/empty/error → 0.0
+    (reference semantics: spark_streaming_job.py:17-25). Prefers the real
+    VADER when importable; falls back to the vendored lexicon scorer."""
+    if _VADER is not None:
+        if text is None or text.strip() == "":
+            return 0.0
+        return float(_VADER.polarity_scores(text)["compound"])
+    return vendored_score_text(text)
 
 
 def _score_series(texts: pd.Series) -> pd.Series:

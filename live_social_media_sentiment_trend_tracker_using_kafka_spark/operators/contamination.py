@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import word_shingles_col
+from ..caching import tracked_persist
 
 
 def _gram_key(gram: Column, use_hash: bool) -> Column:
@@ -57,11 +58,10 @@ def contamination_stats(
     # The shingle table feeds both the probe explode and the final n_grams
     # projection — persist so per-row shingling runs once; fan_out gives the
     # CPU-bound shingling full parallelism on under-split local scans.
-    sh = (
+    sh = tracked_persist(
         fan_out(docs)
         .select(F.col(id_col), word_shingles_col(F.col(text_col), n).alias("grams"))
         .filter(F.size("grams") > 0)
-        .persist()
     )
     cand = sh.select(id_col, F.explode("grams").alias("gram")).select(
         id_col, _gram_key(F.col("gram"), use_hash).alias("gram_key")

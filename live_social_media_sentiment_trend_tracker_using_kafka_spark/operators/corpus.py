@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import word_grams_col, word_tokens_col
+from ..caching import tracked_persist
 
 
 def tfidf_top_terms(
@@ -49,7 +50,7 @@ def tfidf_top_terms(
     # reuse_tf=False for callers managing caching externally.
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     if reuse_tf:
-        tf = tf.persist()
+        tf = tracked_persist(tf)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.agg(F.countDistinct(id_col).alias("_n_docs"))  # stays in-plan
     scored = (
@@ -219,7 +220,7 @@ def unigram_logprob_scores(
         F.col(id_col), F.explode(word_tokens_col(F.col(text_col))).alias("tok")
     )
     if reuse_tokens:
-        toks = toks.persist()
+        toks = tracked_persist(toks)
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     totals = uni.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("vocab")

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_col
+from ..caching import tracked_persist
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -212,7 +213,7 @@ def minhash_near_duplicates(
         .select(id_col, "shingles", "minhash")
     )
     if reuse_signatures:
-        sigs = sigs.persist()
+        sigs = tracked_persist(sigs)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     # The verify sides carry full shingle ARRAYS — data-sized, growing with
     # the corpus. Pin them to sort-merge joins: measured at 20× sf0.1 the
@@ -399,7 +400,7 @@ def simhash_near_duplicates(
     """
     sh = simhash_signatures(df, text_col, id_col, arrow)
     if reuse_signatures:
-        sh = sh.persist()
+        sh = tracked_persist(sh)
     return (
         simhash_candidate_pairs(sh, id_col, max_hamming, blocks)
         .filter(F.col("hamming") <= max_hamming)

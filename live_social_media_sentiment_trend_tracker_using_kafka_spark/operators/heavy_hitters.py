@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from ..caching import tracked_persist
 
 
 def _misra_gries_partial(k: int, col: str):
@@ -91,7 +92,7 @@ def heavy_hitters(
         ]
     )
     summary = items.mapInPandas(_misra_gries_partial(k, item_col), schema=out_schema)
-    summary = summary.persist()  # <= (k+1) rows per partition
+    summary = tracked_persist(summary)  # <= (k+1) rows per partition
     totals = summary.agg(F.sum("_n").alias("_total"))
     candidates = summary.filter(F.col(item_col).isNotNull()).select(item_col).distinct()
     return (

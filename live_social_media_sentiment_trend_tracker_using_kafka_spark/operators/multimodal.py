@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from ..caching import tracked_persist
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -185,10 +186,9 @@ def media_near_duplicates(
     # The pair search consumes the feature table four times (size count for
     # the adaptive SRP parameters, banding, both verify sides) — persist so
     # the decode/mapInPandas pass runs once, not four times.
-    feats = (
+    feats = tracked_persist(
         extract_features(media, decode, n_features, feature_fn=block_features)
         .select(F.col(id_col), F.col("features"))
-        .persist()
     )
     return cosine_near_duplicate_pairs(
         feats, threshold=threshold, id_col=id_col, vec_col="features", dim=n_features

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import quality_score_cols
 from . import dedup
+from ..caching import tracked_persist
 
 
 def filter_by_language(docs: DataFrame, langs: list[str], lang_col: str = "lang") -> DataFrame:
@@ -74,7 +75,7 @@ def clean_corpus(
     (drops the larger id of every pair with Jaccard ≥ threshold)."""
     # base feeds the survivors semi-join AND the final anti-join — persist
     # so the lang/quality/dedup tier (regex-heavy) computes once.
-    base = clean_corpus_exact(docs, langs, min_quality).persist()
+    base = tracked_persist(clean_corpus_exact(docs, langs, min_quality))
     survivors = docs.join(base.select("doc_id"), "doc_id", "left_semi")
     pairs = dedup.minhash_near_duplicates(survivors, threshold=near_dup_threshold)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
@@ -96,7 +97,7 @@ def clean_corpus_exact_neardup(
     """
     from .simjoin import jaccard_similarity_join
 
-    base = clean_corpus_exact(docs, langs, min_quality).persist()  # two consumers
+    base = tracked_persist(clean_corpus_exact(docs, langs, min_quality))  # two consumers
     survivors = docs.join(base.select("doc_id"), "doc_id", "left_semi")
     pairs = jaccard_similarity_join(survivors, threshold=near_dup_threshold)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity_col, dot_col
+from ..caching import tracked_persist
 
 
 def _lit_vec(vec) -> Column:
@@ -305,6 +306,7 @@ def cosine_near_duplicate_pairs(
     num_planes: int | None = None,
     num_tables: int | None = None,
     seed: int = 7,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: LSH candidates → exact cosine verify.
 
@@ -320,13 +322,17 @@ def cosine_near_duplicate_pairs(
     ``num_planes``/``num_tables`` default to ``srp_parameters`` — sized from
     ONE count() of the input so bucket population stays bounded as the
     corpus grows; pass explicit values to pin a layout (e.g. when writing a
-    bucket-partitioned table for reuse)."""
+    bucket-partitioned table for reuse), or ``n_rows_hint`` to skip the
+    sizing scan when the caller already knows the corpus size."""
     from ..functions.kernels import make_srp_buckets_udf
 
     if num_planes is None or num_tables is None:
-        auto_planes, auto_tables = srp_parameters(embeddings.count(), threshold)
-        num_planes = num_planes or auto_planes
-        num_tables = num_tables or auto_tables
+        n = n_rows_hint if n_rows_hint is not None else embeddings.count()
+        auto_planes, auto_tables = srp_parameters(n, threshold)
+        if num_planes is None:
+            num_planes = auto_planes
+        if num_tables is None:
+            num_tables = auto_tables
 
     # All num_tables×num_planes projections in ONE Arrow matmul per batch —
     # the interpreted-HOF twin (signature_col per table) costs ~0.4 ms/row at
@@ -335,9 +341,11 @@ def cosine_near_duplicate_pairs(
     from .skew import fan_out
 
     srp = make_srp_buckets_udf([_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)])
-    banded = fan_out(embeddings).select(
-        F.col(id_col), F.posexplode(srp(F.col(vec_col))).alias("tbl", "bucket")
-    ).persist()  # consumed by both self-join sides: one signature pass, not two
+    banded = tracked_persist(
+        fan_out(embeddings).select(
+            F.col(id_col), F.posexplode(srp(F.col(vec_col))).alias("tbl", "bucket")
+        )
+    )  # consumed by both self-join sides: one signature pass, not two
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(

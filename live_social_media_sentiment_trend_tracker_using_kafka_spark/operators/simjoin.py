@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from .dedup import word_shingles_col
 from .skew import fan_out
+from ..caching import tracked_persist
 
 
 def frequency_sorted_shingles(
@@ -89,7 +90,7 @@ def jaccard_similarity_join(
         raise ValueError("threshold must be in (0, 1]")
     sorted_docs = frequency_sorted_shingles(df, text_col, id_col, n)
     if reuse_index:
-        sorted_docs = sorted_docs.persist()
+        sorted_docs = tracked_persist(sorted_docs)
     pref_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
     prefixes = sorted_docs.select(
         F.col(id_col).alias("pid"),

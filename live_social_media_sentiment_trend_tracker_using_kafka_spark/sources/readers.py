@@ -46,12 +46,21 @@ def normalize_ts(df: DataFrame) -> DataFrame:
     (no-op here). On legacy Sparks reading via ``nanosAsLong`` the column
     arrives as epoch-nano bigint: truncate with integer ``div`` (no double
     round-trip) — the same nanos→micros truncation DuckDB applies — then
-    cast to NTZ (exact under the UTC session tz ``build_session`` pins).
+    build the NTZ value with TZ-FREE arithmetic: NTZ epoch + exact decimal
+    day-time interval. (The earlier ``timestamp_micros(...).cast(ntz)``
+    detour renders through the session timezone, and this fallback exists
+    precisely for foreign sessions whose tz is uncontrolled — a non-UTC
+    session shifted every value by its zone offset.)
     """
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.typeName() == "long":
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+                "ts",
+                F.expr(
+                    "cast('1970-01-01 00:00:00' as timestamp_ntz)"
+                    " + make_dt_interval(0, 0, 0,"
+                    " cast(ts div 1000 as decimal(26,6)) / 1000000)"
+                ),
             )
     return df
 
@@ -114,6 +123,28 @@ def posts_file_stream(spark: SparkSession, path: str, max_files_per_trigger: int
     )
 
 
+def kafka_source_options(
+    topic: str = "social-media-posts",
+    bootstrap_servers: str = "localhost:9092",
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = 100,
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """The exact option dict handed to the Kafka source — factored out so the
+    passthrough contract is unit-testable without a broker or the
+    spark-sql-kafka jar (reference: consumer/spark_streaming_job.py:110-118).
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_stream(
     spark: SparkSession,
     topic: str = "social-media-posts",
@@ -126,18 +157,13 @@ def kafka_stream(
 
     Requires the spark-sql-kafka connector on the classpath; the local test
     container does not ship it, so tests use ``posts_file_stream`` — the
-    downstream operator chain is identical either way.
+    downstream operator chain is identical either way — and pin the option
+    dict via ``kafka_source_options``.
     """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+    opts = kafka_source_options(
+        topic, bootstrap_servers, starting_offsets, max_offsets_per_trigger, fail_on_data_loss
     )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    return reader.load()
+    return spark.readStream.format("kafka").options(**opts).load()
 
 
 def decode_json_value(kafka_df: DataFrame) -> DataFrame:
@@ -154,6 +180,19 @@ def decode_json_value(kafka_df: DataFrame) -> DataFrame:
     )
 
 
+def kafka_sink_options(
+    topic: str,
+    bootstrap_servers: str = "localhost:9092",
+    checkpoint: str | None = None,
+) -> dict[str, str]:
+    """Option dict for the Kafka sink — unit-testable passthrough contract
+    (reference: producer/kafka_producer.py:82-87)."""
+    opts = {"kafka.bootstrap.servers": bootstrap_servers, "topic": topic}
+    if checkpoint:
+        opts["checkpointLocation"] = checkpoint
+    return opts
+
+
 def write_kafka(
     df: DataFrame,
     topic: str,
@@ -165,17 +204,10 @@ def write_kafka(
     producer/kafka_producer.py:14-15,82)."""
     out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
     if out.isStreaming:
-        writer = (
-            out.writeStream.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers)
-            .option("topic", topic)
-        )
-        if checkpoint:
-            writer = writer.option("checkpointLocation", checkpoint)
-        return writer.start()
+        opts = kafka_sink_options(topic, bootstrap_servers, checkpoint)
+        return out.writeStream.format("kafka").options(**opts).start()
     return (
         out.write.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
+        .options(**kafka_sink_options(topic, bootstrap_servers))
         .save()
     )

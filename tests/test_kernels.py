@@ -80,3 +80,50 @@ def test_srp_buckets_match_signature_col(spark):
     rows = both.collect()
     for r in rows:
         assert list(r.arrow) == [r.t0, r.t1, r.t2, r.t3], f"vec {r.vec_id}"
+
+
+def test_kernels_tolerate_null_and_ragged_rows(spark):
+    """A single null (or wrong-length) embedding row must not crash the Arrow
+    kernels (ADVICE r2: np.vstack died with an opaque traceback where the
+    Catalyst twins were null-tolerant). Null rows take the twin's semantics:
+    cosine scores 0.0, buckets/codes are the zero-vector's, ADC can't win."""
+    import numpy as np
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.kernels import (
+        make_query_cosine_udf,
+        make_srp_buckets_udf,
+        pair_cosine_udf,
+        simhash_udf,
+    )
+
+    q = np.ones(4)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, None),
+        (2, [1.0, 1.0]),  # ragged
+        (3, [1.0, 1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>").coalesce(1)
+    got = {
+        r.vec_id: r.c
+        for r in df.select("vec_id", make_query_cosine_udf(q)(F.col("embedding")).alias("c")).collect()
+    }
+    assert abs(got[0] - 0.5) < 1e-9
+    assert got[1] == 0.0 and got[2] == 0.0
+    assert abs(got[3] - 1.0) < 1e-9
+
+    pc = df.alias("a").crossJoin(df.alias("b")).select(
+        pair_cosine_udf()(F.col("a.embedding"), F.col("b.embedding")).alias("c")
+    )
+    vals = [r.c for r in pc.collect()]
+    assert len(vals) == 16 and all(v is not None for v in vals)
+
+    srp = make_srp_buckets_udf([np.ones((3, 4))])
+    bks = {r.vec_id: list(r.b) for r in df.select("vec_id", srp(F.col("embedding")).alias("b")).collect()}
+    assert bks[1] == [0] and bks[2] == [0]  # zero-vector bucket
+    assert bks[3] == [7]  # all-positive dots
+
+    hdf = spark.createDataFrame(
+        [(0, [1, 2, 3]), (1, None), (2, [])], "doc_id int, h array<long>"
+    ).coalesce(1)
+    sh = {r.doc_id: r.s for r in hdf.select("doc_id", simhash_udf()(F.col("h")).alias("s")).collect()}
+    assert sh[1] == 0 and sh[2] == 0

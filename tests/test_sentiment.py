@@ -14,29 +14,37 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.senti
     sentiment_label_col,
 )
 
+GOLDEN = [
+    ("I love this product", 0.6369499429264264),        # love=3.2
+    ("do not love", -0.5216387489026343),               # negation flip -0.74
+    ("terrible bug", -0.7579367289598671),              # -2.9 + -1.6
+    ("#great day", 0.6248933269389457),                 # hashtag stripped
+    ("love terrible", 0.07722832842765427),             # 3.2 - 2.9
+    ("never love", -0.6561996159251343),                # never scores AND negates
+    ("nothing to see", 0.0),
+    ("", 0.0),
+    (None, 0.0),
+    ("   ", 0.0),
+]
+
 fallback_only = pytest.mark.skipif(
     sentiment._VADER is not None, reason="real vaderSentiment installed; goldens target the fallback"
 )
 
 
 @fallback_only
-@pytest.mark.parametrize(
-    "text,expected",
-    [
-        ("I love this product", 0.6369499429264264),        # love=3.2
-        ("do not love", -0.5216387489026343),               # negation flip -0.74
-        ("terrible bug", -0.7579367289598671),              # -2.9 + -1.6
-        ("#great day", 0.6248933269389457),                 # hashtag stripped
-        ("love terrible", 0.07722832842765427),             # 3.2 - 2.9
-        ("never love", -0.6561996159251343),                # never scores AND negates
-        ("nothing to see", 0.0),
-        ("", 0.0),
-        (None, 0.0),
-        ("   ", 0.0),
-    ],
-)
+@pytest.mark.parametrize("text,expected", GOLDEN)
 def test_score_text_golden(text, expected):
     assert score_text(text) == pytest.approx(expected, abs=1e-12)
+
+
+@pytest.mark.parametrize("text,expected", GOLDEN)
+def test_vendored_scorer_golden_regardless_of_vader(text, expected):
+    """Dual-path guard: the vendored scorer keeps its golden values even on
+    an image that ships the real vaderSentiment (where score_text dispatches
+    to VADER and the test above is skipped) — both code paths stay exercised
+    in one run."""
+    assert sentiment.vendored_score_text(text) == pytest.approx(expected, abs=1e-12)
 
 
 def test_score_bounds_and_sign():

@@ -309,3 +309,36 @@ def test_stop_all_streams_idempotent(spark, posts_dir):
     assert stop_all_streams(spark) >= 1
     assert not spark.streams.active
     assert stop_all_streams(spark) == 0
+
+
+def test_kafka_option_passthrough_contract():
+    """S1/S2/T5 contract, broker-free: the exact option dicts handed to the
+    Kafka source/sink must carry the reference's knobs with Spark's expected
+    key spellings and string encodings (consumer/spark_streaming_job.py:110-118,
+    producer/kafka_producer.py:82-87). The sandbox ships no broker or
+    spark-sql-kafka jar, so this pins the passthrough layer itself."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import (
+        kafka_sink_options,
+        kafka_source_options,
+    )
+
+    assert kafka_source_options() == {
+        "kafka.bootstrap.servers": "localhost:9092",
+        "subscribe": "social-media-posts",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "100",
+    }
+    # None disables the throttle; booleans lower-case like Spark expects
+    opts = kafka_source_options(
+        topic="t", bootstrap_servers="b:9", starting_offsets="earliest",
+        max_offsets_per_trigger=None, fail_on_data_loss=True,
+    )
+    assert "maxOffsetsPerTrigger" not in opts
+    assert opts["failOnDataLoss"] == "true"
+    assert opts["startingOffsets"] == "earliest"
+    assert kafka_sink_options("out", checkpoint="/tmp/ckpt") == {
+        "kafka.bootstrap.servers": "localhost:9092",
+        "topic": "out",
+        "checkpointLocation": "/tmp/ckpt",
+    }
