@@ -1017,6 +1017,36 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_exact_topk_flag(similarity.pq_topk(base, qvec, 10), base, qvec, 10)
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 fluency scoring, order-sensitive tier: per-doc mean add-one
+    bigram log-probability from the corpus-self model — catches shuffled
+    word-salad a unigram gate passes. Every score oracle-checked."""
+    return corpus.bigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_semantic_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 SemDeDup-style semantic near-dup pairs: k-means partition of the
+    embedding space, exact cosine pairs within clusters only (rows-only —
+    the k-means fit is iterative, not SQL-expressible).
+
+    Same plant-and-flag contract as cosine_near_dups: 8 scaled twins
+    (direction-identical → same cluster under the normalized assignment →
+    cosine 1.0 pair) MUST all surface; random testdata vectors are
+    near-orthogonal, so planted_pair=true rows are the entire expected
+    output. tests/test_query_contracts.py asserts the count and that
+    ``semantic_dedup`` drops exactly the twin ids."""
+    emb = _t(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.8)).alias("embedding"),
+    )
+    planted = emb.select("vec_id", "embedding").unionByName(twins)
+    pairs = similarity.semantic_near_duplicate_pairs(planted, threshold=0.95, n_clusters=16)
+    return pairs.withColumn(
+        "planted_pair", (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") < 8)
+    )
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 fluency scoring: per-doc mean add-one-smoothed unigram
     log-probability estimated from the corpus itself — the SQL-expressible
@@ -1068,6 +1098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": q_customer_order_distribution,
         "promo_revenue_share": q_promo_revenue_share,
         "large_orders": q_large_orders,
+        # -- new in r3 ------------------------------------------------------
+        "bigram_logprob": q_bigram_logprob,
+        "semantic_near_dups": q_semantic_near_dups,
         # -- tier 2: rows-only, never in a driver window --------------------
         "cosine_near_dups": q_cosine_near_dups,
         "lsh_similarity_topk": q_lsh_similarity_topk,
@@ -2050,6 +2083,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                    COUNT(*) AS n_events
             FROM events GROUP BY day ORDER BY day
+        """,
+        # Word bigrams WITH multiplicity, same tokenization as the Spark
+        # side's word_grams_col(n=2): inclusive slice t[i:i+1] = 2 tokens,
+        # short docs yield their truncated gram, token-less docs none.
+        "bigram_logprob": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                           t -> t <> '') AS t
+                FROM documents
+            ), gr AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           list_transform(range(1, greatest(len(t) - 2, 0) + 2),
+                                          i -> array_to_string(t[i:i+1], ' ')),
+                           g -> g <> '')) AS gram
+                FROM toks
+            ), cnt AS (
+                SELECT gram, COUNT(*) AS c FROM gr GROUP BY gram
+            ), tot AS (
+                SELECT CAST(SUM(c) AS DOUBLE) AS n_total,
+                       CAST(COUNT(*) AS DOUBLE) AS vocab
+                FROM cnt
+            )
+            SELECT doc_id, COUNT(*) AS n_grams,
+                   ROUND(AVG(ln((c + 1) / (n_total + vocab))), 6) AS avg_logprob
+            FROM gr JOIN cnt USING (gram) CROSS JOIN tot
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "unigram_logprob": r"""
             WITH toks AS (

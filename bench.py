@@ -52,6 +52,8 @@ HEADLINE = [
     "stratified_sample",
     "ivf_topk",
     "cosine_near_dups",
+    "semantic_near_dups",
+    "bigram_logprob",
     "cosine_pairs_sample",
     "label_centroids",
     "asof_last_purchase",

@@ -244,3 +244,59 @@ def unigram_logprob_scores(
         .orderBy(id_col)
     )
     return scored
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    round_digits: int = 6,
+    reuse_grams: bool = True,
+) -> DataFrame:
+    """Per-doc mean n-gram (default bigram) log-probability — the
+    order-sensitive fluency gate.
+
+    Same corpus-self add-one model as ``unigram_logprob_scores`` but over
+    word n-grams WITH multiplicity: ``ln((c(gram)+1) / (N_grams+V_grams))``
+    averaged over the doc's gram stream. Word-salad that passes a unigram
+    gate (common words, shuffled order) scores poorly here because its
+    *transitions* are rare — the standard reason public cleaning pipelines
+    step up from unigram to bigram statistics. Exactly SQL-expressible, so
+    every score value is oracle-checked.
+
+    Scale shape: identical to the unigram scorer — explode + hash-agg for
+    the gram table, a broadcast 2-value totals row, then the gram stream
+    re-joins the counts (AQE promotes to broadcast when the gram vocab
+    fits). ``reuse_grams`` persists the exploded stream so gram-building
+    runs once for both the model build and the scoring pass.
+    """
+    from .skew import fan_out
+
+    grams = fan_out(df).select(
+        F.col(id_col), F.explode(word_grams_col(F.col(text_col), n)).alias("gram")
+    )
+    if reuse_grams:
+        grams = tracked_persist(grams)
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    return (
+        grams.join(counts, "gram")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c") + 1).cast("double")
+                        / (F.col("n_total") + F.col("vocab")).cast("double")
+                    )
+                ),
+                round_digits,
+            ).alias("avg_logprob"),
+        )
+        .orderBy(id_col)
+    )

@@ -469,3 +469,68 @@ def pq_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def semantic_near_duplicate_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023, public):
+    coarse k-means partition of the embedding space, then EXACT cosine pairs
+    computed only WITHIN each cluster.
+
+    The complementary tradeoff to ``cosine_near_duplicate_pairs``: SRP
+    banding is recall-tuned for very high thresholds (near-identical
+    vectors), while the cluster partition catches looser *semantic*
+    redundancy (same meaning, different words → same cluster) at moderate
+    thresholds where SRP would need many tables. Candidate volume is
+    Σ c_i² ≈ n²/k for balanced clusters — the published SemDeDup cost —
+    so ``n_clusters`` must GROW with the corpus (same lesson as
+    ``srp_parameters``): at 100 TB pass n_clusters ~ n/⟨cluster⟩ for a
+    bounded mean cluster population; the k-means fit stays a bounded driver
+    sample regardless (``ivf_index``).
+
+    Returns (id_a, id_b, cosine) with cosine ≥ threshold, ordered
+    deterministically. The per-cluster self-join repartitions both sides on
+    ``cluster`` (one shuffle each) and never compares across clusters —
+    boundary-straddling pairs are the documented recall loss, mitigated by
+    raising ``n_clusters`` more slowly than n.
+    """
+    from ..functions.kernels import pair_cosine_udf
+
+    assigned, _ = ivf_index(embeddings, n_clusters, vec_col, seed=seed)
+    sides = assigned.select("cluster", F.col(id_col), F.col(vec_col))
+    # Vector-carrying self-join sides: pin sort-merge (stale cached-size
+    # estimates must never broadcast a corpus-sized side — see
+    # cosine_near_duplicate_pairs).
+    a = sides.select("cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = sides.select("cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")).hint("merge")
+    sim = pair_cosine_udf()(F.col("v_a"), F.col("v_b"))
+    return (
+        a.join(b, (a.cluster == b.cluster) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Keep-set of SemDeDup: drop the larger id of every semantic near-dup
+    pair (the same greedy deterministic keep-rule as the text cleaning
+    tiers, operators/pipeline.py — no connected-components iteration)."""
+    pairs = semantic_near_duplicate_pairs(
+        embeddings, threshold, n_clusters, id_col, vec_col, seed
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return embeddings.join(drop, id_col, "left_anti")

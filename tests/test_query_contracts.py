@@ -78,3 +78,26 @@ def test_queries_release_tracked_caches_between_calls(spark):
     # only caches persisted by global_stats itself (none) may remain
     assert len(caching._TRACKED) == 0
     caching.release_all()
+
+
+def test_semantic_near_dups_query_contract(spark):
+    """SemDeDup tier: the 8 planted direction-identical twins must pair with
+    their originals (same k-means cell under normalized assignment), and
+    semantic_dedup must drop exactly the twin ids (greedy keep-min rule)."""
+    from pyspark.sql import functions as F
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import similarity
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import table
+
+    rows = entrymod.q_semantic_near_dups(spark, SF_SMOKE).collect()
+    assert sum(1 for r in rows if r.planted_pair) == 8
+
+    emb = table(spark, "embeddings", SF_SMOKE)
+    twins = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.8)).alias("embedding"),
+    )
+    planted = emb.select("vec_id", "embedding").unionByName(twins)
+    kept = similarity.semantic_dedup(planted, threshold=0.95, n_clusters=16)
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    assert all(i + 1_000_000 not in kept_ids for i in range(8))  # twins dropped
+    assert all(i in kept_ids for i in range(8))  # originals kept
