@@ -732,8 +732,29 @@ def q_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users — the 100 TB scale path (rows-only:
-    approximate by construction; exact twin is daily_distinct_users)."""
-    return sessionize.approx_daily_distinct_users(_t(spark, sf_dir, "events"))
+    approximate by construction).
+
+    Error contract: joins the exact twin (daily_distinct_users) per day and
+    emits ``rel_err``, so the driver record demonstrates the sketch's error
+    stays inside the rsd=0.05 budget instead of just "ran" (max asserted in
+    tests/test_query_contracts.py)."""
+    ev = _t(spark, sf_dir, "events")
+    approx = sessionize.approx_daily_distinct_users(ev)
+    exact = sessionize.daily_distinct_users(ev).select(
+        "day", F.col("distinct_users").alias("exact_users")
+    )
+    return (
+        approx.join(exact, "day")
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("day")
+    )
 
 
 def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,8 +815,29 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 SimHash near-dup pairs (rows-only check, same rationale)."""
-    return dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
+    """§2.8 SimHash near-dup pairs (rows-only check, same rationale).
+
+    Evidence contract: each emitted pair carries its EXACT word-shingle
+    Jaccard (``jaccard_evidence``) so the driver record shows the pairs are
+    real near-dups, not banding noise — hamming ≤ 3 over 64-bit multiset
+    votes implies near-identical token multisets (mean asserted in
+    tests/test_query_contracts.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_duplicates(docs, max_hamming=3)
+    sh = docs.select(
+        F.col("doc_id"), dedup.word_shingles_col(F.col("text")).alias("sh")
+    ).hint("merge")  # array-carrying sides never broadcast (see dedup.py)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", "hamming", F.round(jac, 6).alias("jaccard_evidence"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_similarity_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -158,3 +158,23 @@ def test_pii_redaction_stays_jvm_side(spark):
 def test_dormant_customers_anti_join(spark):
     plan = plan_text(entrymod.q_dormant_customers(spark, SF))
     assert "LeftAnti" in plan, plan
+
+
+def test_semantic_near_dups_cluster_local_join(spark):
+    """SemDeDup pairs: the in-cluster self-join must be a shuffled join on
+    the cluster key (sort-merge pinned for the vector-carrying side), never
+    a cartesian/nested-loop over the corpus."""
+    df = entrymod.q_semantic_near_dups(spark, SF)
+    plan = plan_text(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan  # Arrow kernels only
+
+
+def test_bigram_logprob_partial_aggregation_jvm_side(spark):
+    """Bigram model build: two-phase hash aggregation, broadcast totals,
+    no Python boundary anywhere."""
+    df = entrymod.q_bigram_logprob(spark, SF)
+    plan = plan_text(df)
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert_no_python_udf(df)

@@ -101,3 +101,30 @@ def test_semantic_near_dups_query_contract(spark):
     kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
     assert all(i + 1_000_000 not in kept_ids for i in range(8))  # twins dropped
     assert all(i in kept_ids for i in range(8))  # originals kept
+
+
+def test_simhash_pairs_evidence_contract(spark):
+    """Every simhash pair's exact shingle Jaccard rides along as evidence;
+    hamming<=3 pairs must be real near-dups (high Jaccard), not banding
+    noise."""
+    rows = entrymod.q_simhash_near_dups(spark, SF_SMOKE).collect()
+    assert rows, "no simhash pairs at smoke SF — contract vacuous"
+    vals = [r.jaccard_evidence for r in rows]
+    assert sum(vals) / len(vals) > 0.5, vals
+
+
+def test_approx_distinct_error_contract(spark):
+    rows = entrymod.q_approx_distinct_users(spark, SF_SMOKE).collect()
+    assert rows
+    assert max(r.rel_err for r in rows) < 0.15  # 3 sigma of rsd=0.05
+
+
+def test_clean_corpus_lsh_keeps_superset_of_exact_chain(spark):
+    """MinHash-LSH near-dup removal can only MISS pairs the exact chain
+    finds (verified candidates -> no false positives), so its kept set must
+    contain the exact chain's kept set."""
+    lsh_kept = {r.doc_id for r in entrymod.q_clean_corpus(spark, SF_SMOKE).collect()}
+    exact_kept = {
+        r.doc_id for r in entrymod.q_clean_corpus_exact_neardup(spark, SF_SMOKE).collect()
+    }
+    assert exact_kept <= lsh_kept
