@@ -1089,6 +1089,26 @@ def q_semantic_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 multimodal resize stage: decode → block-mean (area-average)
+    downsample via mapInPandas (rows-only: the decode is the stubbed
+    contract; the resize math is real and mean-preservation is asserted in
+    tests/test_similarity.py). ``mean_pixel`` is the self-validating
+    evidence column: area averaging preserves the global mean, so it must
+    equal the decoded array's mean."""
+    media = multimodal.synthetic_media_df(spark, n=64)
+    resized = multimodal.resize_media(media, out_h=4, out_w=4)
+    return resized.select(
+        "media_id",
+        "kind",
+        "out_width",
+        "out_height",
+        F.round(F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x) / F.size("pixels"), 4).alias(
+            "mean_pixel"
+        ),
+    ).orderBy("media_id")
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 fluency scoring: per-doc mean add-one-smoothed unigram
     log-probability estimated from the corpus itself — the SQL-expressible
@@ -1143,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r3 ------------------------------------------------------
         "bigram_logprob": q_bigram_logprob,
         "semantic_near_dups": q_semantic_near_dups,
+        "media_resize": q_media_resize,
         # -- tier 2: rows-only, never in a driver window --------------------
         "cosine_near_dups": q_cosine_near_dups,
         "lsh_similarity_topk": q_lsh_similarity_topk,

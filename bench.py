@@ -54,6 +54,7 @@ HEADLINE = [
     "cosine_near_dups",
     "semantic_near_dups",
     "bigram_logprob",
+    "media_resize",
     "cosine_pairs_sample",
     "label_centroids",
     "asof_last_purchase",

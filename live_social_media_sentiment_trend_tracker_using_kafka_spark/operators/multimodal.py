@@ -163,6 +163,79 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("pixels", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def block_mean_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-average (block-mean) downsample of a 2-D array to (out_h, out_w).
+
+    Real math, no codec: each output pixel is the mean of its source block
+    (edge blocks absorb the remainder rows/cols), i.e. the box filter every
+    image library applies for area interpolation. Deterministic, so resized
+    outputs are testable byte-for-byte.
+    """
+    h, w = arr.shape
+    out_h, out_w = min(out_h, h), min(out_w, w)
+    ys = np.linspace(0, h, out_h + 1).astype(int)
+    xs = np.linspace(0, w, out_w + 1).astype(int)
+    out = np.empty((out_h, out_w), dtype="float32")
+    a = arr.astype("float64")
+    for i in range(out_h):
+        rows = a[ys[i]:ys[i + 1]]
+        for j in range(out_w):
+            out[i, j] = rows[:, xs[j]:xs[j + 1]].mean()
+    return out
+
+
+def resize_media(
+    media: DataFrame,
+    out_h: int = 8,
+    out_w: int = 8,
+    decode: Callable[[bytes, dict], np.ndarray] | None = fake_image_decode,
+) -> DataFrame:
+    """Decode + block-mean resize via ``mapInPandas`` — the §2.8 "resize"
+    stage. The decode is the pluggable (stubbed-by-contract) step; the
+    resize itself is real area-average math on the decoded array, so the
+    Spark-side plumbing AND the transform are fully tested. Partitioning is
+    preserved (no shuffle); output pixels are row-major float32.
+    """
+    if decode is None:
+        raise NotImplementedError(
+            "No media codec available in this environment; pass a decode callable "
+            "(e.g. Pillow-based) or use fake_image_decode for plumbing tests."
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pix, ws, hs = [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                meta_d = dict(meta) if meta is not None else {}
+                arr = decode(bytes(payload) if payload is not None else b"", meta_d)
+                small = block_mean_resize(np.atleast_2d(arr), out_h, out_w)
+                hs.append(small.shape[0])
+                ws.append(small.shape[1])
+                pix.append(small.ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "out_width": pd.Series(ws, dtype="int32"),
+                    "out_height": pd.Series(hs, dtype="int32"),
+                    "pixels": pix,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def media_near_duplicates(
     media: DataFrame,
     decode: Callable[[bytes, dict], np.ndarray] | None = fake_image_decode,

@@ -127,3 +127,32 @@ def test_media_near_duplicates_find_reencoded_copies(spark):
     # precision: unrelated random media must not flood the output (the
     # uncentered-stats failure mode produced 1077 bogus pairs here)
     assert len(got) <= 8, f"too many pairs: {len(got)}"
+
+
+def test_block_mean_resize_preserves_mean_and_shape(spark):
+    """The §2.8 resize stage: area-average downsample is real math — with
+    exact block partitions the global mean is preserved; constant images
+    stay constant; the mapInPandas plumbing yields row-major float32."""
+    import numpy as np
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import multimodal
+
+    arr = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    small = multimodal.block_mean_resize(arr, 4, 4)
+    assert small.shape == (4, 4)
+    assert abs(float(small.mean()) - float(arr.mean())) < 1e-4
+    const = multimodal.block_mean_resize(np.full((10, 10), 7.0), 3, 3)
+    assert np.allclose(const, 7.0)
+    # ragged edges: 10x10 -> 3x3 absorbs remainders, mean within block range
+    assert const.shape == (3, 3)
+
+    media = multimodal.synthetic_media_df(spark, n=8)
+    out = multimodal.resize_media(media, out_h=4, out_w=4).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r.out_height == 4 and r.out_width == 4 and len(r.pixels) == 16
+    # determinism + mean preservation against the decoded source
+    src = {r.media_id: r for r in media.collect()}
+    for r in out:
+        m = src[r.media_id]
+        arr = multimodal.fake_image_decode(bytes(m.payload), dict(m.meta.asDict()))
+        assert abs(sum(r.pixels) / 16 - float(arr.mean())) < 1e-3
