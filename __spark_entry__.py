@@ -1109,6 +1109,29 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 CCNet-style corpus-wide boilerplate-line removal, fully
+    oracle-checked: plant two boilerplate lines (newsletter/footer) on every
+    3rd/5th doc, then drop every line whose distinct-doc frequency ≥ 2 —
+    unique content survives, the planted boilerplate cannot."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nsubscribe to our newsletter for updates"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nall rights reserved example corp"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return corpus.line_dedup(planted, max_doc_frequency=2)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 fluency scoring: per-doc mean add-one-smoothed unigram
     log-probability estimated from the corpus itself — the SQL-expressible
@@ -1164,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "semantic_near_dups": q_semantic_near_dups,
         "media_resize": q_media_resize,
+        "line_dedup": q_line_dedup,
         # -- tier 2: rows-only, never in a driver window --------------------
         "cosine_near_dups": q_cosine_near_dups,
         "lsh_similarity_topk": q_lsh_similarity_topk,
@@ -2146,6 +2170,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                    COUNT(*) AS n_events
             FROM events GROUP BY day ORDER BY day
+        """,
+        # CCNet-style line dedup: same plant, same >=2 distinct-doc
+        # frequency cut, lines reassembled in original order.
+        "line_dedup": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN chr(10) || 'subscribe to our newsletter for updates'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 5 = 0
+                            THEN chr(10) || 'all rights reserved example corp'
+                            ELSE '' END AS text
+                FROM documents
+            ), ln AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM planted
+            ), freq AS (
+                SELECT line, COUNT(DISTINCT doc_id) AS doc_freq FROM ln GROUP BY line
+            ), badl AS (
+                SELECT COALESCE(list(line), []) AS bl FROM freq WHERE doc_freq >= 2
+            ), kept AS (
+                SELECT doc_id,
+                       list_filter(string_split(p.text, chr(10)),
+                                   l -> NOT list_contains(b.bl, l)) AS keptl
+                FROM planted p CROSS JOIN badl b
+            )
+            SELECT doc_id, len(keptl) AS n_lines_kept,
+                   array_to_string(keptl, chr(10)) AS text_clean
+            FROM kept WHERE len(keptl) > 0 ORDER BY doc_id
         """,
         # Word bigrams WITH multiplicity, same tokenization as the Spark
         # side's word_grams_col(n=2): inclusive slice t[i:i+1] = 2 tokens,

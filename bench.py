@@ -55,6 +55,7 @@ HEADLINE = [
     "semantic_near_dups",
     "bigram_logprob",
     "media_resize",
+    "line_dedup",
     "cosine_pairs_sample",
     "label_centroids",
     "asof_last_purchase",

@@ -300,3 +300,46 @@ def bigram_logprob_scores(
         )
         .orderBy(id_col)
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_frequency: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style corpus-wide line dedup (boilerplate removal, public
+    practice: CCNet / RefinedWeb drop lines repeated across many pages —
+    nav menus, cookie banners, signatures).
+
+    A line is kept iff its distinct-document frequency is BELOW
+    ``max_doc_frequency``; documents whose every line is boilerplate drop
+    out entirely. Returns (id, n_lines_kept, text_clean) with lines
+    reassembled in original order — fully SQL-expressible, so the whole
+    transform is oracle-checkable.
+
+    Scale shape: posexplode → one hash-agg on the line value (map-side
+    partial on count-distinct), then the line stream re-joins the frequency
+    table — the tf·idf shuffle pattern; AQE broadcasts the frequency side
+    when the distinct-line vocabulary fits, and a 100 TB deployment joins on
+    ``xxhash64(line)`` instead of the raw string to shrink shuffle width
+    (collision-safe at 64 bits for dedup purposes). Reassembly is one
+    per-doc hash-agg with an array_sort on (pos, line) — no window, no
+    global sort.
+    """
+    lines = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+    )
+    freq = lines.groupBy("line").agg(F.count_distinct(F.col(id_col)).alias("doc_freq"))
+    kept = lines.join(freq.filter(F.col("doc_freq") < max_doc_frequency), "line")
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("ordered"))
+        .select(
+            F.col(id_col),
+            F.size("ordered").alias("n_lines_kept"),
+            F.array_join(F.transform("ordered", lambda x: x["line"]), sep).alias("text_clean"),
+        )
+        .orderBy(id_col)
+    )

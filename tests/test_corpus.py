@@ -89,3 +89,23 @@ def test_pack_documents_golden(spark):
     assert (out[3]["seq_id"], out[3]["seq_offset"]) == (1, 2)
     assert (out[4]["seq_id"], out[4]["seq_offset"]) == (0, 0)
     assert out[2]["n_tokens"] == 4
+
+
+def test_line_dedup_removes_boilerplate_keeps_order(spark):
+    """CCNet-style line dedup: corpus-frequent lines drop, unique lines stay
+    in original order, all-boilerplate docs vanish."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import corpus
+
+    rows = [
+        (1, "unique alpha\ncookie banner\nunique beta"),
+        (2, "cookie banner\nanother page"),
+        (3, "cookie banner"),                      # all boilerplate -> dropped
+        (4, "standalone content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in corpus.line_dedup(df, max_doc_frequency=2).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1].text_clean == "unique alpha\nunique beta"  # order preserved
+    assert got[1].n_lines_kept == 2
+    assert got[2].text_clean == "another page"
+    assert got[4].text_clean == "standalone content"
