@@ -60,6 +60,7 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators impor
     dedup,
     multimodal,
     pipeline,
+    rangejoin,
     relational,
     sampling,
     sessionize,
@@ -1139,6 +1140,40 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
 
 
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 bucketized range join (operators/rangejoin.py), fully
+    oracle-checked: derive 56 deterministic 7-hour experiment windows (13 h
+    stride, so gaps exist and some events match nothing) anchored at
+    min(ts), containment-join events into them WITHOUT a cartesian product
+    (bucket equi-join + exact recheck), and aggregate per window. The naive
+    BETWEEN join plan (BroadcastNestedLoopJoin) is what this operator
+    replaces; tests/test_plans.py asserts neither BNLJ nor cartesian
+    appears."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    t0 = ev.agg(F.min("ts").alias("t0"))  # 1-row anchor, broadcast
+    wins = (
+        spark.range(0, 56)
+        .withColumnRenamed("id", "window_id")
+        .join(F.broadcast(t0))
+        .select(
+            "window_id",
+            F.expr("t0 + window_id * INTERVAL '13' HOUR").alias("lo"),
+            F.expr("t0 + window_id * INTERVAL '13' HOUR + INTERVAL '7' HOUR").alias("hi"),
+        )
+    )
+    joined = rangejoin.bucketed_range_join(
+        ev, wins, fact_ts="ts", lo_col="lo", hi_col="hi", closed="left"
+    )
+    return (
+        joined.groupBy("window_id", F.col("lo").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("window_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_event_summary(spark, "/root/testdata/sf0.001")
@@ -1190,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_near_dups": q_semantic_near_dups,
         "media_resize": q_media_resize,
         "line_dedup": q_line_dedup,
+        "range_join_windows": q_range_join_windows,
         # -- tier 2: rows-only, never in a driver window --------------------
         "cosine_near_dups": q_cosine_near_dups,
         "lsh_similarity_topk": q_lsh_similarity_topk,
@@ -2201,6 +2237,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(keptl) AS n_lines_kept,
                    array_to_string(keptl, chr(10)) AS text_clean
             FROM kept WHERE len(keptl) > 0 ORDER BY doc_id
+        """,
+        # Bucketized range join: the oracle is the naive containment join —
+        # fine at sf0.01, the thing the bucketed plan avoids at scale.
+        "range_join_windows": """
+            WITH t0 AS (SELECT min(ts) AS t0 FROM events),
+            w AS (
+                SELECT r.range AS window_id,
+                       t0.t0 + r.range * INTERVAL 13 HOUR AS lo,
+                       t0.t0 + r.range * INTERVAL 13 HOUR + INTERVAL 7 HOUR AS hi
+                FROM t0, range(56) r
+            )
+            SELECT w.window_id, w.lo AS window_start,
+                   COUNT(*) AS n_events,
+                   ROUND(AVG(e.value), 6) AS avg_value
+            FROM w JOIN events e ON e.ts >= w.lo AND e.ts < w.hi
+            GROUP BY w.window_id, w.lo
+            ORDER BY w.window_id
         """,
         # Word bigrams WITH multiplicity, same tokenization as the Spark
         # side's word_grams_col(n=2): inclusive slice t[i:i+1] = 2 tokens,
