@@ -66,6 +66,7 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators impor
     sessionize,
     similarity,
     simjoin,
+    timeseries,
     window_funcs,
 )
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import (
@@ -1174,6 +1175,27 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 hypertable-style time-bucket rollup with gap filling
+    (operators/timeseries.py), fully oracle-checked: hourly buckets over a
+    SPARSE series (purchases with value >= 90), empty buckets materialized
+    from a generated spine (zero-filled counts, LOCF-filled gauge) — the
+    timescale time_bucket_gapfill/locf family as DataFrame ops."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 90)
+    )
+    return timeseries.time_bucket_gapfill(
+        ev,
+        ts_col="ts",
+        width_seconds=3600,
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "avg_value": F.round(F.avg("value"), 6),
+        },
+        fill={"n_events": "zero", "avg_value": "locf"},
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_event_summary(spark, "/root/testdata/sf0.001")
@@ -1226,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "line_dedup": q_line_dedup,
         "range_join_windows": q_range_join_windows,
+        "time_series_gapfill": q_time_series_gapfill,
         # -- tier 2: rows-only, never in a driver window --------------------
         "cosine_near_dups": q_cosine_near_dups,
         "lsh_similarity_topk": q_lsh_similarity_topk,
@@ -2254,6 +2277,39 @@ def oracle_sql() -> dict[str, str]:
             FROM w JOIN events e ON e.ts >= w.lo AND e.ts < w.hi
             GROUP BY w.window_id, w.lo
             ORDER BY w.window_id
+        """,
+        # Gap-filled hourly rollup of a sparse series: dense bucket spine,
+        # zero-filled counts, LOCF-filled gauge. Bucket timestamps rebuilt
+        # with pure naive-timestamp arithmetic (no to_timestamp / session tz).
+        "time_series_gapfill": """
+            WITH f AS (
+                SELECT * FROM events
+                WHERE event_type = 'purchase' AND value >= 90 AND ts IS NOT NULL
+            ), b AS (
+                SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS idx,
+                       COUNT(*) AS n_events,
+                       ROUND(AVG(value), 6) AS avg_value
+                FROM f GROUP BY idx
+            ), spine AS (
+                SELECT unnest(range((SELECT min(idx) FROM b),
+                                    (SELECT max(idx) FROM b) + 1)) AS idx
+            ), d AS (
+                SELECT s.idx,
+                       COALESCE(b.n_events, 0) AS n_events,
+                       b.avg_value
+                FROM spine s LEFT JOIN b USING (idx)
+            ), l AS (
+                SELECT idx, n_events,
+                       last_value(avg_value IGNORE NULLS) OVER (
+                           ORDER BY idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS avg_value
+                FROM d
+            )
+            SELECT TIMESTAMP '1970-01-01 00:00:00' + idx * 3600 * INTERVAL 1 SECOND
+                       AS bucket,
+                   n_events, avg_value
+            FROM l ORDER BY bucket
         """,
         # Word bigrams WITH multiplicity, same tokenization as the Spark
         # side's word_grams_col(n=2): inclusive slice t[i:i+1] = 2 tokens,

@@ -1,0 +1,122 @@
+"""Hypertable-style time-bucket rollup with gap filling: aggregate into
+fixed-width buckets, materialize EMPTY buckets on a generated spine, and
+fill value columns by zero / last-observation-carried-forward / linear
+interpolation (the timescale ``time_bucket_gapfill`` + ``locf`` +
+``interpolate`` family, re-expressed as DataFrame ops).
+
+Scale shape:
+- The aggregation is an ordinary hash agg — one shuffle on (series keys,
+  bucket), map-side partials first.
+- The spine is NOT data-sized: per series it is ``time_range / width``
+  rows, built from each series' min/max bucket with ``sequence`` + explode
+  — no driver collect, no cross join against the fact table.
+- Fill windows partition by the series keys and order by bucket, so state
+  is one series' spine per task; without series keys the single window
+  still runs over spine-sized (not data-sized) input — bounded, but pass
+  ``partition_cols`` for per-key series at scale.
+
+All timestamp arithmetic goes through ``timestampdiff``/``timestampadd``
+against a fixed NTZ reference — timezone-free for TIMESTAMP_NTZ columns on
+any session (verified under UTC / Asia/Kolkata / America/New_York).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_EPOCH_REF = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+
+
+def bucket_index(ts_col: str, width_seconds: int) -> Column:
+    """Integer bucket ordinal of ``ts_col`` (floor(epoch / width))."""
+    return F.floor(
+        F.expr(f"timestampdiff(SECOND, {_EPOCH_REF}, {ts_col})") / F.lit(width_seconds)
+    )
+
+
+def bucket_start(index_col: str, width_seconds: int) -> Column:
+    """Bucket ordinal back to its NTZ start timestamp."""
+    return F.expr(
+        f"timestampadd(SECOND, CAST({index_col} * {width_seconds} AS BIGINT), {_EPOCH_REF})"
+    )
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width_seconds: int = 3600,
+    aggs: dict[str, Column] | None = None,
+    fill: dict[str, str] | None = None,
+    partition_cols: list[str] | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Bucketed aggregate with a dense bucket spine per series.
+
+    ``aggs``: output name -> aggregate Column (e.g. ``{"n": F.count(F.lit(1))}``).
+    ``fill``: output name -> "zero" | "locf" | "linear" | "none" (default
+    none = NULL on gaps; counts usually want "zero", gauges "locf" or
+    "linear"). Linear interpolation needs a numeric column; leading/trailing
+    gaps (no observation on one side) stay NULL unless the other side
+    exists, in which case LOCF/NOCB degenerate behavior applies only to
+    "locf" — "linear" leaves one-sided gaps NULL.
+    Output: partition_cols + bucket (NTZ start) + one column per agg, every
+    bucket between each series' first and last observation present.
+    """
+    if not aggs:
+        raise ValueError("aggs must name at least one aggregate")
+    fill = fill or {}
+    pcols = partition_cols or []
+    unknown = set(fill) - set(aggs)
+    if unknown:
+        raise ValueError(f"fill names not in aggs: {sorted(unknown)}")
+    bad = {k: v for k, v in fill.items() if v not in ("zero", "locf", "linear", "none")}
+    if bad:
+        raise ValueError(f"unknown fill strategies: {bad}")
+
+    base = df.filter(F.col(ts_col).isNotNull()).withColumn(
+        "_gf_idx", bucket_index(ts_col, width_seconds)
+    )
+    agged = base.groupBy(*pcols, "_gf_idx").agg(
+        *[a.alias(name) for name, a in aggs.items()]
+    )
+    spine = (
+        base.groupBy(*pcols)
+        .agg(F.min("_gf_idx").alias("_lo"), F.max("_gf_idx").alias("_hi"))
+        .select(*pcols, F.explode(F.sequence("_lo", "_hi")).alias("_gf_idx"))
+    )
+    dense = spine.join(agged, [*pcols, "_gf_idx"], "left")
+
+    w = Window.partitionBy(*pcols).orderBy("_gf_idx")
+    for name, how in fill.items():
+        if how == "zero":
+            dense = dense.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
+        elif how == "locf":
+            dense = dense.withColumn(
+                name, F.last(name, ignorenulls=True).over(w)
+            )
+        elif how == "linear":
+            prev_v = F.last(name, ignorenulls=True).over(w)
+            prev_i = F.last(
+                F.when(F.col(name).isNotNull(), F.col("_gf_idx")), ignorenulls=True
+            ).over(w)
+            w_next = w.rowsBetween(0, Window.unboundedFollowing)
+            next_v = F.first(name, ignorenulls=True).over(w_next)
+            next_i = F.first(
+                F.when(F.col(name).isNotNull(), F.col("_gf_idx")), ignorenulls=True
+            ).over(w_next)
+            interp = prev_v + (next_v - prev_v) * (
+                (F.col("_gf_idx") - prev_i) / (next_i - prev_i)
+            )
+            dense = dense.withColumn(
+                name,
+                F.when(F.col(name).isNotNull(), F.col(name)).otherwise(
+                    F.when(prev_i.isNotNull() & next_i.isNotNull(), interp)
+                ),
+            )
+
+    return dense.select(
+        *pcols,
+        bucket_start("_gf_idx", width_seconds).alias(bucket_col),
+        *aggs.keys(),
+    ).orderBy(*pcols, bucket_col)

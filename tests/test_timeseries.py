@@ -1,0 +1,104 @@
+"""time_bucket_gapfill: spine density, zero/LOCF/linear fills, per-series
+partitioning, and argument validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.timeseries import (
+    time_bucket_gapfill,
+)
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, "key string, ts string, v double").select(
+        "key", F.col("ts").cast("timestamp_ntz").alias("ts"), "v"
+    )
+
+
+@pytest.fixture(scope="module")
+def sparse(spark):
+    # observations at hours 0, 3 and 4; hours 1-2 are gaps
+    return _series(
+        spark,
+        [
+            ("a", "2024-05-01 00:10:00", 10.0),
+            ("a", "2024-05-01 03:20:00", 40.0),
+            ("a", "2024-05-01 04:05:00", 50.0),
+        ],
+    )
+
+
+def _run(df, fill, pcols=None):
+    return time_bucket_gapfill(
+        df,
+        ts_col="ts",
+        width_seconds=3600,
+        aggs={"n": F.count(F.lit(1)), "avg_v": F.avg("v")},
+        fill=fill,
+        partition_cols=pcols,
+    )
+
+
+def test_spine_is_dense_and_counts_zero_fill(spark, sparse):
+    rows = _run(sparse, {"n": "zero"}).collect()
+    assert [r.n for r in rows] == [1, 0, 0, 1, 1]
+    assert rows[0].bucket.isoformat() == "2024-05-01T00:00:00"
+    assert rows[-1].bucket.isoformat() == "2024-05-01T04:00:00"
+
+
+def test_locf_carries_last_observation(spark, sparse):
+    rows = _run(sparse, {"avg_v": "locf"}).collect()
+    assert [r.avg_v for r in rows] == [10.0, 10.0, 10.0, 40.0, 50.0]
+
+
+def test_linear_interpolates_between_observations(spark, sparse):
+    rows = _run(sparse, {"avg_v": "linear"}).collect()
+    assert [r.avg_v for r in rows] == [10.0, 20.0, 30.0, 40.0, 50.0]
+
+
+def test_none_fill_leaves_gaps_null(spark, sparse):
+    rows = _run(sparse, {}).collect()
+    assert [r.avg_v for r in rows] == [10.0, None, None, 40.0, 50.0]
+
+
+def test_partitioned_series_have_independent_spines(spark):
+    df = _series(
+        spark,
+        [
+            ("a", "2024-05-01 00:00:00", 1.0),
+            ("a", "2024-05-01 02:00:00", 3.0),
+            ("b", "2024-05-01 05:00:00", 5.0),
+        ],
+    )
+    rows = _run(df, {"avg_v": "linear"}, pcols=["key"]).collect()
+    a = [(r.key, r.avg_v) for r in rows if r.key == "a"]
+    b = [(r.key, r.avg_v) for r in rows if r.key == "b"]
+    assert [v for _, v in a] == [1.0, 2.0, 3.0]
+    assert len(b) == 1  # single observation: spine is one bucket, no bleed
+
+
+def test_null_ts_rows_ignored(spark):
+    df = _series(spark, [("a", None, 9.0), ("a", "2024-05-01 00:00:00", 1.0)])
+    rows = _run(df, {"n": "zero"}).collect()
+    assert len(rows) == 1 and rows[0].n == 1
+
+
+def test_validation_errors(spark, sparse):
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        time_bucket_gapfill(sparse, aggs={})
+    with pytest.raises(ValueError, match="not in aggs"):
+        _run(sparse, {"nope": "zero"})
+    with pytest.raises(ValueError, match="unknown fill"):
+        _run(sparse, {"n": "bogus"})
+
+
+def test_registry_query_smoke(spark):
+    rows = entrymod.q_time_series_gapfill(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    # spine must be strictly hourly-dense between first and last bucket
+    hours = (rows[-1].bucket - rows[0].bucket).total_seconds() / 3600
+    assert len(rows) == int(hours) + 1
+    assert any(r.n_events == 0 for r in rows), "no gaps at smoke SF — fill untested"
