@@ -1175,6 +1175,37 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 Bloom-filter decontamination — the zero-shuffle 100 TB probe
+    (operators/contamination.py bloom tier): the benchmark's 3-gram set is
+    fit into a packed broadcast Bloom filter and every candidate gram tests
+    its k bit positions with Catalyst bit arithmetic inside the corpus scan.
+
+    Rows-only (xxhash64 bit positions are not DuckDB-expressible), so the
+    output carries its own evidence: the exact semi-join tier rides along
+    per doc and ``no_false_negative`` must be TRUE on every row (a Bloom
+    filter can only overcount) — thresholds pinned in
+    tests/test_contamination.py."""
+    cand, bench = _bench_split(spark, sf_dir)
+    bloom = contamination.bloom_contamination_stats(cand, bench, n=3, fpp=0.01)
+    exact = contamination.contamination_stats(cand, bench, n=3, use_hash=True).select(
+        "doc_id", F.col("n_contaminated").alias("n_contaminated_exact")
+    )
+    return (
+        bloom.join(exact, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated_exact",
+            "n_contaminated_bloom",
+            (F.col("n_contaminated_bloom") >= F.col("n_contaminated_exact")).alias(
+                "no_false_negative"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_time_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 hypertable-style time-bucket rollup with gap filling
     (operators/timeseries.py), fully oracle-checked: hourly buckets over a
@@ -1249,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "range_join_windows": q_range_join_windows,
         "time_series_gapfill": q_time_series_gapfill,
+        "bloom_decontamination": q_bloom_decontamination,
         # -- tier 2: rows-only, never in a driver window --------------------
         "cosine_near_dups": q_cosine_near_dups,
         "lsh_similarity_topk": q_lsh_similarity_topk,
@@ -2463,4 +2495,7 @@ def oracle_sql() -> dict[str, str]:
         # probabilistic (bucketed candidates), exact parity is not the
         # contract; similarity_topk above is the exact, oracle-checked twin.
         # media_features omitted: mapInPandas decode plumbing, no SQL twin.
+        # bloom_decontamination omitted: xxhash64 bit positions are not
+        # DuckDB-expressible; the exact tier rides along per row and the
+        # no_false_negative evidence column must be TRUE everywhere.
     }

@@ -56,6 +56,9 @@ HEADLINE = [
     "bigram_logprob",
     "media_resize",
     "line_dedup",
+    "range_join_windows",
+    "time_series_gapfill",
+    "bloom_decontamination",
     "cosine_pairs_sample",
     "label_centroids",
     "asof_last_purchase",

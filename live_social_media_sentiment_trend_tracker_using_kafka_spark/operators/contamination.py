@@ -111,3 +111,121 @@ def decontaminate(
     stats = contamination_stats(docs, benchmark, text_col, id_col, n, use_hash)
     dirty = stats.filter(F.col("contam_frac") > max_frac).select(id_col)
     return docs.join(dirty, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership tier (zero-shuffle corpus probe)
+# --------------------------------------------------------------------------
+
+def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard Bloom sizing: bits m = -n·ln(p)/ln(2)², hashes k = m/n·ln 2.
+
+    Returned m is rounded up to a multiple of 64 (whole words).
+    """
+    import math
+
+    if not 0.0 < fpp < 1.0:
+        raise ValueError("fpp must be in (0, 1)")
+    n = max(n_items, 1)
+    m = max(int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))), 64)
+    m = ((m + 63) // 64) * 64
+    k = max(int(round(m / n * math.log(2))), 1)
+    return m, k
+
+
+def _gram_positions(gram: Column, m: int, k: int) -> Column:
+    """array<long> of the gram's k Bloom bit positions: pmod(xxhash64(seed,
+    gram), m) for seed 0..k-1 — the same expression builds and probes the
+    filter, so both sides agree by construction."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.pmod(F.xxhash64(j, gram), F.lit(m)),
+    )
+
+
+def build_bloom_words(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    fpp: float = 0.01,
+    n_grams_hint: int | None = None,
+) -> tuple[list[int], int, int]:
+    """Fit a Bloom filter over the benchmark's distinct word n-grams.
+
+    Returns (packed 64-bit words as Python ints, m, k). The distinct BIT
+    POSITIONS are collected to the driver — bounded by m (the fpp budget:
+    ~1.2 MB of words per 10⁶ benchmark grams at 1%), the same bounded-fit
+    contract as similarity.srp_parameters / the IVF codebook. The CORPUS is
+    never collected; the benchmark side is aggregated distributed and only
+    the ≤ m distinct positions come back.
+    """
+    grams = (
+        benchmark.select(F.explode(word_shingles_col(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    n_items = n_grams_hint if n_grams_hint is not None else grams.count()
+    m, k = bloom_parameters(n_items, fpp)
+    pos_rows = (
+        grams.select(F.explode(_gram_positions(F.col("gram"), m, k)).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in pos_rows:
+        p = r.pos
+        words[p >> 6] |= 1 << (p & 63)
+    # two's-complement into signed 64-bit: Spark longs are signed; the probe
+    # uses shiftrightunsigned so the bit pattern is what matters
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return words, m, k
+
+
+def bloom_contamination_stats(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    fpp: float = 0.01,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-doc contamination via a broadcast Bloom filter — the 100 TB path.
+
+    ``contamination_stats`` shuffles (doc, gram) pairs into a semi-join;
+    this tier instead probes a benchmark Bloom filter INSIDE the corpus
+    scan: the packed filter rides in as a one-row broadcast array<long>
+    and every gram tests its k bit positions with pure Catalyst bit
+    arithmetic — zero shuffle of the corpus, no Python boundary, false
+    positives bounded by ``fpp``, false negatives impossible.
+
+    Output: (id, n_grams, n_contaminated_bloom) — an UPPER BOUND on the
+    exact ``n_contaminated``. Pair with the exact tier on a sample for an
+    FP-rate evidence column (the contract query does).
+    """
+    from .skew import fan_out
+
+    words, m, k = build_bloom_words(benchmark, text_col, n, fpp)
+    spark = docs.sparkSession
+    bloom = spark.createDataFrame([(words,)], "bloom_words: array<long>")
+
+    def bit_set_expr(p: Column) -> Column:
+        w = F.element_at(F.col("bloom_words"), (p / 64).cast("int") + 1)
+        return F.getbit(w, F.pmod(p, F.lit(64))) == 1
+
+    sh = (
+        fan_out(docs)
+        .select(F.col(id_col), word_shingles_col(F.col(text_col), n).alias("grams"))
+        .filter(F.size("grams") > 0)
+        .join(F.broadcast(bloom))
+    )
+    n_hits = F.size(
+        F.filter(
+            F.col("grams"),
+            lambda g: F.forall(_gram_positions(g, m, k), bit_set_expr),
+        )
+    )
+    return sh.select(
+        F.col(id_col),
+        F.size("grams").cast("long").alias("n_grams"),
+        n_hits.cast("long").alias("n_contaminated_bloom"),
+    )
