@@ -74,6 +74,7 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers
     table,
 )
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.streaming import (
+    interval_join_streams,
     run_available_now_to_memory,
 )
 
@@ -1175,6 +1176,54 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 stream-stream interval join, oracle-checked end to end: views
+    and purchases read as two file STREAMS, joined per user on
+    ``view_ts < purchase_ts <= view_ts + 30 min`` (watermark + time-range
+    constraint = bounded state on both sides), drained AvailableNow. The
+    result must equal the plain batch interval join — same oracle family as
+    streaming_time_series/streaming_dedup_daily."""
+    raw_schema = table(spark, "events", sf_dir).schema
+
+    def _stream():
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    with _session_tz(spark, "UTC"):
+        views = (
+            normalize_ts(_stream())
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("event_type") == "view")
+            .select("user_id", "event_id", "ts")
+        )
+        purchases = (
+            normalize_ts(_stream())
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", "event_id", "ts")
+        )
+        joined = interval_join_streams(
+            views,
+            purchases,
+            key_col="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            max_delay="30 minutes",
+            watermark="1 hour",
+        ).select(
+            "user_id",
+            F.col("event_id").alias("view_event"),
+            F.col("r_event_id").alias("purchase_event"),
+        )
+        _STREAM_SEQ[0] += 1
+        name = f"stream_ivj_{_STREAM_SEQ[0]}"
+        out = run_available_now_to_memory(joined, spark, name, output_mode="append")
+    return out.orderBy("user_id", "view_event", "purchase_event")
+
+
 def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 Bloom-filter decontamination — the zero-shuffle 100 TB probe
     (operators/contamination.py bloom tier): the benchmark's 3-gram set is
@@ -1281,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_windows": q_range_join_windows,
         "time_series_gapfill": q_time_series_gapfill,
         "bloom_decontamination": q_bloom_decontamination,
+        "streaming_view_purchase_join": q_streaming_view_purchase_join,
         # -- tier 2: rows-only, never in a driver window --------------------
         "cosine_near_dups": q_cosine_near_dups,
         "lsh_similarity_topk": q_lsh_similarity_topk,
@@ -2292,6 +2342,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(keptl) AS n_lines_kept,
                    array_to_string(keptl, chr(10)) AS text_clean
             FROM kept WHERE len(keptl) > 0 ORDER BY doc_id
+        """,
+        # Stream-stream interval join drained AvailableNow must equal the
+        # plain batch interval join.
+        "streaming_view_purchase_join": """
+            SELECT v.user_id,
+                   v.event_id AS view_event,
+                   p.event_id AS purchase_event
+            FROM events v
+            JOIN events p
+              ON p.user_id = v.user_id
+             AND v.event_type = 'view'
+             AND p.event_type = 'purchase'
+             AND p.ts > v.ts
+             AND p.ts <= v.ts + INTERVAL 30 MINUTE
+            ORDER BY v.user_id, view_event, purchase_event
         """,
         # Bucketized range join: the oracle is the naive containment join —
         # fine at sf0.01, the thing the bucketed plan avoids at scale.

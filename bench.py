@@ -59,6 +59,7 @@ HEADLINE = [
     "range_join_windows",
     "time_series_gapfill",
     "bloom_decontamination",
+    "streaming_view_purchase_join",
     "cosine_pairs_sample",
     "label_centroids",
     "asof_last_purchase",
