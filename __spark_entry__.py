@@ -1176,6 +1176,49 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per event_type (20-unit bins),
+    fully oracle-checked — the distribution-profiling primitive every data
+    audit starts with. One hash agg on (type, bin); no width_bucket UDF."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        ev.withColumn("bin_lo", (F.floor(F.col("value") / 20) * 20).cast("long"))
+        .groupBy("event_type", "bin_lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bin_lo")
+    )
+
+
+def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type: |value - median| > 5 * MAD
+    (median absolute deviation) — the quality-gate shape for metric columns
+    (z-scores break on heavy tails; MAD does not). Two grouped exact-median
+    passes + a broadcast threshold join back; every flagged row
+    oracle-checked."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 5 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 stream-stream interval join, oracle-checked end to end: views
     and purchases read as two file STREAMS, joined per user on
@@ -1331,6 +1374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_series_gapfill": q_time_series_gapfill,
         "bloom_decontamination": q_bloom_decontamination,
         "streaming_view_purchase_join": q_streaming_view_purchase_join,
+        "value_histogram": q_value_histogram,
+        "value_outliers_mad": q_value_outliers_mad,
         # -- tier 2: rows-only, never in a driver window --------------------
         "cosine_near_dups": q_cosine_near_dups,
         "lsh_similarity_topk": q_lsh_similarity_topk,
@@ -2342,6 +2387,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(keptl) AS n_lines_kept,
                    array_to_string(keptl, chr(10)) AS text_clean
             FROM kept WHERE len(keptl) > 0 ORDER BY doc_id
+        """,
+        "value_histogram": """
+            SELECT event_type,
+                   CAST(floor(value / 20) * 20 AS BIGINT) AS bin_lo,
+                   COUNT(*) AS n
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, bin_lo ORDER BY event_type, bin_lo
+        """,
+        # MAD outliers: exact interpolated medians on both passes (Spark
+        # median == DuckDB median for even/odd counts alike).
+        "value_outliers_mad": """
+            WITH med AS (
+                SELECT event_type, median(value) AS med
+                FROM events WHERE value IS NOT NULL GROUP BY event_type
+            ), mad AS (
+                SELECT e.event_type, any_value(m.med) AS med,
+                       median(abs(e.value - m.med)) AS mad
+                FROM events e JOIN med m USING (event_type)
+                WHERE e.value IS NOT NULL
+                GROUP BY e.event_type
+            )
+            SELECT e.event_id, e.event_type,
+                   ROUND(e.value, 6) AS value,
+                   ROUND(s.med, 6) AS med,
+                   ROUND(s.mad, 6) AS mad
+            FROM events e JOIN mad s USING (event_type)
+            WHERE e.value IS NOT NULL
+              AND abs(e.value - s.med) > 5 * s.mad
+            ORDER BY e.event_id
         """,
         # Stream-stream interval join drained AvailableNow must equal the
         # plain batch interval join.
