@@ -528,6 +528,27 @@ def _session_tz(spark: SparkSession, tz: str):
         spark.conf.set("spark.sql.session.timeZone", prior)
 
 
+@contextmanager
+def _stateful_stream_partitions(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` down for a stateful streaming
+    drain, restoring the caller's value afterwards.
+
+    Each stateful shuffle partition materializes its OWN state-store
+    instance per micro-batch; for a bounded AvailableNow drain the store
+    setup/commit overhead dwarfs the work when partitions track CPU count
+    instead of state volume (measured on the stream-stream interval join at
+    sf0.1: 15.0 s at 32 partitions -> 3.2 s at 8). Size by state, not by
+    cores: a quarter of defaultParallelism, floor 8 — a real deployment
+    with large per-key state raises it back via its own session conf."""
+    target = max(spark.sparkContext.defaultParallelism // 4, 8)
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
 def q_streaming_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-series via Structured Streaming: events parquet read as a file
     STREAM, watermarked tumbling-window agg, drained with
@@ -546,7 +567,7 @@ def q_streaming_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     # start back to NTZ so the output matches the timezone-free batch twin.
     # The pin is scoped — analysis AND the AvailableNow drain happen inside
     # it; the memory-sink output is NTZ, so reads after restore are tz-free.
-    with _session_tz(spark, "UTC"):
+    with _session_tz(spark, "UTC"), _stateful_stream_partitions(spark):
         ev = normalize_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
         agg = (
             ev.withWatermark("ts", "1 hour")
@@ -1035,7 +1056,7 @@ def q_streaming_dedup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    with _session_tz(spark, "UTC"):
+    with _session_tz(spark, "UTC"), _stateful_stream_partitions(spark):
         ev = normalize_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
         doubled = ev.select("event_id", "ts", F.explode(F.array(F.lit(1), F.lit(2))).alias("copy")).drop("copy")
         dedup_stream = doubled.withWatermark("ts", "48 hours").dropDuplicatesWithinWatermark(["event_id"])
@@ -1235,7 +1256,7 @@ def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFram
             .parquet(sf_dir)
         )
 
-    with _session_tz(spark, "UTC"):
+    with _session_tz(spark, "UTC"), _stateful_stream_partitions(spark):
         views = (
             normalize_ts(_stream())
             .withColumn("ts", F.col("ts").cast("timestamp"))
