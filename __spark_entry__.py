@@ -790,7 +790,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 multimodal plumbing: synthetic binary media → mapInPandas
     decode/feature-extract (rows-only; deterministic fake decode — real
     codecs are stubbed per the build contract)."""
-    media = multimodal.synthetic_media_df(spark, n=64)
+    media = multimodal.synthetic_media_df(spark, n=64).coalesce(4)
     feats = multimodal.extract_features(media)
     # Contract surface must be hashable row-wise (the harness canonicalizes
     # via pandas sort_values): flatten the array<float> into rounded scalar
@@ -1120,7 +1120,10 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py). ``mean_pixel`` is the self-validating
     evidence column: area averaging preserves the global mean, so it must
     equal the decoded array's mean."""
-    media = multimodal.synthetic_media_df(spark, n=64)
+    # coalesce the 64-row toy table so mapInPandas spins up 4 Python
+    # workers, not defaultParallelism (same query-side note as
+    # q_media_near_dups; real media tables keep their scan parallelism)
+    media = multimodal.synthetic_media_df(spark, n=64).coalesce(4)
     resized = multimodal.resize_media(media, out_h=4, out_w=4)
     return resized.select(
         "media_id",
