@@ -206,3 +206,52 @@ def test_connected_components_match_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# Bucketized range join: equivalence with the naive containment join for
+# arbitrary interval shapes (zero-length, overlapping, out-of-range) and
+# arbitrary bucket widths — the bucket decomposition must never change the
+# matched pair set.
+# --------------------------------------------------------------------------
+
+@settings(**SETTINGS)
+@given(
+    facts=st.lists(st.integers(min_value=0, max_value=600), min_size=1, max_size=15),
+    ivals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=600),
+            st.integers(min_value=0, max_value=180),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    width=st.sampled_from([7, 60, 3600]),
+)
+def test_range_join_matches_naive(spark, facts, ivals, width):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+
+    fdf = spark.createDataFrame(
+        [(i, BASE + dt.timedelta(seconds=s)) for i, s in enumerate(facts)],
+        "fact_id int, ts timestamp_ntz",
+    )
+    idf = spark.createDataFrame(
+        [
+            (j, BASE + dt.timedelta(seconds=lo), BASE + dt.timedelta(seconds=lo + span))
+            for j, (lo, span) in enumerate(ivals)
+        ],
+        "ival_id int, lo timestamp_ntz, hi timestamp_ntz",
+    )
+    got = {
+        (r.fact_id, r.ival_id)
+        for r in bucketed_range_join(fdf, idf, bucket_seconds=width).collect()
+    }
+    want = {
+        (i, j)
+        for i, s in enumerate(facts)
+        for j, (lo, span) in enumerate(ivals)
+        if lo <= s <= lo + span
+    }
+    assert got == want
