@@ -226,6 +226,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     threshold: float = 0.8,
     reuse_signatures: bool = True,
+    shingle_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: candidates → exact Jaccard verify.
 
@@ -242,8 +243,22 @@ def minhash_near_duplicates(
     computed off the cached shingles in a single branch (banding), so it
     needs no persist of its own. Callers doing their own checkpointing can
     pass False.
+
+    ``shingle_corpus``: a SUPERSET corpus whose canonical shingle table
+    should be (re)used — the table is restricted to ``df``'s ids by
+    semi-join, so a filtered-subset caller (the cleaning chains) rides the
+    session-shared cache instead of re-tokenizing its subset. Pairs are
+    still emitted only within ``df``.
     """
-    base = shingle_table(df, text_col, id_col, n, persist=reuse_signatures)
+    base = shingle_table(
+        shingle_corpus if shingle_corpus is not None else df,
+        text_col,
+        id_col,
+        n,
+        persist=reuse_signatures,
+    )
+    if shingle_corpus is not None:
+        base = base.join(df.select(id_col), id_col, "left_semi")
     sigs = base.select(
         F.col(id_col), minhash_signature_col(F.col("shingles"), num_hashes).alias("minhash")
     )

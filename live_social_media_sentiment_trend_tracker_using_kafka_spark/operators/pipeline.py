@@ -77,7 +77,12 @@ def clean_corpus(
     # so the lang/quality/dedup tier (regex-heavy) computes once.
     base = tracked_persist(clean_corpus_exact(docs, langs, min_quality))
     survivors = docs.join(base.select("doc_id"), "doc_id", "left_semi")
-    pairs = dedup.minhash_near_duplicates(survivors, threshold=near_dup_threshold)
+    # shingle_corpus=docs: ride the session-canonical full-corpus shingle
+    # table (restricted to survivors by id) instead of re-tokenizing the
+    # filtered subset as a distinct plan
+    pairs = dedup.minhash_near_duplicates(
+        survivors, threshold=near_dup_threshold, shingle_corpus=docs
+    )
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return base.join(drop, "doc_id", "left_anti").orderBy("doc_id")
 
@@ -99,6 +104,12 @@ def clean_corpus_exact_neardup(
 
     base = tracked_persist(clean_corpus_exact(docs, langs, min_quality))  # two consumers
     survivors = docs.join(base.select("doc_id"), "doc_id", "left_semi")
-    pairs = jaccard_similarity_join(survivors, threshold=near_dup_threshold)
+    # order_corpus=docs: index the full corpus once (the session-canonical
+    # frequency-sorted table, shared with similarity_join_exact/minhash)
+    # and restrict to survivors — prefix filtering is exact under any
+    # fixed global order, so superset frequencies change nothing
+    pairs = jaccard_similarity_join(
+        survivors, threshold=near_dup_threshold, order_corpus=docs
+    )
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return base.join(drop, "doc_id", "left_anti").orderBy("doc_id")

@@ -80,6 +80,7 @@ def jaccard_similarity_join(
     n: int = 3,
     round_digits: int = 6,
     reuse_index: bool = True,
+    order_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (id_a, id_b, jaccard) with exact n-gram Jaccard >= threshold.
 
@@ -92,12 +93,26 @@ def jaccard_similarity_join(
     branch and both verify sides share one tokenization pass; pass False
     when managing caching/checkpointing externally (the cache lives until
     the session evicts it — same contract as minhash's reuse_signatures).
+
+    ``order_corpus``: a SUPERSET corpus to index (e.g. the unfiltered
+    documents table); the index is then restricted to ``df``'s ids by
+    semi-join. The prefix-filter property only needs SOME fixed global
+    order, so superset document frequencies stay exact — and the
+    superset's sorted-shingle table is the session-canonical plan, reused
+    via cached-subplan substitution by every other consumer instead of
+    re-tokenizing each filtered subset. Pairs are still emitted only
+    within ``df``.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
-    sorted_docs = frequency_sorted_shingles(df, text_col, id_col, n, persist_shingles=reuse_index)
+    index_base = order_corpus if order_corpus is not None else df
+    sorted_docs = frequency_sorted_shingles(
+        index_base, text_col, id_col, n, persist_shingles=reuse_index
+    )
     if reuse_index:
         sorted_docs = tracked_persist(sorted_docs)
+    if order_corpus is not None:
+        sorted_docs = sorted_docs.join(df.select(id_col), id_col, "left_semi")
     pref_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
     prefixes = sorted_docs.select(
         F.col(id_col).alias("pid"),
