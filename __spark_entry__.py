@@ -1200,6 +1200,21 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 LM preprocessing: sliding-window chunking of long documents
+    (64-token chunks, stride 48 — overlap preserves cross-boundary
+    context). Fully oracle-checked, chunk text included."""
+    return corpus.chunk_documents(
+        _t(spark, sf_dir, "documents"), max_tokens=64, stride=48
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 vocabulary sizing: top-100 token types with cumulative corpus
+    coverage (fraction of all token occurrences). Fully oracle-checked."""
+    return corpus.vocab_coverage(_t(spark, sf_dir, "documents"), k=100)
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values per event_type (20-unit bins),
     fully oracle-checked — the distribution-profiling primitive every data
@@ -1400,6 +1415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_view_purchase_join": q_streaming_view_purchase_join,
         "value_histogram": q_value_histogram,
         "value_outliers_mad": q_value_outliers_mad,
+        "chunk_documents": q_chunk_documents,
+        "vocab_coverage": q_vocab_coverage,
         # -- tier 2: rows-only, never in a driver window --------------------
         "cosine_near_dups": q_cosine_near_dups,
         "lsh_similarity_topk": q_lsh_similarity_topk,
@@ -2411,6 +2428,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(keptl) AS n_lines_kept,
                    array_to_string(keptl, chr(10)) AS text_clean
             FROM kept WHERE len(keptl) > 0 ORDER BY doc_id
+        """,
+        # Sliding-window chunking: same tokenizer twin as the cluster CTEs;
+        # DuckDB list slicing is 1-based inclusive, Spark slice(start, len).
+        "chunk_documents": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                         string_split_regex(lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                         t -> t <> '') AS t
+                FROM documents
+            ), nz AS (SELECT * FROM toks WHERE len(t) > 0),
+            ch AS (
+                SELECT doc_id,
+                       unnest(range(0, CAST(ceil(len(t) / 48.0) AS BIGINT))) AS cid,
+                       t
+                FROM nz
+            )
+            SELECT doc_id,
+                   CAST(cid AS INT) AS chunk_id,
+                   len(t[cid*48 + 1 : cid*48 + 64]) AS n_chunk_tokens,
+                   array_to_string(t[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
+            FROM ch ORDER BY doc_id, chunk_id
+        """,
+        "vocab_coverage": r"""
+            WITH tok AS (
+                SELECT unnest(list_filter(
+                         string_split_regex(lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                         t -> t <> '')) AS token
+                FROM documents
+            ), c AS (
+                SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+                ORDER BY n DESC, token LIMIT 100
+            ), tot AS (SELECT COUNT(*) AS total FROM tok)
+            SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank,
+                   token, n,
+                   ROUND(SUM(n) OVER (ORDER BY n DESC, token
+                                      ROWS UNBOUNDED PRECEDING)
+                         / (SELECT total FROM tot), 6) AS cum_coverage
+            FROM c ORDER BY rank
         """,
         "value_histogram": """
             SELECT event_type,

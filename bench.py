@@ -60,6 +60,10 @@ HEADLINE = [
     "time_series_gapfill",
     "bloom_decontamination",
     "streaming_view_purchase_join",
+    "chunk_documents",
+    "vocab_coverage",
+    "value_histogram",
+    "value_outliers_mad",
     "cosine_pairs_sample",
     "label_centroids",
     "asof_last_purchase",

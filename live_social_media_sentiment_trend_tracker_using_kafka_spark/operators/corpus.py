@@ -343,3 +343,88 @@ def line_dedup(
         )
         .orderBy(id_col)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window document chunking — the complement of
+    ``pack_documents``: long docs split into ``max_tokens``-token training
+    chunks whose starts advance by ``stride`` (overlap = max_tokens -
+    stride preserves cross-boundary context, the standard LM preprocessing
+    recipe).
+
+    Chunk c covers tokens [c·stride, c·stride + max_tokens); chunks exist
+    for every start < n_tokens, so the tail is a shorter final chunk rather
+    than dropped text. Entirely per-row Catalyst (token let-binding via a
+    single-element transform, chunk fan-out via sequence+explode) — no
+    shuffle, no Python; chunk count per doc is ceil(n/stride), so output
+    size is a fixed multiple of the corpus, never quadratic.
+
+    Output: (id, chunk_id, n_chunk_tokens, chunk_text), token-less docs
+    excluded (they have nothing to chunk).
+    """
+    if stride < 1 or max_tokens < 1:
+        raise ValueError("max_tokens and stride must be >= 1")
+    toks = df.select(
+        F.col(id_col), word_tokens_col(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") > 0)
+    n_chunks = F.ceil(F.size("toks") / F.lit(stride)).cast("int")
+    chunked = toks.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        F.col("toks"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.slice("toks", F.col("chunk_id") * stride + 1, max_tokens).alias("chunk"),
+    )
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "chunk").alias("chunk_text"),
+    ).orderBy(id_col, "chunk_id")
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``k`` vocabulary with cumulative corpus coverage — the
+    vocabulary-sizing curve (what fraction of all token OCCURRENCES the
+    most frequent k types cover).
+
+    One explode + hash agg over the corpus; the window runs on the k-row
+    top slice only (TakeOrderedAndProject keeps the big sort off the full
+    vocabulary). Deterministic tie-break: count desc, token asc.
+    """
+    total = df.select(
+        F.sum(F.size(word_tokens_col(F.col(text_col)))).alias("_total")
+    )
+    counts = (
+        df.select(F.explode(word_tokens_col(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("n"), "token").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            F.row_number().over(Window.orderBy(F.desc("n"), "token")).alias("rank"),
+            "token",
+            "n",
+            F.round(F.sum("n").over(w) / F.col("_total"), round_digits).alias(
+                "cum_coverage"
+            ),
+        )
+        .orderBy("rank")
+    )
