@@ -178,3 +178,36 @@ def test_bigram_logprob_partial_aggregation_jvm_side(spark):
     plan = plan_text(df)
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert_no_python_udf(df)
+
+
+def test_vocab_coverage_topk_is_take_ordered(spark):
+    """The top-k slice must be TakeOrderedAndProject — the full-vocabulary
+    sort never materializes."""
+    df = entrymod.q_vocab_coverage(spark, SF)
+    assert "TakeOrderedAndProject" in plan_text(df), plan_text(df)
+    assert_no_python_udf(df)
+
+
+def test_chunk_documents_stays_jvm_side(spark):
+    df = entrymod.q_chunk_documents(spark, SF)
+    plan = plan_text(df)
+    assert_no_python_udf(df)
+    # per-row fan-out: one Generate (explode), no join anywhere
+    assert "Join" not in plan, plan
+
+
+def test_value_outliers_broadcast_thresholds(spark):
+    """Both median/MAD threshold tables join back as broadcasts onto the
+    fact scan — the fact side never shuffles on event_type."""
+    df = entrymod.q_value_outliers_mad(spark, SF)
+    assert_broadcast_join(df, expected=2)
+    assert_no_python_udf(df)
+
+
+def test_range_join_fact_side_hash_join(spark):
+    """The containment join plans as a hash equi-join on the bucket key;
+    the only nested-loop is the documented 1-row anchor cross join."""
+    df = entrymod.q_range_join_windows(spark, SF)
+    plan = plan_text(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
