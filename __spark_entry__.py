@@ -1200,6 +1200,37 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated avg-quantity subquery decorrelated
+    into a per-part aggregate joined back (operators/relational.py)."""
+    return relational.small_quantity_revenue(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem"), brand="Brand#1", frac=0.5
+    )
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarter revenue view, global max as a one-row
+    broadcast, equality join back — ties surface deterministically."""
+    return relational.top_supplier_revenue(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        date_from="1996-01-01",
+        date_to="1996-04-01",
+    )
+
+
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 flavor (no partsupp table in the testdata): per small part,
+    the min-observed-unit-price supplier, min-suppkey tie-break — the
+    correlated MIN subquery decorrelated into aggregate + join back."""
+    return relational.cheapest_supplier_per_part(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        max_size=10,
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 LM preprocessing: sliding-window chunking of long documents
     (64-token chunks, stride 48 — overlap preserves cross-boundary
@@ -1417,6 +1448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers_mad": q_value_outliers_mad,
         "chunk_documents": q_chunk_documents,
         "vocab_coverage": q_vocab_coverage,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
         # -- tier 2: rows-only, never in a driver window --------------------
         "cosine_near_dups": q_cosine_near_dups,
         "lsh_similarity_topk": q_lsh_similarity_topk,
@@ -2428,6 +2462,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(keptl) AS n_lines_kept,
                    array_to_string(keptl, chr(10)) AS text_clean
             FROM kept WHERE len(keptl) > 0 ORDER BY doc_id
+        """,
+        "small_quantity_revenue": """
+            WITH bl AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#1'
+            ), cut AS (
+                SELECT l_partkey, 0.5 * AVG(l_quantity) AS qty_cut
+                FROM bl GROUP BY l_partkey
+            )
+            SELECT ROUND(SUM(l_extendedprice) / 7.0, 6) AS avg_yearly
+            FROM bl JOIN cut USING (l_partkey)
+            WHERE l_quantity < qty_cut
+        """,
+        "top_supplier_revenue": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "cheapest_supplier_per_part": """
+            WITH unit AS (
+                SELECT p_partkey, p_name, l_suppkey,
+                       ROUND(l_extendedprice / l_quantity, 6) AS unit_price
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_size <= 10 AND l_quantity > 0
+            ), best AS (
+                SELECT p_partkey, MIN(unit_price) AS min_price
+                FROM unit GROUP BY p_partkey
+            ), winners AS (
+                SELECT u.p_partkey, u.p_name, u.unit_price,
+                       MIN(u.l_suppkey) AS s_suppkey
+                FROM unit u JOIN best b
+                  ON u.p_partkey = b.p_partkey AND u.unit_price = b.min_price
+                GROUP BY u.p_partkey, u.p_name, u.unit_price
+            )
+            SELECT w.p_partkey, w.p_name, w.s_suppkey, s.s_name,
+                   w.unit_price AS min_unit_price
+            FROM winners w JOIN supplier s USING (s_suppkey)
+            ORDER BY w.p_partkey
         """,
         # Sliding-window chunking: same tokenizer twin as the cluster CTEs;
         # DuckDB list slicing is 1-based inclusive, Spark slice(start, len).

@@ -61,6 +61,9 @@ HEADLINE = [
     "bloom_decontamination",
     "streaming_view_purchase_join",
     "chunk_documents",
+    "small_quantity_revenue",
+    "top_supplier_revenue",
+    "cheapest_supplier_per_part",
     "vocab_coverage",
     "value_histogram",
     "value_outliers_mad",

@@ -409,3 +409,105 @@ def dormant_high_value_customers(
         )
         .orderBy("c_nationkey")
     )
+
+
+def small_quantity_revenue(
+    part: DataFrame,
+    lineitem: DataFrame,
+    brand: str = "Brand#1",
+    frac: float = 0.5,
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders of less than ``frac`` of a
+    part's average order quantity, for one brand.
+
+    The spec's correlated scalar subquery (avg l_quantity per l_partkey)
+    decorrelates into a per-part aggregate joined back onto the fact scan;
+    the brand filter semi-joins BOTH the aggregate input and the probe, so
+    the average is computed only for surviving parts and the part dim
+    broadcasts twice rather than shuffling lineitem at all.
+    """
+    bparts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(bparts), lineitem["l_partkey"] == bparts["p_partkey"]
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.lit(frac) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+def top_supplier_revenue(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the quarter's maximum
+    revenue — a derived revenue view, its global max as a one-row
+    broadcast, and an equality join back (the decorrelated form of the
+    spec's ``revenue = (SELECT max ...)`` subquery). Ties all surface,
+    deterministically ordered."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from))
+            & (F.col("l_shipdate") < F.lit(date_to))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mr"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["mr"])
+        .join(supplier, rev["l_suppkey"] == supplier["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def cheapest_supplier_per_part(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    max_size: int = 10,
+) -> DataFrame:
+    """TPC-H Q2 flavor on the available tables (no partsupp in the
+    testdata): for each small part, the supplier offering the minimum
+    observed unit price (extendedprice/quantity), min-suppkey on ties.
+
+    The spec's correlated MIN subquery decorrelates into a per-part
+    aggregate + equality join back; both reductions are plain hash aggs on
+    l_partkey — the fact table shuffles once, the dims broadcast.
+    """
+    sparts = part.filter(F.col("p_size") <= max_size).select("p_partkey", "p_name")
+    unit = (
+        lineitem.filter(F.col("l_quantity") > 0)
+        .join(F.broadcast(sparts), lineitem["l_partkey"] == sparts["p_partkey"])
+        .select(
+            "p_partkey",
+            "p_name",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_price"),
+        )
+    )
+    best = unit.groupBy("p_partkey").agg(F.min("unit_price").alias("min_price"))
+    return (
+        unit.join(
+            F.broadcast(best),
+            (unit["p_partkey"] == best["p_partkey"])
+            & (unit["unit_price"] == best["min_price"]),
+        )
+        .drop(best["p_partkey"])
+        .groupBy("p_partkey", "p_name", "unit_price")
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+        .join(supplier, "s_suppkey")
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", F.col("unit_price").alias("min_unit_price"))
+        .orderBy("p_partkey")
+    )

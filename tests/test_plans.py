@@ -211,3 +211,20 @@ def test_range_join_fact_side_hash_join(spark):
     plan = plan_text(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q17_shape_decorrelated_broadcasts(spark):
+    """Q17's correlated avg subquery must decorrelate: part dim and the
+    per-part threshold table both broadcast; lineitem never shuffles on
+    partkey for the probe side."""
+    df = entrymod.q_small_quantity_revenue(spark, SF)
+    assert_broadcast_join(df, expected=2)
+    assert_no_python_udf(df)
+
+
+def test_q15_shape_max_is_single_row_broadcast(spark):
+    df = entrymod.q_top_supplier_revenue(spark, SF)
+    plan = plan_text(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert_no_python_udf(df)
