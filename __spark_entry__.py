@@ -1200,6 +1200,27 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 ingest-time near-dup check (dedup.incremental_near_duplicates):
+    a NEW batch screened against the EXISTING corpus — batch×corpus LSH
+    bucket join, never corpus×corpus. Rows-only (xxhash64 banding), so the
+    check plants its own evidence: every 10th-id doc plays the incoming
+    batch plus 5 planted twins of corpus docs (three appended tokens —
+    Jaccard ≈ 0.92), and ``planted_pair`` must flag exactly those 5
+    (asserted in tests/test_query_contracts.py)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_side = docs.filter(F.col("doc_id") % 10 != 0)
+    twins = corpus_side.filter((F.col("doc_id") % 10 == 1) & (F.col("doc_id") < 50)).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" incremental twin marker")).alias("text"),
+    )
+    incoming = docs.filter(F.col("doc_id") % 10 == 0).unionByName(twins)
+    pairs = dedup.incremental_near_duplicates(incoming, corpus_side, threshold=0.8)
+    return pairs.withColumn(
+        "planted_pair", F.col("incoming_id") - F.col("corpus_id") == 2_000_000
+    )
+
+
 def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: the correlated avg-quantity subquery decorrelated
     into a per-part aggregate joined back (operators/relational.py)."""
@@ -1448,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers_mad": q_value_outliers_mad,
         "chunk_documents": q_chunk_documents,
         "vocab_coverage": q_vocab_coverage,
+        "incremental_near_dups": q_incremental_near_dups,
         "small_quantity_revenue": q_small_quantity_revenue,
         "top_supplier_revenue": q_top_supplier_revenue,
         "cheapest_supplier_per_part": q_cheapest_supplier_per_part,

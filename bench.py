@@ -61,6 +61,7 @@ HEADLINE = [
     "bloom_decontamination",
     "streaming_view_purchase_join",
     "chunk_documents",
+    "incremental_near_dups",
     "small_quantity_revenue",
     "top_supplier_revenue",
     "cheapest_supplier_per_part",

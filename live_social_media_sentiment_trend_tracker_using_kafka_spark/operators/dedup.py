@@ -454,3 +454,72 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+
+
+def incremental_near_duplicates(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Ingest-time near-dup check: pairs (incoming_id, corpus_id, jaccard)
+    between a NEW batch and the EXISTING corpus — never corpus × corpus.
+
+    The batch-vs-corpus asymmetry is what makes continuous ingestion
+    tractable at 100 TB: the corpus side is banded once (here from the
+    session-canonical cached shingle table; a production ingest keeps the
+    banded signature table materialized/bucketed on (band, bucket) so each
+    arriving batch joins against it with no corpus re-scan), the incoming
+    batch — tiny by comparison — is shingled, signed and banded on the
+    fly, and candidates are only cross pairs sharing an LSH bucket. Exact
+    Jaccard verification touches candidates alone, reading shingles from
+    both sides' tables. Output ordered (incoming_id, corpus_id).
+    """
+    inc_base = shingle_table(incoming, text_col, id_col, n, persist=True)
+    cor_base = shingle_table(corpus, text_col, id_col, n, persist=True)
+
+    def banded(base: DataFrame, side: str) -> DataFrame:
+        sigs = base.select(
+            F.col(id_col), minhash_signature_col(F.col("shingles"), num_hashes).alias("minhash")
+        )
+        rows_per_band = num_hashes // bands
+        return sigs.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(f"{side}_id", "bb.band", "bb.bucket")
+    cands = (
+        banded(inc_base, "inc")
+        .join(banded(cor_base, "cor"), ["band", "bucket"])
+        .select("inc_id", "cor_id")
+        .distinct()
+    )
+    a = inc_base.select(F.col(id_col).alias("inc_id"), F.col("shingles").alias("sh_a")).hint("merge")
+    b = cor_base.select(F.col(id_col).alias("cor_id"), F.col("shingles").alias("sh_b")).hint("merge")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        cands.join(a, "inc_id")
+        .join(b, "cor_id")
+        .select(
+            F.col("inc_id").alias("incoming_id"),
+            F.col("cor_id").alias("corpus_id"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("incoming_id", "corpus_id")
+    )

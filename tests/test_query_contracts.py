@@ -136,3 +136,16 @@ def test_clean_corpus_lsh_keeps_superset_of_exact_chain(spark):
         r.doc_id for r in entrymod.q_clean_corpus_exact_neardup(spark, SF_SMOKE).collect()
     }
     assert exact_kept <= lsh_kept
+
+
+def test_incremental_near_dups_contract(spark):
+    """The ingest-time check must recover every planted incoming twin
+    against its corpus original, with no incoming-incoming or
+    corpus-corpus pairs."""
+    rows = entrymod.q_incremental_near_dups(spark, SF_SMOKE).collect()
+    planted = [r for r in rows if r.planted_pair]
+    assert len(planted) == 5, rows
+    assert all(r.jaccard >= 0.8 for r in rows)
+    # output pairs are strictly incoming x corpus
+    assert all(r.incoming_id >= 2_000_000 or r.incoming_id % 10 == 0 for r in rows)
+    assert all(r.corpus_id % 10 != 0 for r in rows)
