@@ -1200,6 +1200,32 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 custom stateful operator (applyInPandasWithState), oracle-checked
+    end to end: events read as a file STREAM, per-user running count/value
+    state updated in Arrow batches, drained AvailableNow — a single batch,
+    so the emitted state equals the plain batch aggregate and DuckDB can
+    hash-check the escape-hatch API itself."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.streaming.stateful import (
+        running_user_value_stats,
+    )
+
+    raw_schema = table(spark, "events", sf_dir).schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    with _stateful_stream_partitions(spark):
+        stats = running_user_value_stats(raw.select("user_id", "value"))
+        _STREAM_SEQ[0] += 1
+        name = f"stream_uvs_{_STREAM_SEQ[0]}"
+        out = run_available_now_to_memory(stats, spark, name, output_mode="update")
+    return out.select(
+        "user_id", "n_events", F.round("total_value", 6).alias("total_value")
+    ).orderBy("user_id")
+
+
 def q_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 ingest-time near-dup check (dedup.incremental_near_duplicates):
     a NEW batch screened against the EXISTING corpus — batch×corpus LSH
@@ -1470,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "vocab_coverage": q_vocab_coverage,
         "incremental_near_dups": q_incremental_near_dups,
+        "streaming_user_value_stats": q_streaming_user_value_stats,
         "small_quantity_revenue": q_small_quantity_revenue,
         "top_supplier_revenue": q_top_supplier_revenue,
         "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
@@ -2484,6 +2511,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(keptl) AS n_lines_kept,
                    array_to_string(keptl, chr(10)) AS text_clean
             FROM kept WHERE len(keptl) > 0 ORDER BY doc_id
+        """,
+        # Single AvailableNow batch => the custom stateful operator's
+        # emitted state equals the plain batch aggregate.
+        "streaming_user_value_stats": """
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS total_value
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "small_quantity_revenue": """
             WITH bl AS (

@@ -62,6 +62,7 @@ HEADLINE = [
     "streaming_view_purchase_join",
     "chunk_documents",
     "incremental_near_dups",
+    "streaming_user_value_stats",
     "small_quantity_revenue",
     "top_supplier_revenue",
     "cheapest_supplier_per_part",

@@ -98,3 +98,49 @@ def running_user_stats(posts: DataFrame, ttl_ms: int | None = None) -> DataFrame
             timeoutConf=timeout,
         )
     )
+
+
+RUNNING_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), False),
+    ]
+)
+
+_VALUE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), False),
+    ]
+)
+
+
+def running_user_value_stats(events: DataFrame) -> DataFrame:
+    """Cumulative per-user event count + value sum over the generic events
+    stream — the ``applyInPandasWithState`` escape hatch exercised on the
+    driver testdata (the posts variant above mirrors the reference's
+    schema). One updated row per key per micro-batch; under a single
+    AvailableNow batch the output equals the batch aggregate, which is what
+    lets the driver hash-check the custom-stateful API end to end."""
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_VALUE_SCHEMA,
+        stateStructType=_VALUE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
