@@ -35,6 +35,7 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.text 
     LANG_MARKERS,
     STOPWORDS,
     TOKEN_PATTERN,
+    clean_text_col,
     fingerprint_col,
     lang_id_col,
     extract_domains_col,
@@ -1200,6 +1201,40 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 temperature-weighted mixture sampling (sampling.temperature_mix):
+    per-source quotas ∝ count^0.5 (the multilingual p^alpha recipe), rows
+    picked by deterministic md5 rank. Fully oracle-checked."""
+    return sampling.temperature_mix(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "source"),
+        group_col="source",
+        alpha=0.5,
+        total_docs=200,
+    )
+
+
+def q_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 ingest text cleaning (functions/text.py clean_text_col), fully
+    oracle-checked and non-vacuous: every 4th doc gets typographic quotes,
+    a control char, tab runs and an em-dash planted, then the cleaner must
+    strip/fold/collapse them — lengths before/after and the cleaned text
+    itself are hash-compared."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("“quoted” \x07bell\t\ttabs  spaces—dash  "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return planted.select(
+        "doc_id",
+        F.length("text").alias("n_before"),
+        F.length(clean_text_col(F.col("text"))).alias("n_after"),
+        clean_text_col(F.col("text")).alias("text_clean"),
+    ).orderBy("doc_id")
+
+
 def q_streaming_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 custom stateful operator (applyInPandasWithState), oracle-checked
     end to end: events read as a file STREAM, per-user running count/value
@@ -1497,6 +1532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "incremental_near_dups": q_incremental_near_dups,
         "streaming_user_value_stats": q_streaming_user_value_stats,
+        "temperature_mix": q_temperature_mix,
+        "text_normalization": q_text_normalization,
         "small_quantity_revenue": q_small_quantity_revenue,
         "top_supplier_revenue": q_top_supplier_revenue,
         "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
@@ -2511,6 +2548,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(keptl) AS n_lines_kept,
                    array_to_string(keptl, chr(10)) AS text_clean
             FROM kept WHERE len(keptl) > 0 ORDER BY doc_id
+        """,
+        # Temperature mixing: floor'd count^alpha quotas, md5-rank pick —
+        # identical arithmetic in both engines.
+        "temperature_mix": """
+            WITH c AS (
+                SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+            ), z AS (SELECT SUM(POW(n, 0.5)) AS z FROM c),
+            q AS (
+                SELECT source,
+                       CAST(floor(200.0 * POW(n, 0.5) / (SELECT z FROM z)) AS BIGINT) AS quota
+                FROM c
+            ), ranked AS (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents
+            )
+            SELECT r.doc_id, r.lang, r.source
+            FROM ranked r JOIN q USING (source)
+            WHERE r.rn <= q.quota
+            ORDER BY r.source, r.doc_id
+        """,
+        # Same plant, same five regex passes in the same order, trim last.
+        "text_normalization": """
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN '“quoted” ' || chr(7) || 'bell' || chr(9) || chr(9)
+                                 || 'tabs  spaces—dash  ' || text
+                            ELSE text END AS text
+                FROM documents
+            ), cleaned AS (
+                SELECT doc_id, text,
+                       trim(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(
+                                 regexp_replace(
+                                   regexp_replace(text,
+                                     '[' || chr(0) || '-' || chr(8) || chr(11) || chr(12)
+                                         || chr(14) || '-' || chr(31) || chr(127) || ']', '', 'g'),
+                                   '[“”«»]', '"', 'g'),
+                                 '[‘’]', chr(39), 'g'),
+                               '[–—]', '-', 'g'),
+                             '[ ' || chr(9) || ']+', ' ', 'g'),
+                           ' ?' || chr(10) || ' ?', chr(10), 'g')
+                       ) AS text_clean
+                FROM planted
+            )
+            SELECT doc_id,
+                   length(text) AS n_before,
+                   length(text_clean) AS n_after,
+                   text_clean
+            FROM cleaned ORDER BY doc_id
         """,
         # Single AvailableNow batch => the custom stateful operator's
         # emitted state equals the plain batch aggregate.

@@ -63,6 +63,8 @@ HEADLINE = [
     "chunk_documents",
     "incremental_near_dups",
     "streaming_user_value_stats",
+    "temperature_mix",
+    "text_normalization",
     "small_quantity_revenue",
     "top_supplier_revenue",
     "cheapest_supplier_per_part",

@@ -181,3 +181,19 @@ def lang_id_col(text: Column) -> Column:
         best = F.when(s > best_score, F.lit(lang)).otherwise(best)
         best_score = F.when(s > best_score, s).otherwise(best_score)
     return F.when(cjk > 0, F.lit("zh")).otherwise(best)
+
+
+def clean_text_col(text: Column) -> Column:
+    """Ingest text normalization: strip control characters (keeping
+    tab/newline, which the cleaner then canonicalizes), fold typographic
+    quotes/dashes to ASCII, collapse runs of spaces/tabs, and trim — the
+    standard pre-tokenization cleanup a web-scrape pipeline applies before
+    any quality scoring or dedup. Pure regexp columns, fully
+    oracle-expressible (same patterns run in RE2/Java regex alike)."""
+    t = F.regexp_replace(text, "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    t = F.regexp_replace(t, "[“”«»]", '"')
+    t = F.regexp_replace(t, "[‘’]", "'")
+    t = F.regexp_replace(t, "[–—]", "-")
+    t = F.regexp_replace(t, "[ \t]+", " ")
+    t = F.regexp_replace(t, " ?\n ?", "\n")
+    return F.trim(t)

@@ -242,3 +242,43 @@ def priority_source_dedup(
         .drop("__rn")
         .orderBy(id_col)
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    total_docs: int = 1000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling: per-group quotas proportional
+    to ``count^alpha`` (the multilingual/multi-source ``p_i^alpha`` recipe
+    — alpha < 1 up-weights small groups, alpha = 1 is proportional,
+    alpha = 0 is uniform-by-group), rows chosen deterministically by
+    md5(id) rank within each group.
+
+    Fully deterministic and SQL-expressible: quotas are
+    floor(total · c^alpha / Σc^alpha) (floor, never round — identical in
+    every engine), the per-group pick is the same md5-order rank
+    ``stratified_sample`` uses. Plan: one count aggregate (tiny — one row
+    per group, broadcast back), one ranked window per group partition. A
+    group's quota is capped by its size implicitly (rank can't exceed it).
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_c"))
+    denom = counts.agg(F.sum(F.pow(F.col("_c"), F.lit(alpha))).alias("_z"))
+    quotas = counts.join(F.broadcast(denom)).select(
+        group_col,
+        F.floor(
+            F.lit(float(total_docs)) * F.pow(F.col("_c"), F.lit(alpha)) / F.col("_z")
+        ).alias("_quota"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), group_col)
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .select(*df.columns)
+        .orderBy(group_col, id_col)
+    )

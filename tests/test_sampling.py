@@ -109,3 +109,24 @@ def test_token_budget_mix_chunked_equals_single_window(spark):
     coarse = sampling.token_budget_mix(docs, budgets, chunks=1).collect()
     key = lambda rows: sorted((r.doc_id, r.source, r.n_tokens, r.cum_tokens) for r in rows)
     assert key(fine) == key(coarse)
+
+
+def test_temperature_mix_alpha_extremes(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    # alpha=1: proportional -> quotas 90%/10% of 50
+    prop = temperature_mix(df, "source", alpha=1.0, total_docs=50).groupBy("source").count()
+    got = {r.source: r["count"] for r in prop.collect()}
+    assert got == {"big": 45, "small": 5}
+    # alpha=0: uniform by group -> 25 each (small capped by its 10 rows)
+    uni = temperature_mix(df, "source", alpha=0.0, total_docs=50).groupBy("source").count()
+    got = {r.source: r["count"] for r in uni.collect()}
+    assert got == {"big": 25, "small": 10}  # rank cap: can't sample more than exists
+    # determinism: same pick twice
+    a = sorted(r.doc_id for r in temperature_mix(df, "source", 0.5, 40).collect())
+    b = sorted(r.doc_id for r in temperature_mix(df, "source", 0.5, 40).collect())
+    assert a == b

@@ -137,3 +137,21 @@ def test_url_and_domain_extraction(spark):
     domains = _one(spark, text, extract_domains_col(F.col("text")))
     assert domains == ["docs.example.org", "cdn.example.net"]
     assert _one(spark, "no links here", extract_urls_col(F.col("text"))) == []
+
+
+def test_clean_text_col_goldens(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.text import (
+        clean_text_col,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("“smart” ‘quotes’", "\"smart\" 'quotes'"),
+        ("a\x07b\x00c", "abc"),                       # control chars stripped
+        ("tabs\t\tand  runs", "tabs and runs"),       # whitespace collapsed
+        ("en–dash em—dash", "en-dash em-dash"),
+        ("  padded  \n  line  ", "padded\nline"),     # newline tidied, trimmed
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], ["t"])
+    got = [r.c for r in df.select(clean_text_col(F.col("t")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
