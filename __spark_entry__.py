@@ -1201,6 +1201,23 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 time-series anomaly layer: gap-filled hourly event counts →
+    trailing-24h rolling mean/stddev (current bucket excluded) → 3-sigma
+    flag. Fully oracle-checked including the flag column."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = timeseries.time_bucket_gapfill(
+        ev,
+        ts_col="ts",
+        width_seconds=3600,
+        aggs={"n_events": F.count(F.lit(1))},
+        fill={"n_events": "zero"},
+    )
+    return timeseries.with_rolling_stats(
+        hourly, "n_events", window_buckets=24, z_threshold=3.0
+    ).orderBy("bucket")
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 temperature-weighted mixture sampling (sampling.temperature_mix):
     per-source quotas ∝ count^0.5 (the multilingual p^alpha recipe), rows
@@ -1534,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_value_stats": q_streaming_user_value_stats,
         "temperature_mix": q_temperature_mix,
         "text_normalization": q_text_normalization,
+        "rolling_anomalies": q_rolling_anomalies,
         "small_quantity_revenue": q_small_quantity_revenue,
         "top_supplier_revenue": q_top_supplier_revenue,
         "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
@@ -2548,6 +2566,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(keptl) AS n_lines_kept,
                    array_to_string(keptl, chr(10)) AS text_clean
             FROM kept WHERE len(keptl) > 0 ORDER BY doc_id
+        """,
+        # Gap-filled hourly counts -> trailing-24 rolling stats (current row
+        # excluded) -> 3-sigma flag; sample stddev on both sides.
+        "rolling_anomalies": """
+            WITH b AS (
+                SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS idx,
+                       COUNT(*) AS n
+                FROM events WHERE ts IS NOT NULL GROUP BY idx
+            ), spine AS (
+                SELECT unnest(range((SELECT min(idx) FROM b),
+                                    (SELECT max(idx) FROM b) + 1)) AS idx
+            ), d AS (
+                SELECT s.idx, COALESCE(b.n, 0) AS n_events
+                FROM spine s LEFT JOIN b USING (idx)
+            ), r AS (
+                SELECT idx, n_events,
+                       AVG(n_events) OVER tw AS m,
+                       STDDEV_SAMP(n_events) OVER tw AS sd
+                FROM d
+                WINDOW tw AS (ORDER BY idx ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT TIMESTAMP '1970-01-01 00:00:00' + idx * 3600 * INTERVAL 1 SECOND
+                       AS bucket,
+                   n_events,
+                   ROUND(m, 6) AS rolling_mean,
+                   ROUND(sd, 6) AS rolling_std,
+                   CASE WHEN sd > 0 THEN abs((n_events - m) / sd) > 3.0 END AS is_anomaly
+            FROM r ORDER BY bucket
         """,
         # Temperature mixing: floor'd count^alpha quotas, md5-rank pick —
         # identical arithmetic in both engines.

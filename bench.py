@@ -65,6 +65,7 @@ HEADLINE = [
     "streaming_user_value_stats",
     "temperature_mix",
     "text_normalization",
+    "rolling_anomalies",
     "small_quantity_revenue",
     "top_supplier_revenue",
     "cheapest_supplier_per_part",

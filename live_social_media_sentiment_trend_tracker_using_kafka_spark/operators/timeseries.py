@@ -120,3 +120,40 @@ def time_bucket_gapfill(
         bucket_start("_gf_idx", width_seconds).alias(bucket_col),
         *aggs.keys(),
     ).orderBy(*pcols, bucket_col)
+
+
+def with_rolling_stats(
+    df: DataFrame,
+    value_col: str,
+    bucket_col: str = "bucket",
+    partition_cols: list[str] | None = None,
+    window_buckets: int = 24,
+    z_threshold: float = 3.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Rolling mean / sample-stddev over the trailing ``window_buckets``
+    buckets (current excluded — the anomaly baseline must not contain the
+    point it judges) plus a z-score anomaly flag.
+
+    Designed to run on a gap-filled bucket table (time_bucket_gapfill), so
+    "trailing N rows" IS "trailing N time buckets". The window partitions
+    by the series keys; state per task is one series' frame. Flag is null
+    until the baseline has >= 2 points (stddev undefined before that).
+    """
+    pcols = partition_cols or []
+    w = (
+        Window.partitionBy(*pcols)
+        .orderBy(bucket_col)
+        .rowsBetween(-window_buckets, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    z = (F.col(value_col) - mean) / sd
+    return df.select(
+        *pcols,
+        bucket_col,
+        value_col,
+        F.round(mean, round_digits).alias("rolling_mean"),
+        F.round(sd, round_digits).alias("rolling_std"),
+        F.when(sd > 0, F.abs(z) > F.lit(z_threshold)).alias("is_anomaly"),
+    )
