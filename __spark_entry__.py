@@ -1201,6 +1201,39 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 quantile sketch — the 100 TB path for value_percentiles
+    (rows-only: approx_percentile is approximate by construction, like the
+    HLL tier). Evidence contract: the exact interpolated percentiles ride
+    along per event_type and ``rel_err`` must stay inside the sketch's
+    accuracy budget (asserted in tests/test_query_contracts.py). At scale
+    the sketch replaces the exact percentile's full per-group sort state
+    with bounded-memory mergeable summaries."""
+    ev = _t(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], 10_000).alias("ap")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("e50"),
+        F.percentile("value", F.lit(0.95)).alias("e95"),
+    )
+    rel = lambda a, e: F.round(F.abs(a - e) / F.greatest(F.abs(e), F.lit(1e-9)), 6)  # noqa: E731
+    return (
+        approx.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round(F.col("ap")[0], 6).alias("p50_approx"),
+            F.round("e50", 6).alias("p50_exact"),
+            F.round(F.col("ap")[1], 6).alias("p95_approx"),
+            F.round("e95", 6).alias("p95_exact"),
+            F.greatest(
+                rel(F.col("ap")[0], F.col("e50")), rel(F.col("ap")[1], F.col("e95"))
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 time-series anomaly layer: gap-filled hourly event counts →
     trailing-24h rolling mean/stddev (current bucket excluded) → 3-sigma
@@ -1621,6 +1654,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_status_cube": q_priority_status_cube,
         "users_purchase_and_error": q_users_purchase_and_error,
         "users_purchase_no_error": q_users_purchase_no_error,
+        # -- new after the r3 window filled (driver checks the first 50):
+        #    registered at the end so no never-verified query is displaced;
+        #    these rotate into the r4 window once the above are green -----
+        "approx_value_percentiles": q_approx_value_percentiles,
     }
     return {name: _released(fn) for name, fn in raw.items()}
 

@@ -66,6 +66,7 @@ HEADLINE = [
     "temperature_mix",
     "text_normalization",
     "rolling_anomalies",
+    "approx_value_percentiles",
     "small_quantity_revenue",
     "top_supplier_revenue",
     "cheapest_supplier_per_part",

@@ -149,3 +149,10 @@ def test_incremental_near_dups_contract(spark):
     # output pairs are strictly incoming x corpus
     assert all(r.incoming_id >= 2_000_000 or r.incoming_id % 10 == 0 for r in rows)
     assert all(r.corpus_id % 10 != 0 for r in rows)
+
+
+def test_approx_percentiles_error_contract(spark):
+    rows = entrymod.q_approx_value_percentiles(spark, SF_SMOKE).collect()
+    assert rows
+    # 10k-accuracy sketch on ~100-2000 values per group: near-exact
+    assert max(r.rel_err for r in rows) < 0.02, rows
