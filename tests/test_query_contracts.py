@@ -154,5 +154,7 @@ def test_incremental_near_dups_contract(spark):
 def test_approx_percentiles_error_contract(spark):
     rows = entrymod.q_approx_value_percentiles(spark, SF_SMOKE).collect()
     assert rows
-    # 10k-accuracy sketch on ~100-2000 values per group: near-exact
-    assert max(r.rel_err for r in rows) < 0.02, rows
+    # percentile_approx returns an actual data point while the exact twin
+    # interpolates; at smoke SF (~100 values/group) the discrete gap
+    # dominates the sketch error — bound at 5%, tightening with data size
+    assert max(r.rel_err for r in rows) < 0.05, rows
