@@ -1201,6 +1201,46 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 vocabulary induction: the BPE merge step's candidate ranking —
+    the 50 most frequent ADJACENT token pairs corpus-wide (count desc, pair
+    asc tie-break). One explode + hash agg + TakeOrderedAndProject; fully
+    oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(dedup.word_grams_col(F.col("text"), 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )
+
+
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 embedding hygiene: per-label L2-norm distribution + zero-vector
+    count — the sanity gate an embedding pipeline runs before any ANN /
+    dedup tier consumes the vectors. Norms computed in double (exact
+    float32→double widening on both engines); fully oracle-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    withn = emb.withColumn("norm", F.sqrt(sq))
+    return (
+        withn.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+            F.sum(F.when(F.col("norm") == 0, 1).otherwise(0)).alias("n_zero"),
+        )
+        .orderBy("label")
+    )
+
+
 def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 quantile sketch — the 100 TB path for value_percentiles
     (rows-only: approx_percentile is approximate by construction, like the
@@ -1658,6 +1698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    registered at the end so no never-verified query is displaced;
         #    these rotate into the r4 window once the above are green -----
         "approx_value_percentiles": q_approx_value_percentiles,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        "embedding_norm_stats": q_embedding_norm_stats,
     }
     return {name: _released(fn) for name, fn in raw.items()}
 
@@ -2603,6 +2645,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(keptl) AS n_lines_kept,
                    array_to_string(keptl, chr(10)) AS text_clean
             FROM kept WHERE len(keptl) > 0 ORDER BY doc_id
+        """,
+        # BPE merge candidates: same word-bigram construction as the
+        # bigram_logprob CTE, top-50 with deterministic tie-break.
+        "bpe_merge_candidates": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                           t -> t <> '') AS t
+                FROM documents
+            ), gr AS (
+                SELECT unnest(list_filter(
+                           list_transform(range(1, greatest(len(t) - 2, 0) + 2),
+                                          i -> array_to_string(t[i:i+1], ' ')),
+                           g -> g <> '')) AS pair
+                FROM toks
+            )
+            SELECT pair, COUNT(*) AS n FROM gr GROUP BY pair
+            ORDER BY n DESC, pair LIMIT 50
+        """,
+        # Norms in double — float32 -> double widening is exact on both
+        # engines, so rounded values agree.
+        "embedding_norm_stats": """
+            WITH n AS (
+                SELECT label,
+                       sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                    x -> x * x))) AS norm
+                FROM embeddings
+            )
+            SELECT label,
+                   COUNT(*) AS n_vectors,
+                   ROUND(AVG(norm), 6) AS avg_norm,
+                   ROUND(MIN(norm), 6) AS min_norm,
+                   ROUND(MAX(norm), 6) AS max_norm,
+                   SUM(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS n_zero
+            FROM n GROUP BY label ORDER BY label
         """,
         # Gap-filled hourly counts -> trailing-24 rolling stats (current row
         # excluded) -> 3-sigma flag; sample stddev on both sides.

@@ -67,6 +67,8 @@ HEADLINE = [
     "text_normalization",
     "rolling_anomalies",
     "approx_value_percentiles",
+    "bpe_merge_candidates",
+    "embedding_norm_stats",
     "small_quantity_revenue",
     "top_supplier_revenue",
     "cheapest_supplier_per_part",
