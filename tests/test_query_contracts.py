@@ -158,3 +158,13 @@ def test_approx_percentiles_error_contract(spark):
     # interpolates; at smoke SF (~100 values/group) the discrete gap
     # dominates the sketch error — bound at 5%, tightening with data size
     assert max(r.rel_err for r in rows) < 0.05, rows
+
+
+def test_bench_headline_names_all_registered():
+    """A HEADLINE typo would crash the driver's bench run — pin the list."""
+    import bench
+
+    qs = entrymod.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline"
