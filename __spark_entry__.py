@@ -2707,7 +2707,8 @@ def oracle_sql() -> dict[str, str]:
                    n_events,
                    ROUND(m, 6) AS rolling_mean,
                    ROUND(sd, 6) AS rolling_std,
-                   CASE WHEN sd > 0 THEN abs((n_events - m) / sd) > 3.0 END AS is_anomaly
+                   CASE WHEN sd > 0 THEN abs((n_events - m) / sd) > 3.0
+                        WHEN sd = 0 THEN n_events <> m END AS is_anomaly
             FROM r ORDER BY bucket
         """,
         # Temperature mixing: floor'd count^alpha quotas, md5-rank pick —

@@ -53,15 +53,15 @@ def contamination_stats(
     doc with at least one n-gram: distinct word n-grams, how many of them
     occur anywhere in the benchmark, and the fraction.
     """
-    from .skew import fan_out
+    from .dedup import shingle_table
 
     # The shingle table feeds both the probe explode and the final n_grams
-    # projection — persist so per-row shingling runs once; fan_out gives the
-    # CPU-bound shingling full parallelism on under-split local scans.
-    sh = tracked_persist(
-        fan_out(docs)
-        .select(F.col(id_col), word_shingles_col(F.col(text_col), n).alias("grams"))
-        .filter(F.size("grams") > 0)
+    # projection. Built through the CANONICAL shared shingle_table (same
+    # logical plan as the dedup/simjoin tiers at matching n, storageLevel
+    # guard included) so a session running dedup AND decontamination
+    # tokenizes the corpus once, not once per operator family.
+    sh = shingle_table(docs, text_col, id_col, n).withColumnRenamed(
+        "shingles", "grams"
     )
     cand = sh.select(id_col, F.explode("grams").alias("gram")).select(
         id_col, _gram_key(F.col("gram"), use_hash).alias("gram_key")
@@ -159,7 +159,9 @@ def build_bloom_words(
     never collected; the benchmark side is aggregated distributed and only
     the ≤ m distinct positions come back.
     """
-    grams = (
+    # Two actions consume this pipeline (the sizing count, then the
+    # position collect) — persist so the benchmark shingles once.
+    grams = tracked_persist(
         benchmark.select(F.explode(word_shingles_col(F.col(text_col), n)).alias("gram"))
         .distinct()
     )
@@ -202,7 +204,7 @@ def bloom_contamination_stats(
     exact ``n_contaminated``. Pair with the exact tier on a sample for an
     FP-rate evidence column (the contract query does).
     """
-    from .skew import fan_out
+    from .dedup import shingle_table
 
     words, m, k = build_bloom_words(benchmark, text_col, n, fpp)
     spark = docs.sparkSession
@@ -212,10 +214,11 @@ def bloom_contamination_stats(
         w = F.element_at(F.col("bloom_words"), (p / 64).cast("int") + 1)
         return F.getbit(w, F.pmod(p, F.lit(64))) == 1
 
+    # Canonical shared shingle table (see contamination_stats) — the exact
+    # and Bloom tiers probe the SAME cached tokenize pass.
     sh = (
-        fan_out(docs)
-        .select(F.col(id_col), word_shingles_col(F.col(text_col), n).alias("grams"))
-        .filter(F.size("grams") > 0)
+        shingle_table(docs, text_col, id_col, n)
+        .withColumnRenamed("shingles", "grams")
         .join(F.broadcast(bloom))
     )
     n_hits = F.size(

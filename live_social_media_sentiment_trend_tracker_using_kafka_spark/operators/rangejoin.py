@@ -46,9 +46,13 @@ def auto_bucket_seconds(intervals: DataFrame, lo_col: str, hi_col: str) -> int:
     """Mean interval span in seconds (>= 1) — one tiny aggregate collected
     to the driver (a bounded scalar fit, same contract as
     similarity.srp_parameters). A width near the mean span keeps interval
-    replication ~2 rows per interval while keeping fact buckets selective."""
-    row = intervals.select(
-        F.avg(_epoch_seconds(hi_col) - _epoch_seconds(lo_col)).alias("mean_span")
+    replication ~2 rows per interval while keeping fact buckets selective.
+    Inverted intervals (lo > hi — corrupt rows that can never match) are
+    excluded from the average so they cannot drag the width toward zero
+    and blow up replication of the valid intervals."""
+    span_col = _epoch_seconds(hi_col) - _epoch_seconds(lo_col)
+    row = intervals.filter(span_col >= 0).select(
+        F.avg(span_col).alias("mean_span")
     ).first()
     span = row["mean_span"] if row and row["mean_span"] is not None else None
     return max(int(span), 1) if span else 3600
@@ -95,7 +99,10 @@ def bucketed_range_join(
         )
 
     f_b = facts.withColumn("_rj_bucket", F.floor(_epoch_seconds(fact_ts) / F.lit(w)))
-    i_b = intervals.withColumn(
+    # Inverted intervals can never contain a point, but F.sequence(hi_b,
+    # lo_b) would silently DESCEND and replicate them span-wide — drop them
+    # before the explode.
+    i_b = intervals.filter(F.col(lo_col) <= F.col(hi_col)).withColumn(
         "_rj_bucket",
         F.explode(
             F.sequence(
@@ -115,9 +122,17 @@ def bucketed_range_join(
     )
     if how == "inner":
         return joined
-    # left: add back facts with no containing interval, null interval cols
+    # left: add back facts with no containing interval, null interval cols.
+    # The anti-join must be NULL-SAFE on every fact column — plain equality
+    # would treat a matched row carrying any NULL as unmatched and emit it
+    # twice.
     matched_keys = joined.select(*facts.columns)
-    unmatched = facts.join(matched_keys, facts.columns, "left_anti")
+    f, m = facts.alias("_rj_f"), matched_keys.alias("_rj_m")
+    anti_cond = None
+    for c in facts.columns:
+        eq = F.col(f"_rj_f.{c}").eqNullSafe(F.col(f"_rj_m.{c}"))
+        anti_cond = eq if anti_cond is None else (anti_cond & eq)
+    unmatched = f.join(m, anti_cond, "left_anti")
     null_ivals = [
         F.lit(None).cast(dict(intervals.dtypes)[c]).alias(c)
         for c in intervals.columns

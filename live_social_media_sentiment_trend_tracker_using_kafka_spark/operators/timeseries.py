@@ -138,7 +138,10 @@ def with_rolling_stats(
     Designed to run on a gap-filled bucket table (time_bucket_gapfill), so
     "trailing N rows" IS "trailing N time buckets". The window partitions
     by the series keys; state per task is one series' frame. Flag is null
-    until the baseline has >= 2 points (stddev undefined before that).
+    until the baseline has >= 2 points (stddev undefined before that); a
+    ZERO-variance baseline (flat series — the canonical pre-spike shape)
+    flags any departure from the baseline mean, rather than going null and
+    silently missing the spike.
     """
     pcols = partition_cols or []
     w = (
@@ -155,5 +158,7 @@ def with_rolling_stats(
         value_col,
         F.round(mean, round_digits).alias("rolling_mean"),
         F.round(sd, round_digits).alias("rolling_std"),
-        F.when(sd > 0, F.abs(z) > F.lit(z_threshold)).alias("is_anomaly"),
+        F.when(sd > 0, F.abs(z) > F.lit(z_threshold))
+        .when(sd == 0, F.col(value_col) != mean)
+        .alias("is_anomaly"),
     )

@@ -140,3 +140,34 @@ def test_registry_query_contract(spark):
     assert rows, "no windows matched"
     # windows are 7h of a 13h stride: dense event data must fill most
     assert all(r.n_events > 0 for r in rows)
+
+
+def test_left_join_null_payload_fact_not_duplicated(spark):
+    """Matched facts carrying NULLs must not be re-emitted by the left
+    add-back (the anti-join is null-safe on every fact column)."""
+    f = spark.createDataFrame(
+        [(1, "2024-03-01 01:30:00", None), (2, "2024-03-09 01:30:00", None)],
+        "fact_id int, ts string, payload string",
+    ).select("fact_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "payload")
+    iv = _ivals(spark, [(7, "2024-03-01 01:00:00", "2024-03-01 02:00:00")])
+    rows = bucketed_range_join(f, iv, how="left").collect()
+    assert len(rows) == 2  # fact 1 matched once, fact 2 added back once
+    by_id = {r.fact_id: r for r in rows}
+    assert by_id[1].ival_id == 7 and by_id[2].ival_id is None
+
+
+def test_inverted_intervals_dropped_not_exploded(spark):
+    f = _facts(spark, [(1, "2024-03-01 01:30:00")])
+    iv = _ivals(
+        spark,
+        [
+            (7, "2024-03-01 01:00:00", "2024-03-01 02:00:00"),
+            (8, "2024-03-05 00:00:00", "2024-03-01 00:00:00"),  # lo > hi
+        ],
+    )
+    assert _pairs(bucketed_range_join(f, iv)) == {(1, 7)}
+    # auto width ignores the corrupt span
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.rangejoin import (
+        auto_bucket_seconds,
+    )
+    assert auto_bucket_seconds(iv, "lo", "hi") == 3600

@@ -102,3 +102,21 @@ def test_registry_query_smoke(spark):
     hours = (rows[-1].bucket - rows[0].bucket).total_seconds() / 3600
     assert len(rows) == int(hours) + 1
     assert any(r.n_events == 0 for r in rows), "no gaps at smoke SF — fill untested"
+
+
+def test_flat_baseline_spike_is_flagged(spark):
+    """Zero-variance trailing baseline (flat series) must flag a departure,
+    not return NULL — the canonical post-quiet-period spike."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.timeseries import (
+        with_rolling_stats,
+    )
+
+    rows = [("a", f"2024-05-01 {h:02d}:30:00", 5.0) for h in range(6)] + [
+        ("a", "2024-05-01 06:30:00", 500.0)
+    ]
+    df = _series(spark, rows)
+    hourly = _run(df, {"avg_v": "zero"})
+    out = with_rolling_stats(hourly, "avg_v", window_buckets=4).collect()
+    assert out[-1].is_anomaly is True
+    # flat mid-series points are explicitly not anomalous (False, not None)
+    assert out[3].is_anomaly is False
