@@ -54,7 +54,10 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.agg(F.countDistinct(id_col).alias("_n_docs"))  # stays in-plan
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        # dfreq is VOCABULARY-sized (unbounded at corpus scale) — no forced
+        # broadcast; AQE promotes the join when it actually fits, same
+        # policy as the unigram/bigram scorers. Only the 1-row N broadcasts.
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -328,8 +331,14 @@ def line_dedup(
     per-doc hash-agg with an array_sort on (pos, line) — no window, no
     global sort.
     """
+    # F.split takes a REGEX while array_join below takes a literal — escape
+    # the separator so metachar seps ("|", ".") split and reassemble the
+    # same way instead of splitting between every character.
+    import re
+
     lines = docs.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("pos", "line"),
     )
     freq = lines.groupBy("line").agg(F.count_distinct(F.col(id_col)).alias("doc_freq"))
     kept = lines.join(freq.filter(F.col("doc_freq") < max_doc_frequency), "line")
@@ -370,6 +379,10 @@ def chunk_documents(
     """
     if stride < 1 or max_tokens < 1:
         raise ValueError("max_tokens and stride must be >= 1")
+    if stride > max_tokens:
+        # chunks would skip tokens [c*stride + max_tokens, (c+1)*stride) —
+        # silently dropped interior text, contradicting the contract above
+        raise ValueError("stride must be <= max_tokens (gaps would drop text)")
     toks = df.select(
         F.col(id_col), word_tokens_col(F.col(text_col)).alias("toks")
     ).filter(F.size("toks") > 0)

@@ -171,6 +171,52 @@ def with_minhash(
     )
 
 
+def _validate_banding(num_hashes: int, bands: int) -> int:
+    """Bands must tile the signature exactly: a non-divisor silently drops
+    hash families (recall differs from the requested banding), and
+    bands > num_hashes gives zero-width slices — every doc hashes the empty
+    array into ONE bucket and the self-join degenerates to all-pairs."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) exactly"
+        )
+    return num_hashes // bands
+
+
+def banded_signature_keys(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    out_id: str | None = None,
+) -> DataFrame:
+    """(id, band, bucket) LSH keys from a (id, minhash) table — the ONE
+    banding construction shared by the self-join and batch-vs-corpus paths
+    (both sides must stay bit-identical or cross buckets stop matching).
+
+    One reference to the signature per row: bands are built by a transform
+    over band indices, each hashing an array *slice* of the signature — not
+    per-element indexing, which would re-reference (and recompute, post
+    projection-collapse) the signature expression num_hashes times.
+    """
+    rows_per_band = _validate_banding(num_hashes, bands)
+    out = out_id or id_col
+    return sigs.select(
+        F.col(id_col).alias(out),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(out, "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -185,24 +231,7 @@ def lsh_candidate_pairs(
     is ~linear; a hot bucket (degenerate shingle) is the skew risk — AQE skew
     join handles it, and callers can pre-filter boilerplate docs.
     """
-    rows_per_band = num_hashes // bands
-    banded = df.select(
-        F.col(id_col),
-        # One reference to the signature per row: bands are built by a
-        # transform over band indices, each hashing an array *slice* of the
-        # signature — not per-element indexing, which would re-reference (and
-        # recompute, post projection-collapse) the signature expression
-        # num_hashes times.
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = banded_signature_keys(df, id_col, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -486,21 +515,10 @@ def incremental_near_duplicates(
         sigs = base.select(
             F.col(id_col), minhash_signature_col(F.col("shingles"), num_hashes).alias("minhash")
         )
-        rows_per_band = num_hashes // bands
-        return sigs.select(
-            F.col(id_col).alias(f"{side}_id"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    ),
-                )
-            ).alias("bb"),
-        ).select(f"{side}_id", "bb.band", "bb.bucket")
+        # the SAME banding construction as the self-join path — both sides
+        # must stay bit-identical or cross buckets stop matching
+        return banded_signature_keys(sigs, id_col, num_hashes, bands, out_id=f"{side}_id")
+
     cands = (
         banded(inc_base, "inc")
         .join(banded(cor_base, "cor"), ["band", "bucket"])

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_col, quality_score_cols, token_count_col
+from ..caching import tracked_persist
 
 
 def _md5_bucket_hex(id_col: str) -> F.Column:
@@ -134,12 +135,17 @@ def token_budget_mix(
     budget = budget.otherwise(F.lit(None)) if budget is not None else F.lit(None)
     # effective chunk count is 16^hex_width (nearest power of 16 >= chunks)
     hex_width = max(1, ((max(chunks, 2) - 1).bit_length() + 3) // 4)
-    base = df.select(
-        F.col(id_col),
-        F.col(source_col),
-        token_count_col(F.col(text_col)).alias("n_tokens"),
-        F.md5(F.col(id_col).cast("string")).alias("__md5"),
-    ).withColumn("__chunk", F.substring("__md5", 1, hex_width))
+    # base feeds BOTH the chunk-totals aggregate and the window branch —
+    # persist so the dominant pass (BPE token counting over text) runs once
+    # per corpus, not once per consumer (same convention as tfidf reuse_tf).
+    base = tracked_persist(
+        df.select(
+            F.col(id_col),
+            F.col(source_col),
+            token_count_col(F.col(text_col)).alias("n_tokens"),
+            F.md5(F.col(id_col).cast("string")).alias("__md5"),
+        ).withColumn("__chunk", F.substring("__md5", 1, hex_width))
+    )
     in_chunk = (
         Window.partitionBy(source_col, "__chunk")
         .orderBy("__md5", id_col)

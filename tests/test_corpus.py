@@ -109,3 +109,28 @@ def test_line_dedup_removes_boilerplate_keeps_order(spark):
     assert got[1].n_lines_kept == 2
     assert got[2].text_clean == "another page"
     assert got[4].text_clean == "standalone content"
+
+
+def test_line_dedup_metachar_separator(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        line_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "keep me|shared line"), (2, "other text|shared line")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in line_dedup(docs, sep="|", max_doc_frequency=2).collect()}
+    assert rows[1].text_clean == "keep me"
+    assert rows[2].text_clean == "other text"
+
+
+def test_chunk_documents_rejects_gapping_stride(spark):
+    import pytest
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, max_tokens=4, stride=10)

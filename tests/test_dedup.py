@@ -148,3 +148,15 @@ def test_simhash_identical_iff_same_tokens(spark):
     assert rows[1] == rows[2]  # same token multiset after normalization
     assert rows[1] != rows[3]
     assert all(s >= 0 for s in rows.values())  # sign bit kept clear
+
+
+def test_banding_parameters_validated(spark):
+    import pytest
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.dedup import (
+        _validate_banding,
+    )
+
+    assert _validate_banding(32, 8) == 4
+    for nh, b in [(32, 5), (8, 16), (32, 0)]:
+        with pytest.raises(ValueError, match="divide"):
+            _validate_banding(nh, b)
