@@ -55,18 +55,22 @@ def _stack_vectors(series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     null-semantics their Catalyst twin has (zero-norm -> score 0.0, etc.).
     """
     vals = series.to_numpy()
-    try:
-        M = np.vstack(vals).astype(np.float64)
-        if M.ndim == 2:
-            return M, np.ones(len(vals), dtype=bool)
-    except (ValueError, TypeError):
-        pass
+    # None rows must NOT take the fast path: vstack+astype silently turns
+    # them into NaN rows with a TRUE mask, which both corrupts the
+    # null-semantics contract and defeats the dim guard on all-null batches
+    if not any(v is None for v in vals):
+        try:
+            M = np.vstack(vals).astype(np.float64)
+            if M.ndim == 2:
+                return M, np.ones(len(vals), dtype=bool)
+        except (ValueError, TypeError):
+            pass
     mask = np.zeros(len(vals), dtype=bool)
-    dim = 0
-    for v in vals:
-        if v is not None and len(v) > 0:
-            dim = len(v)
-            break
+    # canonical dim = the MODAL row length, not the first non-empty one — a
+    # single malformed leading row must not invalidate every well-formed
+    # row in the batch
+    lengths = [len(v) for v in vals if v is not None and len(v) > 0]
+    dim = max(set(lengths), key=lengths.count) if lengths else 0
     M = np.zeros((len(vals), max(dim, 1)), dtype=np.float64)
     for i, v in enumerate(vals):
         if v is None:
@@ -76,6 +80,20 @@ def _stack_vectors(series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
             M[i] = a
             mask[i] = True
     return M, mask
+
+
+def _dim_guard(mask: np.ndarray, got: int, expected: int, what: str) -> None:
+    """Degenerate batches (no valid rows — _stack_vectors collapsed to a
+    placeholder width) may fall back to the kernel's null semantics; a batch
+    CONTAINING valid rows at the wrong width means the caller configured the
+    wrong dim / query vector / codebook and must fail loudly — silently
+    zero-filling would score every row 0 (or bucket every row together,
+    degrading LSH to an all-pairs join) with no error anywhere."""
+    if mask.any():
+        raise ValueError(
+            f"{what}: batch rows have dim {got}, expected {expected} — "
+            "check the configured dim/query/codebook"
+        )
 
 
 def simhash_udf():
@@ -89,20 +107,34 @@ def simhash_udf():
     if "simhash" in _CACHE:
         return _CACHE["simhash"]
 
+    # The (tokens, 63) vote matrix is the only transient that scales with
+    # BATCH token volume, not row count — cap it: at most ~2M hashes per
+    # slice (~1 GB of int64 intermediates) regardless of how long the
+    # batch's documents are. Rows never split across slices, so the
+    # per-row reduction is unchanged.
+    _MAX_FLAT = 2_000_000
+
     @pandas_udf("long")
     def simhash_from_hashes(hashes: pd.Series) -> pd.Series:
         # null token arrays hash like empty ones (simhash 0) instead of
         # crashing the batch — parity with the null-tolerant Catalyst twin
         lengths = hashes.map(lambda h: 0 if h is None else len(h)).to_numpy(dtype=np.int64)
         out = np.zeros(len(hashes), dtype=np.int64)
-        nonempty = lengths > 0
-        if nonempty.any():
-            flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hashes[nonempty]])
-            # (total_tokens, 63): +1 vote for a set bit, -1 for clear.
+        ne_idx = np.flatnonzero(lengths > 0)
+        start = 0
+        while start < ne_idx.size:
+            stop, tok = start, 0
+            while stop < ne_idx.size and (tok == 0 or tok + lengths[ne_idx[stop]] <= _MAX_FLAT):
+                tok += lengths[ne_idx[stop]]
+                stop += 1
+            rows = ne_idx[start:stop]
+            flat = np.concatenate([np.asarray(hashes.iloc[i], dtype=np.int64) for i in rows])
+            # (slice_tokens, 63): +1 vote for a set bit, -1 for clear.
             votes_per_tok = (((flat[:, None] >> _SHIFTS) & 1) * 2 - 1).astype(np.int32)
-            offsets = np.concatenate(([0], np.cumsum(lengths[nonempty])[:-1]))
+            offsets = np.concatenate(([0], np.cumsum(lengths[rows])[:-1]))
             votes = np.add.reduceat(votes_per_tok, offsets, axis=0)
-            out[nonempty] = ((votes > 0) * _WEIGHTS).sum(axis=1)
+            out[rows] = ((votes > 0) * _WEIGHTS).sum(axis=1)
+            start = stop
         return pd.Series(out)
 
     _CACHE["simhash"] = simhash_from_hashes
@@ -163,7 +195,9 @@ def pair_cosine_udf():
             return pd.Series(np.empty(0, dtype=np.float64))
         ma, va = _stack_vectors(a)
         mb, vb = _stack_vectors(b)
-        if ma.shape[1] != mb.shape[1]:  # all-null side degenerated to dim 1
+        if ma.shape[1] != mb.shape[1]:
+            # only legitimate when one side is all-null (degenerated width)
+            _dim_guard(va & vb, ma.shape[1], mb.shape[1], "pair_cosine")
             return pd.Series(np.zeros(len(a), dtype=np.float64))
         dots = np.einsum("ij,ij->i", ma, mb)
         denom = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
@@ -192,7 +226,8 @@ def make_query_cosine_udf(query_vec: np.ndarray):
         if len(emb) == 0:
             return pd.Series(np.empty(0, dtype=np.float64))
         M, valid = _stack_vectors(emb)
-        if M.shape[1] != q.size:  # all-null batch degenerated to dim 1
+        if M.shape[1] != q.size:
+            _dim_guard(valid, M.shape[1], q.size, "query_cosine")
             return pd.Series(np.zeros(len(emb), dtype=np.float64))
         denom = np.linalg.norm(M, axis=1) * qn
         dots = M @ q
@@ -217,8 +252,9 @@ def make_ivf_assign_udf(centroids: np.ndarray):
     def assign_cluster(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype=np.int32)
-        M, _ = _stack_vectors(emb)  # null rows -> zero vector -> deterministic
+        M, valid = _stack_vectors(emb)  # null rows -> zero vector -> deterministic
         if M.shape[1] != C.shape[1]:
+            _dim_guard(valid, M.shape[1], C.shape[1], "ivf_assign")
             return pd.Series(np.zeros(len(emb), dtype=np.int32))
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         return pd.Series((M @ C.T - half_sq).argmax(axis=1).astype(np.int32))
@@ -243,8 +279,9 @@ def make_srp_buckets_udf(planes_per_table: list[np.ndarray]):
     def srp_buckets(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype=object)
-        mat, _ = _stack_vectors(emb)  # null rows -> zero vector -> bucket 0
+        mat, valid = _stack_vectors(emb)  # null rows -> zero vector -> bucket 0
         if mat.shape[1] != all_planes.shape[1]:
+            _dim_guard(valid, mat.shape[1], all_planes.shape[1], "srp_buckets")
             mat = np.zeros((len(emb), all_planes.shape[1]))
         signs = (mat @ all_planes.T) > 0  # (n, T*P)
         signs = signs.reshape(len(mat), num_tables, planes_per)
@@ -269,8 +306,9 @@ def make_pq_encode_udf(codebooks: np.ndarray):
     def pq_encode(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype=object)
-        M, _ = _stack_vectors(emb)  # null rows -> zero vector -> deterministic codes
+        M, valid = _stack_vectors(emb)  # null rows -> zero vector -> deterministic codes
         if M.shape[1] != m * dsub:
+            _dim_guard(valid, M.shape[1], m * dsub, "pq_encode")
             M = np.zeros((len(emb), m * dsub))
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         codes = np.empty((len(M), m), dtype=np.int32)
@@ -299,6 +337,7 @@ def make_adc_udf(dist_table: np.ndarray):
             return pd.Series(np.empty(0, dtype=np.float64))
         C, valid = _stack_vectors(codes)  # (n, m)
         if C.shape[1] != m:
+            _dim_guard(valid, C.shape[1], m, "pq_adc")
             return pd.Series(np.full(len(codes), np.inf))
         dists = T[rows, C.astype(np.int64)].sum(axis=1)
         # null/ragged code rows can never win the top-k

@@ -371,19 +371,26 @@ def run_update_sink_to_parquet(
     """
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        dup = batch.groupBy(*key_cols).count().filter(F.col("count") > 1)
-        if dup.limit(1).count() > 0:  # batch is tiny (aggregated, changed keys only)
-            raise ValueError(
-                f"key_cols {key_cols} do not uniquely key the aggregate "
-                "output — partition overwrite would drop sibling group rows; "
-                "pass the aggregate's full grouping key"
+        # two actions consume the micro-batch (the dup-key guard, then the
+        # write) — persist so the upstream pipeline runs once per trigger,
+        # not twice (same convention as fan_out_sinks above)
+        batch.persist()
+        try:
+            dup = batch.groupBy(*key_cols).count().filter(F.col("count") > 1)
+            if dup.limit(1).count() > 0:  # batch is tiny (aggregated, changed keys only)
+                raise ValueError(
+                    f"key_cols {key_cols} do not uniquely key the aggregate "
+                    "output — partition overwrite would drop sibling group rows; "
+                    "pass the aggregate's full grouping key"
+                )
+            (
+                batch.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*key_cols)
+                .parquet(path)
             )
-        (
-            batch.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*key_cols)
-            .parquet(path)
-        )
+        finally:
+            batch.unpersist()
 
     writer = (
         agg.writeStream.outputMode("update")
