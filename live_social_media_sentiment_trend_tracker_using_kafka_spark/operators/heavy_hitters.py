@@ -66,7 +66,9 @@ def heavy_hitters(
     phi: float = 0.01,
 ) -> DataFrame:
     """All items with count >= ceil(phi * N), with their EXACT counts
-    (N = input rows, nulls included).
+    (N = non-null item rows; null items carry no identity and are excluded
+    on BOTH sides of the definition — the SQL twin's WHERE item IS NOT NULL
+    + GROUP BY semantics).
 
     Memory per task is O(1/phi) regardless of data size; the input is
     scanned exactly TWICE (candidate pass — which also emits N — and verify
@@ -83,7 +85,7 @@ def heavy_hitters(
     # fan_out matters doubly here: the summaries are per-PARTITION, so an
     # under-split input both serializes the pass and degrades it to one
     # global Misra-Gries (still correct — candidates only over-generate).
-    items = fan_out(df).select(item_col)
+    items = fan_out(df).select(item_col).filter(F.col(item_col).isNotNull())
     out_schema = T.StructType(
         [
             # nullable regardless of source: the sentinel total row is None
@@ -100,7 +102,14 @@ def heavy_hitters(
         .groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("count"))
         .crossJoin(F.broadcast(totals))  # 1-row threshold table
-        .filter(F.col("count") >= F.ceil(F.lit(phi) * F.col("_total")))
+        # DECIMAL threshold arithmetic: float64 phi*N can land epsilon above
+        # the exact product (0.07*100 = 7.000000000000001 -> ceil 8) and
+        # silently drop a boundary heavy hitter; SQL engines parse the phi
+        # literal as decimal, so decimal is also what the oracle computes.
+        .filter(
+            F.col("count")
+            >= F.ceil(F.lit(str(phi)).cast("decimal(12,10)") * F.col("_total"))
+        )
         .drop("_total")
         .orderBy(F.desc("count"), F.asc(item_col))
     )

@@ -75,6 +75,10 @@ def fake_image_decode(payload: bytes, meta: dict) -> np.ndarray:
     w = int(meta.get("width") or 16)
     h = int(meta.get("height") or 16)
     need = w * h
+    if not payload:
+        # null/empty payloads decode to a black frame instead of crashing
+        # the whole mapInPandas task (payload is nullable by schema)
+        return np.zeros((h, w), dtype=np.uint8)
     buf = (payload * ((need // max(len(payload), 1)) + 1))[:need]
     return np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
 
@@ -153,7 +157,9 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plumbing*: expands each video row into sampled
     frame rows (frame index + byte offsets) without decoding — pure Catalyst,
     then a real decoder plugs into ``extract_features`` downstream."""
-    n_frames = F.coalesce(F.col("meta.n_frames"), F.lit(1))
+    # coalesce guards null but not zero/negative frame counts — sequence(0,
+    # -1, +n) is an illegal-boundaries runtime error, so clamp to >= 1
+    n_frames = F.greatest(F.coalesce(F.col("meta.n_frames"), F.lit(1)), F.lit(1))
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return media.select(
         "media_id",
@@ -182,6 +188,10 @@ def block_mean_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     image library applies for area interpolation. Deterministic, so resized
     outputs are testable byte-for-byte.
     """
+    if arr.ndim == 3:
+        # real codecs return (h, w, channels) — collapse to luminance-style
+        # channel mean so the block math stays 2-D
+        arr = arr.mean(axis=2)
     h, w = arr.shape
     out_h, out_w = min(out_h, h), min(out_w, w)
     ys = np.linspace(0, h, out_h + 1).astype(int)
@@ -241,7 +251,6 @@ def media_near_duplicates(
     decode: Callable[[bytes, dict], np.ndarray] | None = fake_image_decode,
     threshold: float = 0.999,
     n_features: int = 8,
-    id_col: str = "media_id",
 ) -> DataFrame:
     """Perceptual near-dup pairs over media payloads: decode → feature
     vector → the SAME corpus-adaptive SRP-LSH + exact-cosine-verify path the
@@ -259,10 +268,13 @@ def media_near_duplicates(
     # The pair search consumes the feature table four times (size count for
     # the adaptive SRP parameters, banding, both verify sides) — persist so
     # the decode/mapInPandas pass runs once, not four times.
+    # The id column is the MEDIA_SCHEMA contract's "media_id" — the
+    # extract_features output schema is fixed, so an id_col parameter here
+    # would be non-functional (rename upstream if your table differs).
     feats = tracked_persist(
         extract_features(media, decode, n_features, feature_fn=block_features)
-        .select(F.col(id_col), F.col("features"))
+        .select(F.col("media_id"), F.col("features"))
     )
     return cosine_near_duplicate_pairs(
-        feats, threshold=threshold, id_col=id_col, vec_col="features", dim=n_features
+        feats, threshold=threshold, id_col="media_id", vec_col="features", dim=n_features
     )

@@ -75,3 +75,28 @@ def test_phi_validation(spark):
     df = spark.range(10).select(F.lit("a").alias("item"))
     with pytest.raises(ValueError):
         heavy_hitters(df, "item", phi=0.0)
+
+
+def test_threshold_uses_decimal_not_float(spark):
+    """phi=0.07 on N=100: float64 0.07*100 = 7.000000000000001 -> ceil 8
+    would drop the boundary item occurring exactly 7 times."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.heavy_hitters import (
+        heavy_hitters,
+    )
+
+    rows = [("hot",)] * 7 + [(f"x{i}",) for i in range(93)]
+    df = spark.createDataFrame(rows, ["item"])
+    got = {r.item: r["count"] for r in heavy_hitters(df, "item", phi=0.07).collect()}
+    assert got == {"hot": 7}
+
+
+def test_null_items_excluded_consistently(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.heavy_hitters import (
+        heavy_hitters,
+    )
+
+    rows = [("a",)] * 6 + [(None,)] * 10 + [(f"x{i}",) for i in range(4)]
+    df = spark.createDataFrame(rows, ["item"])
+    # N = 10 non-null rows; a (6) >= ceil(0.5*10); nulls never reported
+    got = {r.item: r["count"] for r in heavy_hitters(df, "item", phi=0.5).collect()}
+    assert got == {"a": 6}

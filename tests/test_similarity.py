@@ -156,3 +156,26 @@ def test_block_mean_resize_preserves_mean_and_shape(spark):
         m = src[r.media_id]
         arr = multimodal.fake_image_decode(bytes(m.payload), dict(m.meta.asDict()))
         assert abs(sum(r.pixels) / 16 - float(arr.mean())) < 1e-3
+
+
+def test_multimodal_edge_inputs_do_not_crash(spark):
+    """Empty payloads, zero-frame videos and RGB decodes are survivable
+    (review findings): black-frame decode, clamped frame count, channel
+    collapse."""
+    import numpy as np
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import multimodal
+
+    # empty payload -> black frame, not a reshape crash
+    arr = multimodal.fake_image_decode(b"", {"width": 4, "height": 4})
+    assert arr.shape == (4, 4) and arr.sum() == 0
+    # RGB decode -> channel-mean collapse
+    rgb = np.arange(2 * 2 * 3, dtype=float).reshape(2, 2, 3)
+    out = multimodal.block_mean_resize(rgb, 2, 2)
+    assert out.shape == (2, 2)
+    assert out[0, 0] == rgb[0, 0].mean()
+    # zero-frame video -> one sampled frame, no sequence error
+    media = spark.createDataFrame(
+        [(1, "video", b"x", (None, None, None, 0, "t"))], multimodal.MEDIA_SCHEMA
+    )
+    rows = multimodal.frame_sample(media).collect()
+    assert [r.frame_idx for r in rows] == [0]
