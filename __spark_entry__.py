@@ -1738,8 +1738,8 @@ toks AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
   WHERE len(a.s) > 0 AND len(b.s) > 0
-    AND ROUND(len(list_intersect(a.s, b.s))::DOUBLE
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
+    AND len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -2069,7 +2069,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": rf"""
             WITH scored AS (
                 SELECT lang,
-                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
                        len(regexp_extract_all(lower(text), '{_STOPWORD_RE}', 1)) AS n_stop,
                        len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
                        length(text) AS n_chars
@@ -2142,7 +2142,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_stats": rf"""
             SELECT source, COUNT(*) AS cnt,
                    CAST(SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}', 0))) AS BIGINT) AS total_bpe_tokens,
-                   CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
+                   CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''))) AS BIGINT) AS total_ws_tokens,
                    ROUND(AVG(len(regexp_extract_all(text, '{TOKEN_PATTERN}', 0))), 6) AS avg_bpe_tokens
             FROM documents GROUP BY source ORDER BY source
         """,
@@ -2276,7 +2276,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus_exact": rf"""
             WITH scored AS (
                 SELECT doc_id, lang, source, text,
-                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
                        len(regexp_extract_all(lower(text), '{_STOPWORD_RE}', 1)) AS n_stop,
                        len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
                        length(text) AS n_chars
@@ -2305,7 +2305,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus_exact_neardup": rf"""
             WITH scored AS (
                 SELECT doc_id, lang, source, text,
-                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
                        len(regexp_extract_all(lower(text), '{_STOPWORD_RE}', 1)) AS n_stop,
                        len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
                        length(text) AS n_chars
@@ -2344,8 +2344,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT b.doc_id
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
                 WHERE len(a.s) > 0 AND len(b.s) > 0
-                  AND ROUND(len(list_intersect(a.s, b.s))::DOUBLE
-                            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
+                  AND len(list_intersect(a.s, b.s))::DOUBLE
+                      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
             )
             SELECT doc_id, lang, source, quality_score FROM base
             WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
@@ -2375,8 +2375,8 @@ def oracle_sql() -> dict[str, str]:
                          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(a.s) > 0 AND len(b.s) > 0
-              AND ROUND(len(list_intersect(a.s, b.s))::DOUBLE
-                        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
+              AND len(list_intersect(a.s, b.s))::DOUBLE
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
             ORDER BY id_a, id_b
         """,
         # Winnowing fingerprints: identical polynomial rolling hash
@@ -2750,8 +2750,8 @@ def oracle_sql() -> dict[str, str]:
                                regexp_replace(
                                  regexp_replace(
                                    regexp_replace(text,
-                                     '[' || chr(0) || '-' || chr(8) || chr(11) || chr(12)
-                                         || chr(14) || '-' || chr(31) || chr(127) || ']', '', 'g'),
+                                     '[' || chr(0) || '-' || chr(8) || chr(11) || '-'
+                                         || chr(31) || chr(127) || ']', '', 'g'),
                                    '[“”«»]', '"', 'g'),
                                  '[‘’]', chr(39), 'g'),
                                '[–—]', '-', 'g'),
@@ -3041,7 +3041,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_percentile_filter": rf"""
             WITH scored AS (
                 SELECT doc_id, lang,
-                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
                        len(regexp_extract_all(lower(text), '{_STOPWORD_RE}', 1)) AS n_stop,
                        len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
                        length(text) AS n_chars

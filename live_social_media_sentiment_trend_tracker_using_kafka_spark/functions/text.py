@@ -32,8 +32,14 @@ def token_count_col(text: Column) -> Column:
 
 
 def whitespace_token_count_col(text: Column) -> Column:
-    """Whitespace token count (split on runs of whitespace)."""
-    return F.size(F.split(F.trim(text), r"\s+"))
+    """Whitespace token count (split on runs of whitespace).
+
+    Empty/whitespace-only text counts 0 tokens: ``split('')`` yields
+    ``['']`` (size 1), the same pitfall dedup._tokens documents — filter
+    the empty element so degenerate docs don't score as one-token docs."""
+    return F.size(
+        F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit(""))
+    )
 
 
 def stopword_count_col(text: Column) -> Column:
@@ -185,12 +191,13 @@ def lang_id_col(text: Column) -> Column:
 
 def clean_text_col(text: Column) -> Column:
     """Ingest text normalization: strip control characters (keeping
-    tab/newline, which the cleaner then canonicalizes), fold typographic
+    tab/newline — carriage returns are stripped, so CRLF folds to LF —
+    which the cleaner then canonicalizes), fold typographic
     quotes/dashes to ASCII, collapse runs of spaces/tabs, and trim — the
     standard pre-tokenization cleanup a web-scrape pipeline applies before
     any quality scoring or dedup. Pure regexp columns, fully
     oracle-expressible (same patterns run in RE2/Java regex alike)."""
-    t = F.regexp_replace(text, "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    t = F.regexp_replace(text, "[\x00-\x08\x0b-\x1f\x7f]", "")
     t = F.regexp_replace(t, "[“”«»]", '"')
     t = F.regexp_replace(t, "[‘’]", "'")
     t = F.regexp_replace(t, "[–—]", "-")

@@ -307,8 +307,8 @@ def minhash_near_duplicates(
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
+        .filter(jac >= threshold)  # exact ratio; rounded value is display-only
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
 
@@ -533,11 +533,11 @@ def incremental_near_duplicates(
     return (
         cands.join(a, "inc_id")
         .join(b, "cor_id")
+        .filter(jac >= threshold)  # exact ratio; rounded value is display-only
         .select(
             F.col("inc_id").alias("incoming_id"),
             F.col("cor_id").alias("corpus_id"),
             F.round(jac, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
         .orderBy("incoming_id", "corpus_id")
     )

@@ -144,7 +144,10 @@ def jaccard_similarity_join(
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
+        # filter on the EXACT ratio — rounding first would drop/admit
+        # boundary pairs and break the no-false-negatives contract; the
+        # rounded value is presentation only
+        .filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, round_digits).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )

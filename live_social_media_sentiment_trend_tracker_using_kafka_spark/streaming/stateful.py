@@ -63,6 +63,13 @@ def _make_update_fn(ttl_ms: int | None):
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user,) = key
+        # A timed-out invocation (empty batch, fired by the TTL timer) must
+        # EVICT: re-storing state and re-arming the timer here would grow
+        # the store forever and re-emit an unchanged row every TTL interval
+        # — the opposite of what the TTL exists for.
+        if state.hasTimedOut:
+            state.remove()
+            return
         n, likes = state.get if state.exists else (0, 0)
         for pdf in batches:
             n += len(pdf)

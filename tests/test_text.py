@@ -58,8 +58,9 @@ def test_quality_score_ranks_natural_text_above_soup(spark):
     soup = score("!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))")
     assert natural > 0.8
     assert soup < 0.3
-    # empty text: split("") yields one empty token (0.02) + no-punct term (0.2)
-    assert score("") == pytest.approx(0.22)
+    # empty text: zero tokens (the [''] split artifact is filtered), so only
+    # the no-punctuation term contributes
+    assert score("") == pytest.approx(0.2)
 
 
 def test_fingerprint_normalizes_whitespace_and_case(spark):
@@ -155,3 +156,23 @@ def test_clean_text_col_goldens(spark):
     df = spark.createDataFrame([(t,) for t, _ in cases], ["t"])
     got = [r.c for r in df.select(clean_text_col(F.col("t")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_empty_text_counts_zero_tokens(spark):
+    from pyspark.sql import functions as F
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.text import (
+        whitespace_token_count_col,
+        clean_text_col,
+    )
+
+    df = spark.createDataFrame([("",), ("   ",), ("two words",)], ["t"])
+    got = [r.n for r in df.select(whitespace_token_count_col(F.col("t")).alias("n")).collect()]
+    assert got == [0, 0, 2]
+    # CRLF folds to LF: carriage returns are stripped control chars
+    out = (
+        spark.createDataFrame([("line1\r\nline2",)], ["t"])
+        .select(clean_text_col(F.col("t")).alias("c"))
+        .first()
+        .c
+    )
+    assert out == "line1\nline2"
