@@ -91,14 +91,19 @@ def vendored_score_text(text: str | None) -> float:
     real package)."""
     if text is None or not text.strip():
         return 0.0
-    tokens = [t.strip("#").strip(".,!?;:'\"()[]") for t in text.lower().split()]
+    # one strip set including '#': "(#love)" must shed BOTH the parens and
+    # the hash (strip("#") first was a no-op when punctuation wrapped it)
+    tokens = [t.strip(".,!?;:'\"()[]#") for t in text.lower().split()]
     s = 0.0
     prev_negated = False
     for tok in tokens:
         v = _LEXICON.get(tok)
         if v is not None:
             s += v * (_NEGATION_FLIP if prev_negated else 1.0)
-        prev_negated = tok in _NEGATORS
+        # negator set stores apostrophe-free forms; fold "don't" -> "dont"
+        # so real contractions actually negate (VADER's NEGATE list carries
+        # both spellings for the same reason)
+        prev_negated = tok.replace("'", "") in _NEGATORS
     if s == 0.0:
         return 0.0
     return s / math.sqrt(s * s + _ALPHA)

@@ -151,7 +151,8 @@ def latest_display(
         F.concat(F.substring(F.col(text_col), 1, truncate_at), F.lit("...")).alias("display_text"),
         *[F.col(c) for c in (extra_cols or [])],
     ]
-    return df.orderBy(F.desc(ts_col), F.desc(tiebreak)).limit(n).select(*cols)
+    # the newest-N ordering contract lives in last_n alone
+    return last_n(df, ts_col, n, tiebreak).select(*cols)
 
 
 def users_with_both_event_types(

@@ -28,8 +28,20 @@ def write_partitioned(
     mode: str = "overwrite",
 ) -> None:
     """Hive-partitioned write; readers filtering on ``partition_by`` columns
-    scan only matching directories."""
-    df.write.format(fmt).mode(mode).partitionBy(*partition_by).save(path)
+    scan only matching directories.
+
+    Overwrites are pinned to DYNAMIC partition overwrite: an incremental
+    write of one day's partition replaces only the partitions present in
+    ``df`` — under Spark's default STATIC mode the same call would truncate
+    the whole path and silently delete every other existing partition.
+    """
+    (
+        df.write.format(fmt)
+        .mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .save(path)
+    )
 
 
 def write_bucketed(

@@ -58,9 +58,19 @@ def monitor_streams(
     return samples
 
 
-def stop_all_streams(spark: SparkSession, timeout_sec: float = 30.0) -> int:
-    """Gracefully stop every active query; returns how many were stopped
-    (reference: consumer/spark_streaming_job.py:197-207)."""
+def stop_all_streams(
+    spark: SparkSession,
+    timeout_sec: float = 30.0,
+    clock: Callable[[], float] = time.time,
+    sleep: Callable[[float], None] = time.sleep,
+) -> tuple[int, list[str]]:
+    """Gracefully stop every active query; returns (stopped count, names of
+    queries STILL active at timeout) — callers must check the second element
+    before tearing the session down, a silent count alone let shutdown
+    proceed with live state stores (reference:
+    consumer/spark_streaming_job.py:197-207). Clock/sleep are injectable
+    like monitor_streams, so the timeout branch is testable without real
+    sleeping."""
     stopped = 0
     for q in list(spark.streams.active):
         try:
@@ -68,7 +78,8 @@ def stop_all_streams(spark: SparkSession, timeout_sec: float = 30.0) -> int:
             stopped += 1
         except Exception:  # stopping a dying query races; best-effort
             pass
-    deadline = time.time() + timeout_sec
-    while spark.streams.active and time.time() < deadline:
-        time.sleep(0.1)
-    return stopped
+    deadline = clock() + timeout_sec
+    while spark.streams.active and clock() < deadline:
+        sleep(0.1)
+    leftover = [q.name or q.id for q in spark.streams.active]
+    return stopped, leftover

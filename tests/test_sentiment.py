@@ -68,3 +68,17 @@ def test_pandas_udf_matches_scalar(spark):
         for r in df.select(sentiment.sentiment_score_pandas_udf("text").alias("s")).collect()
     ]
     assert got == [score_text(t) for t in texts]
+
+
+def test_contractions_negate(spark):
+    """\"don't like\" must score NEGATIVE of \"like\"'s flip, not positive
+    (the negator set stores apostrophe-free forms; tokens fold before
+    lookup)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.sentiment import (
+        vendored_score_text,
+    )
+
+    assert vendored_score_text("I don't like this") < 0
+    assert vendored_score_text("I do like this") > 0
+    # punctuation-wrapped hashtags still hit the lexicon
+    assert vendored_score_text("(#love)") > 0

@@ -306,9 +306,10 @@ def test_stop_all_streams_idempotent(spark, posts_dir):
         .start()
     )
     assert q.isActive
-    assert stop_all_streams(spark) >= 1
+    stopped, leftover = stop_all_streams(spark)
+    assert stopped >= 1 and leftover == []
     assert not spark.streams.active
-    assert stop_all_streams(spark) == 0
+    assert stop_all_streams(spark) == (0, [])
 
 
 def test_kafka_option_passthrough_contract():
