@@ -46,7 +46,11 @@ def enrich_posts(df: DataFrame, with_sentiment_udf: bool = True) -> DataFrame:
     out = (
         filter_valid_text(df)
         .withColumn("processing_timestamp", F.current_timestamp())
-        .withColumn("event_ts", F.to_timestamp("timestamp", TIMESTAMP_FMT))
+        # try_to_timestamp: under Spark 4's ANSI default, to_timestamp
+        # THROWS on one malformed string and kills the whole streaming
+        # query; coerce semantics (bad -> null) match the reference's
+        # permissive parse (normalize.py documents the same hazard)
+        .withColumn("event_ts", F.try_to_timestamp("timestamp", F.lit(TIMESTAMP_FMT)))
         .withColumn("city", F.col("location.city"))
         .withColumn("country", F.col("location.country"))
         .drop("location")

@@ -21,7 +21,13 @@ from pyspark.sql import types as T
 
 from ..schema import POST_DEFAULTS
 
-_NUMERIC_DEFAULTS = {"sentiment_score": 0.0, "likes": 0, "retweets": 0, "user_followers": 0}
+# derived, not hand-listed: a numeric default added to POST_DEFAULTS must
+# automatically get P10 coercion or string inputs keep their raw type
+_NUMERIC_DEFAULTS = {
+    k: v
+    for k, v in POST_DEFAULTS.items()
+    if isinstance(v, (int, float)) and not isinstance(v, bool)
+}
 _STRING_DEFAULTS = {
     k: v for k, v in POST_DEFAULTS.items() if isinstance(v, str)
 }
@@ -36,13 +42,20 @@ def _normalize_hashtags(df: DataFrame) -> DataFrame:
         return df.withColumn(
             "hashtags", F.coalesce(F.col("hashtags").cast("array<string>"), F.array().cast("array<string>"))
         )
-    # string cell: stringified python list or bare tag
+    # string cell: stringified python list or bare tag. from_json over a
+    # naive quote swap corrupts on apostrophes inside tags ("rock'n'roll")
+    # and would drop the WHOLE cell; fall back to extracting the
+    # single-quoted spans, which recovers every well-formed tag.
     as_str = F.col("hashtags").cast("string")
     parsed = F.from_json(F.regexp_replace(as_str, "'", '"'), "array<string>")
+    extracted = F.regexp_extract_all(as_str, F.lit(r"'([^']*?)'(?=\s*[,\]])"), F.lit(1))
     return df.withColumn(
         "hashtags",
         F.when(F.col("hashtags").isNull(), F.array().cast("array<string>"))
-        .when(as_str.startswith("["), F.coalesce(parsed, F.array().cast("array<string>")))
+        .when(
+            as_str.startswith("["),
+            F.coalesce(parsed, extracted, F.array().cast("array<string>")),
+        )
         .otherwise(F.array(as_str)),
     )
 
@@ -63,12 +76,17 @@ def normalize_posts(df: DataFrame) -> DataFrame:
         if c in out.columns
     ]
     out = out.withColumn("event_ts", F.coalesce(*ts_exprs, F.current_timestamp()))
-    # P10: numeric coercion with errors='coerce' → fill default
+    # P10: numeric coercion with errors='coerce' → fill default. Coerce
+    # through DOUBLE first: a direct string->int try_cast nulls out decimal
+    # strings ('3.5') and double-typed inputs (12.0 renders '12.0'), which
+    # pandas to_numeric accepts — integer targets then round like pandas'
+    # eventual int cast would.
     for col, default in _NUMERIC_DEFAULTS.items():
-        target = "double" if isinstance(default, float) else "int"
-        out = out.withColumn(
-            col, F.coalesce(F.col(col).cast("string").try_cast(target), F.lit(default))
+        as_num = F.col(col).cast("string").try_cast("double")
+        coerced = (
+            as_num if isinstance(default, float) else F.round(as_num).try_cast("int")
         )
+        out = out.withColumn(col, F.coalesce(coerced, F.lit(default)))
     # string defaults for nulls
     out = out.na.fill(_STRING_DEFAULTS)
     # P13

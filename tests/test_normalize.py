@@ -57,3 +57,45 @@ def test_hashtag_cell_normalization(spark):
 
     typed = spark.createDataFrame([("d", ["k"])], ["text", "hashtags"])
     assert normalize_posts(typed).collect()[0].hashtags == ["k"]
+
+
+def test_numeric_coercion_through_double(spark):
+    """P10 must accept decimal strings and double-typed inputs like pandas
+    to_numeric — a direct string->int try_cast zeroed them."""
+    df = spark.createDataFrame(
+        [("3.5", 12.0, "2500000000")], ["likes", "retweets", "user_followers"]
+    )
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.normalize import (
+        normalize_posts,
+    )
+
+    row = normalize_posts(df).first()
+    assert row.likes == 4  # 3.5 rounds (half-even) like an eventual int cast
+    assert row.retweets == 12
+    # > int32 max still nulls on the int cast -> default (documented bound)
+    assert row.user_followers == 0
+
+
+def test_hashtag_apostrophe_cell_keeps_wellformed_tags(spark):
+    df = spark.createDataFrame([("['rock'n'roll', 'ok']",)], ["hashtags"])
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.normalize import (
+        normalize_posts,
+    )
+
+    tags = normalize_posts(df).first().hashtags
+    assert "ok" in tags  # the valid tag survives the malformed neighbor
+
+
+def test_enrich_survives_malformed_timestamp(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.enrich import (
+        enrich_posts,
+    )
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.schema import POST_SCHEMA
+
+    rows = [
+        ("hello world", "u", "tw", 1, 2, 3, ("c", "US"), "2024-01-01T10:00:00"),
+        ("good day", "v", "tw", 1, 2, 3, ("c", "US"), "2024-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, POST_SCHEMA)
+    got = enrich_posts(df).select("event_ts").collect()  # must not throw
+    assert got[0].event_ts is None and got[1].event_ts is not None
