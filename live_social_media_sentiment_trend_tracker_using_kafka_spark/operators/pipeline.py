@@ -55,14 +55,40 @@ def clean_corpus_exact(
     docs: DataFrame,
     langs: list[str] = ("en", "es", "de", "fr"),
     min_quality: float = 0.5,
+    sort: bool = True,
 ) -> DataFrame:
-    """Oracle-checkable cleaning chain: language → quality → exact dedup."""
+    """Oracle-checkable cleaning chain: language → quality → exact dedup.
+
+    ``sort=False`` skips the output ordering — the near-dup tiers persist
+    this table as an intermediate consumed only through joins (which
+    destroy ordering anyway), so the corpus-wide range-shuffle + sort would
+    be pure wasted work there; they sort their own final output.
+    """
     out = filter_by_language(docs, list(langs))
     out = filter_by_quality(out, min_quality)
     out = keep_exact_unique(out)
-    return out.select("doc_id", "lang", "source", F.round("quality_score", 6).alias("quality_score")).orderBy(
-        "doc_id"
+    out = out.select(
+        "doc_id", "lang", "source", F.round("quality_score", 6).alias("quality_score")
     )
+    return out.orderBy("doc_id") if sort else out
+
+
+def _clean_with_pair_drop(
+    docs: DataFrame,
+    langs: list[str],
+    min_quality: float,
+    pairs_fn,
+) -> DataFrame:
+    """Shared near-dup composition: exact tier (persisted — two consumers)
+    → survivor text → pair set from ``pairs_fn`` → drop each pair's larger
+    id (greedy keep-min; transitive clusters collapse under repetition, see
+    module docstring) → sorted kept set. The drop rule lives HERE once —
+    both tiers must never diverge on it."""
+    base = tracked_persist(clean_corpus_exact(docs, langs, min_quality, sort=False))
+    survivors = docs.join(base.select("doc_id"), "doc_id", "left_semi")
+    pairs = pairs_fn(survivors)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return base.join(drop, "doc_id", "left_anti").orderBy("doc_id")
 
 
 def clean_corpus(
@@ -72,19 +98,17 @@ def clean_corpus(
     near_dup_threshold: float = 0.8,
 ) -> DataFrame:
     """Full cleaning chain: exact tier + MinHash-LSH near-dup removal
-    (drops the larger id of every pair with Jaccard ≥ threshold)."""
-    # base feeds the survivors semi-join AND the final anti-join — persist
-    # so the lang/quality/dedup tier (regex-heavy) computes once.
-    base = tracked_persist(clean_corpus_exact(docs, langs, min_quality))
-    survivors = docs.join(base.select("doc_id"), "doc_id", "left_semi")
-    # shingle_corpus=docs: ride the session-canonical full-corpus shingle
-    # table (restricted to survivors by id) instead of re-tokenizing the
-    # filtered subset as a distinct plan
-    pairs = dedup.minhash_near_duplicates(
-        survivors, threshold=near_dup_threshold, shingle_corpus=docs
+    (drops the larger id of every pair with Jaccard ≥ threshold).
+    shingle_corpus=docs rides the session-canonical full-corpus shingle
+    table, restricted to survivors by id."""
+    return _clean_with_pair_drop(
+        docs,
+        list(langs),
+        min_quality,
+        lambda survivors: dedup.minhash_near_duplicates(
+            survivors, threshold=near_dup_threshold, shingle_corpus=docs
+        ),
     )
-    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    return base.join(drop, "doc_id", "left_anti").orderBy("doc_id")
 
 
 def clean_corpus_exact_neardup(
@@ -102,14 +126,15 @@ def clean_corpus_exact_neardup(
     """
     from .simjoin import jaccard_similarity_join
 
-    base = tracked_persist(clean_corpus_exact(docs, langs, min_quality))  # two consumers
-    survivors = docs.join(base.select("doc_id"), "doc_id", "left_semi")
     # order_corpus=docs: index the full corpus once (the session-canonical
     # frequency-sorted table, shared with similarity_join_exact/minhash)
     # and restrict to survivors — prefix filtering is exact under any
     # fixed global order, so superset frequencies change nothing
-    pairs = jaccard_similarity_join(
-        survivors, threshold=near_dup_threshold, order_corpus=docs
+    return _clean_with_pair_drop(
+        docs,
+        list(langs),
+        min_quality,
+        lambda survivors: jaccard_similarity_join(
+            survivors, threshold=near_dup_threshold, order_corpus=docs
+        ),
     )
-    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    return base.join(drop, "doc_id", "left_anti").orderBy("doc_id")

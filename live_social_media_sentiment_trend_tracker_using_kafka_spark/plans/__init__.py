@@ -18,7 +18,11 @@ def plan_text(df: DataFrame) -> str:
     try:
         return formatted_plan(df)
     except Exception:
-        return df._jdf.queryExecution().explainString("formatted")  # type: ignore[attr-defined]
+        # toString() is the universally-available fallback (explainString on
+        # the JVM QueryExecution takes an ExplainMode enum, not a string —
+        # calling it with "formatted" raises an unrelated Py4J error that
+        # would mask the original exception)
+        return df._jdf.queryExecution().toString()  # type: ignore[attr-defined]
 
 
 def assert_broadcast_join(df: DataFrame, expected: int = 1) -> None:
@@ -28,9 +32,14 @@ def assert_broadcast_join(df: DataFrame, expected: int = 1) -> None:
 
 
 def assert_pushed_filters(df: DataFrame) -> None:
+    """At least one scan must carry a NON-EMPTY PushedFilters list — the
+    previous before-the-split conjunct was a tautology that green-lit a
+    fully unfiltered scan."""
     plan = plan_text(df)
-    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan.split("PushedFilters: [", 1)[0], (
-        f"no pushed filters in plan:\n{plan}"
+    segments = plan.split("PushedFilters: [")[1:]
+    assert segments, f"no PushedFilters entry in plan:\n{plan}"
+    assert any(not seg.lstrip().startswith("]") for seg in segments), (
+        f"every PushedFilters list is empty — nothing pushed to the source:\n{plan}"
     )
 
 

@@ -40,24 +40,6 @@ POST_SCHEMA = T.StructType(
 # Enriched post produced by operators.enrich.enrich_posts — the reference's
 # stream output shape (consumer/spark_streaming_job.py:121-136) with typed
 # event time added.
-ENRICHED_COLUMNS = [
-    "text",
-    "user",
-    "platform",
-    "user_followers",
-    "likes",
-    "retweets",
-    "timestamp",
-    "event_ts",
-    "processing_timestamp",
-    "city",
-    "country",
-    "cleaned_text",
-    "sentiment_score",
-    "sentiment_label",
-    "hashtags",
-]
-
 # Dashboard-side defaults used when normalizing untyped input
 # (reference: dashboard/streamlit_app.py:203-220).
 POST_DEFAULTS: dict[str, object] = {
