@@ -9,6 +9,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pandas as pd
+import pytest
 from hypothesis import given, settings, HealthCheck, strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -255,3 +256,47 @@ def test_range_join_matches_naive(spark, facts, ivals, width):
         if lo <= s <= lo + span
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Gap-filled linear interpolation must agree with pandas' method="linear"
+# over arbitrary sparse integer series (interior gaps; one-sided gaps stay
+# NULL by contract, where pandas ffills — excluded from comparison).
+# --------------------------------------------------------------------------
+
+@settings(**SETTINGS)
+@given(
+    obs=st.dictionaries(
+        st.integers(min_value=0, max_value=30),  # bucket hour
+        st.integers(min_value=-50, max_value=50),  # value
+        min_size=2,
+        max_size=10,
+    ),
+)
+def test_gapfill_linear_matches_pandas(spark, obs):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.timeseries import (
+        time_bucket_gapfill,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("k", BASE + dt.timedelta(hours=h, minutes=10), float(v))
+        for h, v in sorted(obs.items())
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp_ntz, v double")
+    got = {
+        r.bucket: r.avg_v
+        for r in time_bucket_gapfill(
+            df, "ts", 3600, aggs={"avg_v": F.avg("v")}, fill={"avg_v": "linear"}
+        ).collect()
+    }
+
+    lo, hi = min(obs), max(obs)
+    idx = [BASE + dt.timedelta(hours=h) for h in range(lo, hi + 1)]
+    ser = pd.Series(
+        [float(obs[h]) if h in obs else None for h in range(lo, hi + 1)],
+        index=idx,
+        dtype="float64",
+    ).interpolate(method="linear", limit_area="inside")
+    for ts, want in ser.items():
+        assert got[ts.to_pydatetime()] == (None if pd.isna(want) else pytest.approx(want))
