@@ -1201,6 +1201,25 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard heatmap shape: event counts by (day-of-week, hour) — one
+    hash agg over derived NTZ calendar fields (tz-free on any session).
+    Spark's dayofweek is Sunday=1; emitted as Sunday=0 to match the SQL
+    convention."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
 def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 vocabulary induction: the BPE merge step's candidate ranking —
     the 50 most frequent ADJACENT token pairs corpus-wide (count desc, pair
@@ -1700,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_value_percentiles": q_approx_value_percentiles,
         "bpe_merge_candidates": q_bpe_merge_candidates,
         "embedding_norm_stats": q_embedding_norm_stats,
+        "event_heatmap": q_event_heatmap,
     }
     return {name: _released(fn) for name, fn in raw.items()}
 
@@ -2645,6 +2665,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(keptl) AS n_lines_kept,
                    array_to_string(keptl, chr(10)) AS text_clean
             FROM kept WHERE len(keptl) > 0 ORDER BY doc_id
+        """,
+        # Heatmap: DuckDB dayofweek is already Sunday=0.
+        "event_heatmap": """
+            SELECT dayofweek(ts) AS dow,
+                   hour(ts) AS hour,
+                   COUNT(*) AS n_events,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events
+            GROUP BY dow, hour ORDER BY dow, hour
         """,
         # BPE merge candidates: same word-bigram construction as the
         # bigram_logprob CTE, top-50 with deterministic tie-break.

@@ -74,6 +74,7 @@ HEADLINE = [
     "cheapest_supplier_per_part",
     "vocab_coverage",
     "value_histogram",
+    "event_heatmap",
     "value_outliers_mad",
     "cosine_pairs_sample",
     "label_centroids",
