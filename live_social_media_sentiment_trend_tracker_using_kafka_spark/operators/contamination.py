@@ -152,33 +152,37 @@ def build_bloom_words(
 ) -> tuple[list[int], int, int]:
     """Fit a Bloom filter over the benchmark's distinct word n-grams.
 
-    Returns (packed 64-bit words as Python ints, m, k). The distinct BIT
-    POSITIONS are collected to the driver — bounded by m (the fpp budget:
-    ~1.2 MB of words per 10⁶ benchmark grams at 1%), the same bounded-fit
-    contract as similarity.srp_parameters / the IVF codebook. The CORPUS is
-    never collected; the benchmark side is aggregated distributed and only
-    the ≤ m distinct positions come back.
+    Returns (packed 64-bit words as Python ints, m, k). The filter is PACKED
+    DISTRIBUTED — each position becomes a (word_index, single-bit mask) pair
+    and a bit_or aggregation ORs the masks per word, so the driver collects
+    at most m/64 packed longs (~19k rows / 150 KB per 10⁶ benchmark grams at
+    1% fpp), never the ~k·n raw positions. Same bounded-fit contract as
+    similarity.srp_parameters / the IVF codebook; the CORPUS is never
+    collected.
     """
     # Two actions consume this pipeline (the sizing count, then the
-    # position collect) — persist so the benchmark shingles once.
+    # packed-word collect) — persist so the benchmark shingles once.
     grams = tracked_persist(
         benchmark.select(F.explode(word_shingles_col(F.col(text_col), n)).alias("gram"))
         .distinct()
     )
     n_items = n_grams_hint if n_grams_hint is not None else grams.count()
     m, k = bloom_parameters(n_items, fpp)
-    pos_rows = (
+    packed = (
         grams.select(F.explode(_gram_positions(F.col("gram"), m, k)).alias("pos"))
-        .distinct()
+        .select(
+            F.shiftrightunsigned("pos", 6).alias("widx"),
+            F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("mask"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("word"))
         .collect()
     )
+    # Spark longs are signed; shiftleft(1, 63) already yields the signed
+    # two's-complement pattern the shiftrightunsigned probe expects.
     words = [0] * (m // 64)
-    for r in pos_rows:
-        p = r.pos
-        words[p >> 6] |= 1 << (p & 63)
-    # two's-complement into signed 64-bit: Spark longs are signed; the probe
-    # uses shiftrightunsigned so the bit pattern is what matters
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    for r in packed:
+        words[r.widx] = r.word
     return words, m, k
 
 

@@ -90,13 +90,30 @@ def lsh_topk(
     At 100 TB the bucketed table is written partitioned by ``bucket`` so a
     probe is a partition-pruned scan, not a full pass.
     """
+    bucketed = with_lsh_bucket(embeddings, len(query_vec), num_planes, vec_col, seed)
+    return lsh_probe(bucketed, query_vec, k, id_col, vec_col, num_planes, seed, multi_probe)
+
+
+def lsh_probe(
+    bucketed: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 7,
+    multi_probe: bool = True,
+) -> DataFrame:
+    """Probe phase of ``lsh_topk`` against a prebuilt bucketed table — the
+    build-once/probe-many split of a served ANN index (callers memoize or
+    persist the bucketed table; repeated queries skip re-bucketing the
+    corpus)."""
     q = np.asarray(query_vec, dtype=float)
     planes = _hyperplanes(len(q), num_planes, seed)
     qsig = sum((1 << p) for p, plane in enumerate(planes) if float(np.dot(q, plane)) > 0)
     probes = [qsig] + ([qsig ^ (1 << p) for p in range(num_planes)] if multi_probe else [])
     from ..functions.kernels import make_query_cosine_udf
 
-    bucketed = with_lsh_bucket(embeddings, len(q), num_planes, vec_col, seed)
     # Arrow rerank: one matmul per batch vs an interpreted fold per row —
     # this is the rows-only scale path (the oracle-exact twin is
     # brute_force_topk, which keeps the Catalyst cosine).
@@ -201,6 +218,23 @@ def ivf_topk(
     is driver-side numpy on a handful of floats, not a collect of data rows.
     """
     assigned, centroids = ivf_index(embeddings, n_clusters, vec_col, seed)
+    return ivf_probe(assigned, centroids, query_vec, k, id_col, vec_col, nprobe)
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe phase of ``ivf_topk`` against a prebuilt (assigned, centroids)
+    index — the build-once/probe-many split: the coarse quantizer is fit and
+    the corpus assigned ONCE (callers memoize/persist ``assigned``, or at
+    100 TB write it ``partitionBy("cluster")``), and each query costs only a
+    partition-pruned scan of its ``nprobe`` clusters."""
     q = np.asarray(query_vec, dtype=float)
     qn = q / np.linalg.norm(q)
     cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
@@ -444,9 +478,27 @@ def pq_topk(
     brute_force_topk up to quantization recall (rows-only check; recall
     asserted in tests).
     """
+    coded, codebooks = pq_index(embeddings, m, codebook_k, vec_col, seed)
+    return pq_probe(coded, codebooks, query_vec, k, id_col, vec_col, m, refine)
+
+
+def pq_probe(
+    coded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    refine: int = 8,
+) -> DataFrame:
+    """ADC scan + exact rerank against a prebuilt PQ codes table — the
+    build-once/probe-many split: codebooks are fit and the corpus encoded
+    ONCE (callers memoize/persist ``coded``); each query pays only the
+    per-query distance table (driver numpy on an (m, k, dsub) tensor) and
+    the table-lookup scan."""
     from ..functions.kernels import make_adc_udf, make_query_cosine_udf
 
-    coded, codebooks = pq_index(embeddings, m, codebook_k, vec_col, seed)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     dsub = len(q) // m
