@@ -367,12 +367,15 @@ def chunk_documents(
     stride preserves cross-boundary context, the standard LM preprocessing
     recipe).
 
-    Chunk c covers tokens [c·stride, c·stride + max_tokens); chunks exist
-    for every start < n_tokens, so the tail is a shorter final chunk rather
-    than dropped text. Entirely per-row Catalyst (token let-binding via a
-    single-element transform, chunk fan-out via sequence+explode) — no
-    shuffle, no Python; chunk count per doc is ceil(n/stride), so output
-    size is a fixed multiple of the corpus, never quadratic.
+    Chunk c covers tokens [c·stride, c·stride + max_tokens); chunking stops
+    at the first chunk that reaches the document end (count =
+    max(ceil((n - max_tokens)/stride), 0) + 1, the standard recipe), so the
+    tail is a shorter final chunk rather than dropped text and never a
+    strict subset of the previous chunk's coverage (64 tokens at stride 48
+    yield ONE chunk, not a redundant [48,64) echo). Entirely per-row
+    Catalyst (token let-binding via a single-element transform, chunk
+    fan-out via sequence+explode) — no shuffle, no Python; output size is a
+    fixed multiple of the corpus, never quadratic.
 
     Output: (id, chunk_id, n_chunk_tokens, chunk_text), token-less docs
     excluded (they have nothing to chunk).
@@ -386,7 +389,12 @@ def chunk_documents(
     toks = df.select(
         F.col(id_col), word_tokens_col(F.col(text_col)).alias("toks")
     ).filter(F.size("toks") > 0)
-    n_chunks = F.ceil(F.size("toks") / F.lit(stride)).cast("int")
+    n_chunks = (
+        F.greatest(
+            F.ceil((F.size("toks") - max_tokens) / F.lit(stride)), F.lit(0)
+        ).cast("int")
+        + 1
+    )
     chunked = toks.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),

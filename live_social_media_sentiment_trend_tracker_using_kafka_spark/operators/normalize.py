@@ -44,11 +44,15 @@ def _normalize_hashtags(df: DataFrame) -> DataFrame:
         )
     # string cell: stringified python list or bare tag. from_json over a
     # naive quote swap corrupts on apostrophes inside tags ("rock'n'roll")
-    # and would drop the WHOLE cell; fall back to extracting the
-    # single-quoted spans, which recovers every well-formed tag.
+    # and would drop the WHOLE cell; fall back to extracting the quoted
+    # spans with BOTH quotes anchored at element delimiters (opening after
+    # [ or , ; closing before , or ]), so a tag with interior apostrophes
+    # is recovered whole — 'rock'n'roll' yields rock'n'roll, not roll.
     as_str = F.col("hashtags").cast("string")
     parsed = F.from_json(F.regexp_replace(as_str, "'", '"'), "array<string>")
-    extracted = F.regexp_extract_all(as_str, F.lit(r"'([^']*?)'(?=\s*[,\]])"), F.lit(1))
+    extracted = F.regexp_extract_all(
+        as_str, F.lit(r"(?<=[\[,]\s{0,8})'(.*?)'(?=\s*[,\]])"), F.lit(1)
+    )
     return df.withColumn(
         "hashtags",
         F.when(F.col("hashtags").isNull(), F.array().cast("array<string>"))
@@ -79,13 +83,12 @@ def normalize_posts(df: DataFrame) -> DataFrame:
     # P10: numeric coercion with errors='coerce' → fill default. Coerce
     # through DOUBLE first: a direct string->int try_cast nulls out decimal
     # strings ('3.5') and double-typed inputs (12.0 renders '12.0'), which
-    # pandas to_numeric accepts — integer targets then round like pandas'
-    # eventual int cast would.
+    # pandas to_numeric accepts — integer targets then truncate toward zero
+    # (Spark double→int cast), matching pandas astype(int): '3.9' → 3,
+    # '-3.5' → -3.
     for col, default in _NUMERIC_DEFAULTS.items():
         as_num = F.col(col).cast("string").try_cast("double")
-        coerced = (
-            as_num if isinstance(default, float) else F.round(as_num).try_cast("int")
-        )
+        coerced = as_num if isinstance(default, float) else as_num.try_cast("int")
         out = out.withColumn(col, F.coalesce(coerced, F.lit(default)))
     # string defaults for nulls
     out = out.na.fill(_STRING_DEFAULTS)

@@ -134,3 +134,28 @@ def test_chunk_documents_rejects_gapping_stride(spark):
     docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(docs, max_tokens=4, stride=10)
+
+
+def test_chunk_documents_no_redundant_tail_chunk(spark):
+    """A doc whose last stride start lies inside the previous chunk's
+    coverage must NOT emit a subset tail chunk: 64 tokens at stride 48 /
+    max 64 is exactly one chunk; 65 tokens is two (the second reaches the
+    end with fresh text)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(64))),
+         (2, " ".join(f"t{i}" for i in range(65)))],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, max_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_chunk_tokens == 64
+    assert len(by_doc[2]) == 2
+    # tail chunk covers [48, 65) — 17 tokens, ends at the document end
+    tail = max(by_doc[2], key=lambda r: r.chunk_id)
+    assert tail.n_chunk_tokens == 17 and tail.chunk_text.endswith("t64")

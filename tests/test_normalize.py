@@ -70,7 +70,7 @@ def test_numeric_coercion_through_double(spark):
     )
 
     row = normalize_posts(df).first()
-    assert row.likes == 4  # 3.5 rounds (half-even) like an eventual int cast
+    assert row.likes == 3  # truncates toward zero like pandas astype(int)
     assert row.retweets == 12
     # > int32 max still nulls on the int cast -> default (documented bound)
     assert row.user_followers == 0
@@ -84,6 +84,8 @@ def test_hashtag_apostrophe_cell_keeps_wellformed_tags(spark):
 
     tags = normalize_posts(df).first().hashtags
     assert "ok" in tags  # the valid tag survives the malformed neighbor
+    # delimiter-anchored quotes recover the apostrophe'd tag WHOLE
+    assert "rock'n'roll" in tags
 
 
 def test_enrich_survives_malformed_timestamp(spark):
