@@ -823,6 +823,22 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize.cohort_retention(_t(spark, sf_dir, "events"))
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation via broadcast exact-percentile boundaries
+    (no single-partition ntile)."""
+    return sessionize.rfm_segments(_t(spark, sf_dir, "events"))
+
+
+def q_lone_problem_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS/NOT-EXISTS decorrelated into semi/anti hash
+    joins (returned-line flavor — the schema lacks commit dates)."""
+    return relational.lone_problem_suppliers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users — the 100 TB scale path (rows-only:
     approximate by construction).
@@ -1682,9 +1698,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_heatmap": q_event_heatmap,
         "bpe_merge_candidates": q_bpe_merge_candidates,
         "approx_value_percentiles": q_approx_value_percentiles,
-        # -- new in r4: product-analytics tier ------------------------------
+        # -- new in r4: product-analytics tier + Q21 shape ------------------
         "funnel_conversion": q_funnel_conversion,
         "cohort_retention": q_cohort_retention,
+        "rfm_segments": q_rfm_segments,
+        "lone_problem_suppliers": q_lone_problem_suppliers,
         # -- tier 2 (r4): rows-only queries whose last driver row predates
         #    the r3 evidence-column contracts -------------------------------
         "ivf_topk": q_ivf_topk,
@@ -2355,6 +2373,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT 3, 'purchase_after_click', CAST(n_purchase AS BIGINT),
                    ROUND(n_purchase / NULLIF(n_click, 0)::DOUBLE, 6) FROM t
             ORDER BY stage_order
+        """,
+        "rfm_segments": """
+            WITH per_user AS (
+                SELECT user_id,
+                       MAX(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS last_day,
+                       COUNT(*) AS freq,
+                       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS cents
+                FROM events GROUP BY user_id
+            ), m AS (
+                SELECT user_id,
+                       datediff('day', last_day,
+                                (SELECT MAX(last_day) FROM per_user)) AS rec,
+                       freq, cents
+                FROM per_user
+            ), q AS (
+                SELECT quantile_cont(rec, [0.25, 0.5, 0.75]) AS qr,
+                       quantile_cont(freq, [0.25, 0.5, 0.75]) AS qf,
+                       quantile_cont(cents, [0.25, 0.5, 0.75]) AS qm
+                FROM m
+            ), scored AS (
+                SELECT cents,
+                       4 - ((rec > qr[1])::INT + (rec > qr[2])::INT
+                            + (rec > qr[3])::INT) AS r_score,
+                       1 + ((freq > qf[1])::INT + (freq > qf[2])::INT
+                            + (freq > qf[3])::INT) AS f_score,
+                       1 + ((cents > qm[1])::INT + (cents > qm[2])::INT
+                            + (cents > qm[3])::INT) AS m_score
+                FROM m, q
+            )
+            SELECT r_score, f_score, m_score, COUNT(*) AS n_users,
+                   ROUND(AVG(cents)) / 100.0 AS avg_monetary
+            FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # Q21 shape, returned-line flavor: EXISTS / NOT EXISTS stay
+        # correlated here (DuckDB decorrelates internally); the Spark side
+        # plans them as semi/anti hash joins on l_orderkey.
+        "lone_problem_suppliers": """
+            WITH fin AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+            li AS (
+                SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM fin)
+            ),
+            all_sups AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li),
+            r AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li
+                  WHERE l_returnflag = 'R'),
+            lone AS (
+                SELECT c.l_orderkey, c.l_suppkey FROM r c
+                WHERE EXISTS (SELECT 1 FROM all_sups a
+                              WHERE a.l_orderkey = c.l_orderkey
+                                AND a.l_suppkey <> c.l_suppkey)
+                  AND NOT EXISTS (SELECT 1 FROM r o
+                              WHERE o.l_orderkey = c.l_orderkey
+                                AND o.l_suppkey <> c.l_suppkey)
+            )
+            SELECT s.s_name, COUNT(*) AS numwait
+            FROM lone JOIN supplier s ON s.s_suppkey = lone.l_suppkey
+            GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20
         """,
         "cohort_retention": """
             WITH f AS (

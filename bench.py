@@ -93,6 +93,8 @@ HEADLINE = [
     "user_sessions",
     "funnel_conversion",
     "cohort_retention",
+    "rfm_segments",
+    "lone_problem_suppliers",
     "daily_distinct_users",
     "approx_distinct_users",
     "event_type_pivot",

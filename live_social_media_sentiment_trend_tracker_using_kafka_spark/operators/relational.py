@@ -511,3 +511,69 @@ def cheapest_supplier_per_part(
         .select("p_partkey", "p_name", "s_suppkey", "s_name", F.col("unit_price").alias("min_unit_price"))
         .orderBy("p_partkey")
     )
+
+
+def lone_problem_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape (the driver schema lacks commit/receipt dates, so
+    "problem" is a returned line, ``l_returnflag = 'R'``): suppliers who
+    were the ONLY supplier with a returned line in a finalized
+    multi-supplier order.
+
+    The Q21 double-correlated EXISTS / NOT EXISTS decorrelates into two
+    self-joins on the deduped (orderkey, suppkey) table:
+
+    - EXISTS another supplier in the order   → left-semi on orderkey with
+      a suppkey-inequality residual
+    - NOT EXISTS another RETURNED supplier   → left-anti on the returned
+      table with the same residual
+
+    Both are equi-joins on ``l_orderkey`` (the inequality is a residual
+    filter, not a join driver), so the plan is hash joins end-to-end — no
+    nested loop. ``orders`` filters to status 'F' before its join and the
+    supplier dim is broadcast. Output ordered by numwait desc, name.
+    """
+    finalized = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    pairs = (
+        lineitem.join(
+            finalized, lineitem["l_orderkey"] == finalized["o_orderkey"], "left_semi"
+        )
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+    )
+    all_sups = pairs.select("l_orderkey", "l_suppkey").distinct()
+    returned = (
+        pairs.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = all_sups.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_sup")
+    )
+    other_r = returned.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_sup")
+    )
+    lone = (
+        returned.join(
+            other,
+            (returned["l_orderkey"] == other["o_key"])
+            & (returned["l_suppkey"] != other["o_sup"]),
+            "left_semi",
+        )
+        .join(
+            other_r,
+            (returned["l_orderkey"] == other_r["o_key"])
+            & (returned["l_suppkey"] != other_r["o_sup"]),
+            "left_anti",
+        )
+    )
+    return (
+        lone.join(F.broadcast(supplier), lone["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
+    )

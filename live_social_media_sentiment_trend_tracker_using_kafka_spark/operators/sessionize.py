@@ -201,3 +201,64 @@ def cohort_retention(events: DataFrame, max_offset: int = 14) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation of users,
+    rolled up to segment level.
+
+    Per-user metrics reduce in one shuffle; the three quartile boundary
+    sets come from ONE single-row exact-percentile aggregate that
+    cross-joins back in as a broadcast — scores are then pure per-row
+    comparisons, so there is NO global sort / single-partition ntile
+    anywhere (the classic RFM recipe's ntile(4) would move every user to
+    one task at scale). Integer-valued metrics (days, counts, cents from a
+    2-dp rounded sum) keep the interpolated quartile boundaries and the
+    comparisons bit-identical across engines.
+
+    Scores are 1–4, higher = better (recent, frequent, high-spend). Output:
+    (r_score, f_score, m_score, n_users, avg_monetary) ordered by scores.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.max(_day()).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("value") * 100).cast("bigint").alias("cents"),
+    )
+    ref = per_user.agg(F.max("last_day").alias("ref_day"))
+    metrics = per_user.join(F.broadcast(ref)).select(
+        "user_id",
+        F.datediff(F.col("ref_day"), F.col("last_day")).alias("rec"),
+        "freq",
+        "cents",
+    )
+    q = metrics.agg(
+        F.percentile("rec", F.lit([0.25, 0.5, 0.75])).alias("qr"),
+        F.percentile("freq", F.lit([0.25, 0.5, 0.75])).alias("qf"),
+        F.percentile("cents", F.lit([0.25, 0.5, 0.75])).alias("qm"),
+    )
+
+    def points(col, bounds):
+        return sum(
+            (F.col(col) > F.element_at(F.col(bounds), i + 1)).cast("int")
+            for i in range(3)
+        )
+
+    scored = metrics.join(F.broadcast(q)).select(
+        "cents",
+        (F.lit(4) - points("rec", "qr")).alias("r_score"),
+        (F.lit(1) + points("freq", "qf")).alias("f_score"),
+        (F.lit(1) + points("cents", "qm")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            # round the AVG of exact integer cents to a whole cent BEFORE
+            # the /100: sum(bigint)/n is bit-identical across engines, so
+            # the .5 ties round the same way everywhere — rounding dollars
+            # to 2 dp instead sits on .005 knife edges and flipped a
+            # segment between Spark and DuckDB at sf0.01
+            (F.round(F.avg("cents")) / 100.0).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

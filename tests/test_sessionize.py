@@ -67,3 +67,61 @@ def test_cohort_retention_caps_offset(spark):
     rows = [("u1", "view", _ts(1)), ("u1", "view", _ts(20))]
     out = cohort_retention(_events(spark, rows), max_offset=14).collect()
     assert [(r.day_offset, r.n_users) for r in out] == [(0, 1)]
+
+
+def test_rfm_segments_scores(spark):
+    """4 users with strictly separated metrics land in distinct quartiles;
+    plan must stay window-free (no single-partition ntile)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sessionize import (
+        rfm_segments,
+    )
+
+    rows = []
+    eid = 0
+    # user k (1..4): last active day k (u4 most recent), k*5 events of value k
+    for k in range(1, 5):
+        for j in range(k * 5):
+            rows.append((eid, _ts(k), f"u{k}", "view", float(k)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id string, event_type string, value double"
+    )
+    out = rfm_segments(ev).collect()
+    segs = {(r.r_score, r.f_score, r.m_score): r for r in out}
+    # u4: most recent, most frequent, highest total spend -> (4, 4, 4)
+    assert (4, 4, 4) in segs and segs[(4, 4, 4)].n_users == 1
+    assert abs(segs[(4, 4, 4)].avg_monetary - 80.0) < 1e-9  # 20 events x 4.0
+    # u1: most stale, least frequent, lowest spend -> (1, 1, 1)
+    assert (1, 1, 1) in segs and segs[(1, 1, 1)].n_users == 1
+    plan = rfm_segments(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # quartiles via broadcast percentiles, not ntile
+
+
+def test_lone_problem_suppliers_semantics_and_plan(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.relational import (
+        lone_problem_suppliers,
+    )
+
+    li = spark.createDataFrame(
+        [
+            # order 1 (F): s1 returned, s2 present clean -> s1 is lone
+            (1, 101, "R"), (1, 102, "N"),
+            # order 2 (F): both returned -> neither counts
+            (2, 101, "R"), (2, 102, "R"),
+            # order 3 (F): single-supplier order -> no "other supplier", excluded
+            (3, 101, "R"),
+            # order 4 (status P): would qualify but not finalized
+            (4, 101, "R"), (4, 102, "N"),
+        ],
+        "l_orderkey long, l_suppkey long, l_returnflag string",
+    )
+    orders = spark.createDataFrame(
+        [(1, "F"), (2, "F"), (3, "F"), (4, "P")], "o_orderkey long, o_orderstatus string"
+    )
+    supplier = spark.createDataFrame(
+        [(101, "Supplier#101"), (102, "Supplier#102")], "s_suppkey long, s_name string"
+    )
+    res = lone_problem_suppliers(li, orders, supplier)
+    assert [(r.s_name, r.numwait) for r in res.collect()] == [("Supplier#101", 1)]
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
