@@ -1157,6 +1157,45 @@ def q_streaming_dedup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("day")
 
 
+def q_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization AS A STREAM: the same native
+    ``session_window`` call the batch ``user_sessions`` query uses, run
+    under a watermark on the events file stream and drained AvailableNow —
+    the §2.6 upgrade shipped end-to-end (the reference never aggregates in
+    the stream; its dead ``aggregated`` paths intended exactly this).
+    Oracle-checked against the identical lag/cumsum SQL as the batch twin,
+    so the driver record proves streaming session merge logic equals batch
+    semantics row for row."""
+    raw_schema = table(spark, "events", sf_dir).schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    with _session_tz(spark, "UTC"), _stateful_stream_partitions(spark):
+        ev = normalize_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
+        sess = (
+            ev.withWatermark("ts", "48 hours")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.max("ts").alias("last_ts"),
+                F.round(F.sum("value"), 2).alias("session_value"),
+            )
+            .select(
+                "user_id",
+                F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+                F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+                "n_events",
+                "session_value",
+            )
+        )
+        _STREAM_SEQ[0] += 1
+        name = f"stream_user_sessions_{_STREAM_SEQ[0]}"
+        out = run_available_now_to_memory(sess, spark, name, output_mode="complete")
+    return out.orderBy("user_id", "session_start")
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 ANN top-k, product-quantization variant (Jégou et al. 2011):
     sample-fit subspace codebooks, m-byte codes, ADC table-lookup scan,
@@ -1703,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "rfm_segments": q_rfm_segments,
         "lone_problem_suppliers": q_lone_problem_suppliers,
+        "streaming_user_sessions": q_streaming_user_sessions,
         # -- tier 2 (r4): rows-only queries whose last driver row predates
         #    the r3 evidence-column contracts -------------------------------
         "ivf_topk": q_ivf_topk,
@@ -1888,6 +1928,30 @@ hits AS (
   FROM (SELECT doc_id, unnest(s) AS gram FROM cand) c JOIN bench USING (gram)
   GROUP BY c.doc_id
 )
+"""
+
+
+# Gap-session semantics as lag + gap-threshold + cumulative sum — shared by
+# the batch (user_sessions) and streaming (streaming_user_sessions) twins.
+_USER_SESSIONS_SQL = """
+    WITH g AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, value, event_id,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sess
+        FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
+    FROM s GROUP BY user_id, sess
+    ORDER BY user_id, session_start
 """
 
 
@@ -2289,26 +2353,10 @@ def oracle_sql() -> dict[str, str]:
         # lag + gap-threshold + running-sum reproduces session_window exactly:
         # a new session starts when the gap since the previous event is >= 30
         # minutes (Spark merges only strictly-within-gap events).
-        "user_sessions": """
-            WITH g AS (
-                SELECT user_id, ts, value, event_id,
-                       CASE WHEN lag(ts) OVER w IS NULL
-                                 OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
-                            THEN 1 ELSE 0 END AS new_sess
-                FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-            ), s AS (
-                SELECT user_id, ts, value, event_id,
-                       SUM(new_sess) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS sess
-                FROM g
-            )
-            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
-                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
-            FROM s GROUP BY user_id, sess
-            ORDER BY user_id, session_start
-        """,
+        "user_sessions": _USER_SESSIONS_SQL,
+        # The streaming drain must reproduce the batch sessionization
+        # row-for-row — the SAME oracle verifies both paths.
+        "streaming_user_sessions": _USER_SESSIONS_SQL,
         "session_stats": """
             WITH g AS (
                 SELECT user_id, ts, event_id,

@@ -120,6 +120,7 @@ HEADLINE = [
     "unigram_logprob",
     "pq_topk",
     "streaming_dedup_daily",
+    "streaming_user_sessions",
     "media_near_dups",
 ]
 
