@@ -823,6 +823,12 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize.cohort_retention(_t(spark, sf_dir, "events"))
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc first-appearance n-gram novelty over the shared shingle
+    table — the 'does this doc add anything' curation signal."""
+    return corpus.ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM quartile segmentation via broadcast exact-percentile boundaries
     (no single-partition ntile)."""
@@ -1743,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "lone_problem_suppliers": q_lone_problem_suppliers,
         "streaming_user_sessions": q_streaming_user_sessions,
+        "ngram_novelty": q_ngram_novelty,
         # -- tier 2 (r4): rows-only queries whose last driver row predates
         #    the r3 evidence-column contracts -------------------------------
         "ivf_topk": q_ivf_topk,
@@ -2421,6 +2428,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT 3, 'purchase_after_click', CAST(n_purchase AS BIGINT),
                    ROUND(n_purchase / NULLIF(n_click, 0)::DOUBLE, 6) FROM t
             ORDER BY stage_order
+        """,
+        "ngram_novelty": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                       t -> t <> '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       list_transform(range(1, greatest(len(t) - 3, 0) + 2),
+                                      i -> array_to_string(t[i:i+2], ' ')),
+                       g -> g <> '')) AS s
+              FROM toks
+            ), nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+            pairs AS (SELECT doc_id, unnest(s) AS gram FROM nz),
+            first AS (SELECT gram, MIN(doc_id) AS first_doc FROM pairs GROUP BY gram),
+            novel AS (SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+                      FROM first GROUP BY first_doc)
+            SELECT nz.doc_id,
+                   CAST(len(nz.s) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(novel.n_novel, 0) AS BIGINT) AS n_novel,
+                   ROUND(COALESCE(novel.n_novel, 0) / len(nz.s)::DOUBLE, 6) AS novelty_frac
+            FROM nz LEFT JOIN novel USING (doc_id) ORDER BY nz.doc_id
         """,
         "rfm_segments": """
             WITH per_user AS (

@@ -121,6 +121,7 @@ HEADLINE = [
     "pq_topk",
     "streaming_dedup_daily",
     "streaming_user_sessions",
+    "ngram_novelty",
     "media_near_dups",
 ]
 

@@ -449,3 +449,44 @@ def vocab_coverage(
         )
         .orderBy("rank")
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word n-grams
+    whose FIRST corpus appearance (min doc id) is this document — the
+    "does this doc add anything" curation signal (a near-copy of earlier
+    material scores ~0; the first copy keeps its grams).
+
+    Rides the canonical shared ``shingle_table`` (one tokenize pass per
+    corpus per session), then two hash aggregations: gram → min(doc) over
+    the exploded pairs (the only corpus-sized shuffle, map-side
+    combinable), and first_doc → count, which is gram-table sized. The
+    doc-level join joins two |docs|-row tables. No collect, no windows.
+    """
+    from .dedup import shingle_table
+
+    sh = shingle_table(df, text_col, id_col, n)
+    pairs = sh.select(F.col(id_col), F.explode("shingles").alias("gram"))
+    first = pairs.groupBy("gram").agg(F.min(id_col).alias("first_doc"))
+    novel = first.groupBy(F.col("first_doc").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    return (
+        sh.select(F.col(id_col), F.size("shingles").cast("long").alias("n_grams"))
+        .join(novel, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)) / F.col("n_grams"), round_digits
+            ).alias("novelty_frac"),
+        )
+        .orderBy(id_col)
+    )
