@@ -823,6 +823,36 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize.cohort_retention(_t(spark, sf_dir, "events"))
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 text analysis: per-language tokenizer fertility (BPE-ish tokens
+    per whitespace word) and compression (chars per token) — the stats a
+    tokenizer audit computes before committing a vocab to a multilingual
+    corpus. One scan, one tiny hash agg."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        token_count_col(F.col("text")).alias("bpe"),
+        whitespace_token_count_col(F.col("text")).alias("ws"),
+        F.length("text").alias("chars"),
+    )
+    total = lambda c: F.sum(c).cast("long")  # noqa: E731
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            total("bpe").alias("total_bpe_tokens"),
+            total("ws").alias("total_ws_tokens"),
+            F.round(
+                F.sum("bpe").cast("long") / F.nullif(F.sum("ws").cast("long"), F.lit(0)), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("chars").cast("long") / F.nullif(F.sum("bpe").cast("long"), F.lit(0)), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc first-appearance n-gram novelty over the shared shingle
     table — the 'does this doc add anything' curation signal."""
@@ -1750,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lone_problem_suppliers": q_lone_problem_suppliers,
         "streaming_user_sessions": q_streaming_user_sessions,
         "ngram_novelty": q_ngram_novelty,
+        "tokenizer_fertility": q_tokenizer_fertility,
         # -- tier 2 (r4): rows-only queries whose last driver row predates
         #    the r3 evidence-column contracts -------------------------------
         "ivf_topk": q_ivf_topk,
@@ -2326,6 +2357,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''))) AS BIGINT) AS total_ws_tokens,
                    ROUND(AVG(len(regexp_extract_all(text, '{TOKEN_PATTERN}', 0))), 6) AS avg_bpe_tokens
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "tokenizer_fertility": rf"""
+            WITH c AS (
+                SELECT lang,
+                       len(regexp_extract_all(text, '{TOKEN_PATTERN}', 0)) AS bpe,
+                       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                       t -> t <> '')) AS ws,
+                       length(text) AS chars
+                FROM documents
+            )
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+                   CAST(SUM(ws) AS BIGINT) AS total_ws_tokens,
+                   ROUND(CAST(SUM(bpe) AS BIGINT)
+                         / NULLIF(CAST(SUM(ws) AS BIGINT), 0)::DOUBLE, 6) AS fertility,
+                   ROUND(CAST(SUM(chars) AS BIGINT)
+                         / NULLIF(CAST(SUM(bpe) AS BIGINT), 0)::DOUBLE, 6) AS chars_per_token
+            FROM c GROUP BY lang ORDER BY lang
         """,
         "top_parts_per_brand": """
             SELECT p_brand, p_partkey, p_name, p_retailprice, rnk FROM (

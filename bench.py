@@ -122,6 +122,7 @@ HEADLINE = [
     "streaming_dedup_daily",
     "streaming_user_sessions",
     "ngram_novelty",
+    "tokenizer_fertility",
     "media_near_dups",
 ]
 
