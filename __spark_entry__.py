@@ -1823,6 +1823,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_tokens": q_heavy_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
         "stratified_sample": q_stratified_sample,
+        # ---- driver window boundary (first 50 above) ----------------------
+        # -- tier 3b: r1/r2-green queries displaced from the window by the
+        #    r4 additions — first in line for the r5 rotation ---------------
         "media_metadata_stats": q_media_metadata_stats,
         "cosine_pairs_sample": q_cosine_pairs_sample,
         "label_centroids": q_label_centroids,
@@ -1830,7 +1833,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_status_cube": q_priority_status_cube,
         "users_purchase_and_error": q_users_purchase_and_error,
         "users_purchase_no_error": q_users_purchase_no_error,
-        # ---- driver window boundary (first 50 above) ----------------------
         # -- tier 4: r2-green one-liners whose evidence also rides the
         #    driver's every-round entry() smoke — safe to re-check in r5 ----
         "flagship_event_summary": q_flagship_event_summary,
