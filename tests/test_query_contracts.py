@@ -168,3 +168,23 @@ def test_bench_headline_names_all_registered():
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, missing
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline"
+
+
+def test_ann_trio_shares_one_exact_twin(spark):
+    """The lsh/ivf/pq recall contract must compute its brute-force exact
+    top-k ONCE per (session, corpus): running two trio members populates a
+    single memo entry, and both queries flag against the same id list."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMOKE
+
+    entrymod._EXACT_TOPK_CACHE.clear()
+    q = entrymod.queries()
+    ivf = q["ivf_topk"](spark, SF_SMOKE).collect()
+    lsh = q["lsh_similarity_topk"](spark, SF_SMOKE).collect()
+    assert len(entrymod._EXACT_TOPK_CACHE) == 1
+    (qvec, ids), = entrymod._EXACT_TOPK_CACHE.values()
+    assert len(ids) == 10
+    # flags in both results must be consistent with the shared id set
+    for rows in (ivf, lsh):
+        for r in rows:
+            assert r.in_exact_topk == (r.vec_id in ids)
