@@ -181,14 +181,19 @@ def cohort_retention(events: DataFrame, max_offset: int = 14) -> DataFrame:
     for each (cohort_day, day_offset ≤ ``max_offset``) the count of cohort
     members active that many days later.
 
-    Two shuffles at any scale: the first-day aggregation shuffles on
-    ``user_id``; the activity join lands on the same partitioning (no extra
-    exchange — both sides hash on user_id); the final (cohort, offset)
-    aggregation shuffles rows bounded by |users| · max_offset, never the
-    raw event count (activity is deduped to user-days first).
+    ONE corpus-sized shuffle at any scale — the user-day dedup; it is
+    persisted (tracked, trim-bounded) because both the first-day
+    aggregation and the retention join consume it, and everything
+    downstream (the user_id exchanges for that agg and join, the final
+    (cohort, offset) aggregation) moves only user-day-sized tables,
+    never the raw event count.
     """
-    first_day = events.groupBy("user_id").agg(F.min(_day()).alias("cohort_day"))
-    activity = events.select("user_id", _day().alias("day")).distinct()
+    from ..caching import tracked_persist
+
+    activity = tracked_persist(
+        events.select("user_id", _day().alias("day")).distinct()
+    )
+    first_day = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
         activity.join(first_day, "user_id")
         .select(
@@ -207,22 +212,29 @@ def rfm_segments(events: DataFrame) -> DataFrame:
     """RFM (recency / frequency / monetary) quartile segmentation of users,
     rolled up to segment level.
 
-    Per-user metrics reduce in one shuffle; the three quartile boundary
-    sets come from ONE single-row exact-percentile aggregate that
-    cross-joins back in as a broadcast — scores are then pure per-row
-    comparisons, so there is NO global sort / single-partition ntile
-    anywhere (the classic RFM recipe's ntile(4) would move every user to
-    one task at scale). Integer-valued metrics (days, counts, cents from a
-    2-dp rounded sum) keep the interpolated quartile boundaries and the
-    comparisons bit-identical across engines.
+    The corpus-wide per-user reduction runs ONCE — it feeds four
+    consumers (the reference-day max, the three percentile fits, and the
+    scoring pass), so it is persisted (tracked, trim-bounded; the same
+    two-consumer pattern as dedup.shingle_table). The quartile boundaries
+    come from ONE single-row exact-percentile aggregate that cross-joins
+    back in as a broadcast — scores are then pure per-row comparisons over
+    the user-sized cached table, so there is NO global sort /
+    single-partition ntile anywhere (the classic RFM recipe's ntile(4)
+    would move every user to one task at scale). Integer-valued metrics
+    (days, counts, whole cents) keep the interpolated quartile boundaries
+    and the comparisons bit-identical across engines.
 
     Scores are 1–4, higher = better (recent, frequent, high-spend). Output:
     (r_score, f_score, m_score, n_users, avg_monetary) ordered by scores.
     """
-    per_user = events.groupBy("user_id").agg(
-        F.max(_day()).alias("last_day"),
-        F.count(F.lit(1)).alias("freq"),
-        F.round(F.sum("value") * 100).cast("bigint").alias("cents"),
+    from ..caching import tracked_persist
+
+    per_user = tracked_persist(
+        events.groupBy("user_id").agg(
+            F.max(_day()).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.round(F.sum("value") * 100).cast("bigint").alias("cents"),
+        )
     )
     ref = per_user.agg(F.max("last_day").alias("ref_day"))
     metrics = per_user.join(F.broadcast(ref)).select(
