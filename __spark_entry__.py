@@ -823,6 +823,34 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize.cohort_retention(_t(spark, sf_dir, "events"))
 
 
+def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 cross-table hygiene audit: which (lang, source) corpus slices
+    lack embeddings — the check a pipeline runs before trusting
+    ANN/semantic dedup over a partially-embedded corpus. Left join on the
+    doc↔vec key with the embedding table pruned to its key column; both
+    sides shuffle on the key once (SMJ at scale — neither side is a dim).
+    The sf tables embed every doc, which would make the audit vacuous
+    (coverage 1.0 everywhere) — so the embedded set is restricted to even
+    vec_ids, planting the ~50% gap the left-join/count distinction must
+    then report exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 2 == 0)
+        .select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("has_emb"))
+    )
+    return (
+        docs.join(emb, "doc_id", "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("has_emb").alias("n_embedded"),
+            F.round(F.count("has_emb") / F.count(F.lit(1)), 6).alias("coverage"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 text analysis: per-language tokenizer fertility (BPE-ish tokens
     per whitespace word) and compression (chars per token) — the stats a
@@ -1781,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_sessions": q_streaming_user_sessions,
         "ngram_novelty": q_ngram_novelty,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "embedding_coverage": q_embedding_coverage,
         # -- tier 2 (r4): rows-only queries whose last driver row predates
         #    the r3 evidence-column contracts -------------------------------
         "ivf_topk": q_ivf_topk,
@@ -2359,6 +2388,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''))) AS BIGINT) AS total_ws_tokens,
                    ROUND(AVG(len(regexp_extract_all(text, '{TOKEN_PATTERN}', 0))), 6) AS avg_bpe_tokens
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "embedding_coverage": """
+            SELECT d.lang, d.source,
+                   COUNT(*) AS n_docs,
+                   COUNT(e.vec_id) AS n_embedded,
+                   ROUND(COUNT(e.vec_id) / COUNT(*)::DOUBLE, 6) AS coverage
+            FROM documents d
+            LEFT JOIN (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0) e
+              ON d.doc_id = e.vec_id
+            GROUP BY d.lang, d.source ORDER BY d.lang, d.source
         """,
         "tokenizer_fertility": rf"""
             WITH c AS (

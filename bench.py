@@ -123,6 +123,7 @@ HEADLINE = [
     "streaming_user_sessions",
     "ngram_novelty",
     "tokenizer_fertility",
+    "embedding_coverage",
     "media_near_dups",
 ]
 
