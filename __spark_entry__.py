@@ -1851,8 +1851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_containment": q_fingerprint_containment,
         "heavy_tokens": q_heavy_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "stratified_sample": q_stratified_sample,
         # ---- driver window boundary (first 50 above) ----------------------
+        "stratified_sample": q_stratified_sample,
         # -- tier 3b: r1/r2-green queries displaced from the window by the
         #    r4 additions — first in line for the r5 rotation ---------------
         "media_metadata_stats": q_media_metadata_stats,

@@ -102,6 +102,34 @@ def winnow_fps_col(text: Column, k: int = 8, window: int = 8, arrow: bool = True
     return winnow_col(kgram_hashes_col(text, k), window)
 
 
+def fingerprint_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 8,
+    persist: bool = True,
+) -> DataFrame:
+    """Canonical exploded ``(id, fingerprint)`` table — the winnowing twin
+    of ``dedup.shingle_table``: every fingerprint consumer
+    (``winnow_fingerprints``, ``fingerprint_containment_pairs``) constructs
+    this EXACT plan, so the first persisted copy substitutes into every
+    later consumer and the rolling-hash winnow pass over the corpus runs
+    once per (corpus, k, window) per session. Already-cached plans are
+    reused, not re-registered (same guard as shingle_table)."""
+    from ..operators.skew import fan_out
+
+    fp = fan_out(df).select(
+        F.col(id_col),
+        F.explode(winnow_fps_col(F.col(text_col), k, window)).alias("fingerprint"),
+    )
+    if persist:
+        lvl = fp.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            fp = tracked_persist(fp)
+    return fp
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -111,14 +139,22 @@ def winnow_fingerprints(
     arrow: bool = True,
 ) -> DataFrame:
     """Exploded fingerprint table (id, fingerprint) — one row per distinct
-    winnowed hash per document. The natural input to an inverted
-    fingerprint index for containment/plagiarism detection."""
-    from ..operators.skew import fan_out
+    winnowed hash per document, deterministically ordered. The natural
+    input to an inverted fingerprint index for containment/plagiarism
+    detection. Rides the canonical shared ``fingerprint_table``;
+    ``arrow=False`` builds the pure-Catalyst twin inline (parity-test
+    path — not shared, not persisted)."""
+    if not arrow:
+        from ..operators.skew import fan_out
 
-    fps = winnow_fps_col(F.col(text_col), k, window, arrow)
-    return (
-        fan_out(df).select(F.col(id_col), F.explode(fps).alias("fingerprint"))
-        .orderBy(id_col, "fingerprint")
+        fps = winnow_fps_col(F.col(text_col), k, window, arrow=False)
+        return (
+            fan_out(df)
+            .select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+            .orderBy(id_col, "fingerprint")
+        )
+    return fingerprint_table(df, text_col, id_col, k, window).orderBy(
+        id_col, "fingerprint"
     )
 
 
@@ -145,16 +181,12 @@ def fingerprint_containment_pairs(
     df-filtered index so the ratio is internally consistent.
 
     Scale shape: two shuffles (index build, pair groupBy); pair volume is
-    bounded by sum over fingerprints of df², with df <= max_df.
+    bounded by sum over fingerprints of df², with df <= max_df. The raw
+    fingerprint pass comes from the canonical shared ``fingerprint_table``,
+    so a session that already ran ``winnow_fingerprints`` (or vice versa)
+    winnows the corpus once, not twice.
     """
-    from ..operators.skew import fan_out
-
-    fp = (
-        fan_out(df).select(
-            F.col(id_col),
-            F.explode(winnow_fps_col(F.col(text_col), k, window)).alias("fingerprint"),
-        )
-    )
+    fp = fingerprint_table(df, text_col, id_col, k, window)
     # df-filter via aggregate + semi-join, NOT a count-over-window: the same
     # shuffle on fingerprint either way, but the window adds a per-partition
     # sort and carries every row through it; the aggregate reduces map-side
