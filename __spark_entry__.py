@@ -830,13 +830,16 @@ def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc↔vec key with the embedding table pruned to its key column; both
     sides shuffle on the key once (SMJ at scale — neither side is a dim).
     The sf tables embed every doc, which would make the audit vacuous
-    (coverage 1.0 everywhere) — so the embedded set is restricted to even
-    vec_ids, planting the ~50% gap the left-join/count distinction must
-    then report exactly."""
+    (coverage 1.0 everywhere) — so the embedded set keeps only vec_ids
+    whose md5 starts with hex 0-7 (~50%, engine-identical). md5 is
+    DECORRELATED from the (lang, source) grouping, unlike vec_id parity,
+    whose period divides the group assignment's and made every slice
+    report exactly 0.0 or 1.0 — fractional per-slice coverage is what
+    actually exercises the ratio arithmetic."""
     docs = _t(spark, sf_dir, "documents")
     emb = (
         _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 2 == 0)
+        .filter(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8")
         .select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("has_emb"))
     )
     return (
@@ -2395,7 +2398,8 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(e.vec_id) AS n_embedded,
                    ROUND(COUNT(e.vec_id) / COUNT(*)::DOUBLE, 6) AS coverage
             FROM documents d
-            LEFT JOIN (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0) e
+            LEFT JOIN (SELECT vec_id FROM embeddings
+                       WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8') e
               ON d.doc_id = e.vec_id
             GROUP BY d.lang, d.source ORDER BY d.lang, d.source
         """,

@@ -29,6 +29,23 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def tracked_persist_shared(df: DataFrame) -> DataFrame:
+    """``tracked_persist`` with an already-cached guard: if an identical
+    plan is cached (``df.storageLevel`` consults the cache manager by plan
+    equality), reuse it WITHOUT registering a second tracked handle.
+
+    The guard matters for canonical shared tables (shingle/fingerprint/
+    per-user reductions): a duplicate handle burns a trim() window slot,
+    and when trim pops the older duplicate its unpersist drops the shared
+    cache entry out from under the newer handle — the table silently
+    recomputes inside the keep window.
+    """
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return df
+    return tracked_persist(df)
+
+
 def release_all() -> int:
     """Unpersist every tracked intermediate; returns how many were released.
 

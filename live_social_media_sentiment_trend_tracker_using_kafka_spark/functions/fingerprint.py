@@ -124,9 +124,9 @@ def fingerprint_table(
         F.explode(winnow_fps_col(F.col(text_col), k, window)).alias("fingerprint"),
     )
     if persist:
-        lvl = fp.storageLevel
-        if not (lvl.useMemory or lvl.useDisk):
-            fp = tracked_persist(fp)
+        from ..caching import tracked_persist_shared
+
+        fp = tracked_persist_shared(fp)
     return fp
 
 
@@ -182,11 +182,15 @@ def fingerprint_containment_pairs(
 
     Scale shape: two shuffles (index build, pair groupBy); pair volume is
     bounded by sum over fingerprints of df², with df <= max_df. The raw
-    fingerprint pass comes from the canonical shared ``fingerprint_table``,
-    so a session that already ran ``winnow_fingerprints`` (or vice versa)
-    winnows the corpus once, not twice.
+    fingerprint pass comes from the canonical shared ``fingerprint_table``
+    built with ``persist=False``: cache substitution works on plan
+    CONTAINMENT, so if ``winnow_fingerprints`` already registered the
+    canonical table this plan reads it without a scan — but containment
+    never registers a second corpus-sized entry of its own (its persisted
+    intermediate is the df-filtered ``idx`` below; persisting both would
+    double the corpus-scale cache residency for no local benefit).
     """
-    fp = fingerprint_table(df, text_col, id_col, k, window)
+    fp = fingerprint_table(df, text_col, id_col, k, window, persist=False)
     # df-filter via aggregate + semi-join, NOT a count-over-window: the same
     # shuffle on fingerprint either way, but the window adds a per-partition
     # sort and carries every row through it; the aggregate reduces map-side

@@ -165,7 +165,15 @@ def make_winnow_udf(k: int = 8, window: int = 8):
     Same values as ``fingerprint.winnow_col(kgram_hashes_col(...))``; input
     must already be ``fingerprint._normalize``-ed (JVM-side lower + strip),
     which guarantees pure [a-z0-9] ascii.
+
+    Memoized per (k, window): beyond the repeated-pickling cost, the shared
+    ``fingerprint_table`` relies on repeat calls building byte-identical
+    plans for cache substitution — returning the SAME udf object makes that
+    identity structural instead of depending on cloudpickle determinism.
     """
+    key = ("winnow", k, window)
+    if key in _CACHE:
+        return _CACHE[key]
     pow_mods = np.array(
         [pow(HASH_BASE, k - 1 - j, HASH_MOD) for j in range(k)], dtype=np.int64
     )
@@ -174,6 +182,7 @@ def make_winnow_udf(k: int = 8, window: int = 8):
     def winnow_from_norm(norm: pd.Series) -> pd.Series:
         return norm.map(lambda s: _winnow_one(s or "", k, window, pow_mods))
 
+    _CACHE[key] = winnow_from_norm
     return winnow_from_norm
 
 

@@ -138,9 +138,9 @@ def shingle_table(
         .filter(F.size("shingles") > 0)
     )
     if persist:
-        lvl = sh.storageLevel
-        if not (lvl.useMemory or lvl.useDisk):
-            sh = tracked_persist(sh)
+        from ..caching import tracked_persist_shared
+
+        sh = tracked_persist_shared(sh)
     return sh
 
 

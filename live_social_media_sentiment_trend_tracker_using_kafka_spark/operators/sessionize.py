@@ -188,9 +188,9 @@ def cohort_retention(events: DataFrame, max_offset: int = 14) -> DataFrame:
     (cohort, offset) aggregation) moves only user-day-sized tables,
     never the raw event count.
     """
-    from ..caching import tracked_persist
+    from ..caching import tracked_persist_shared
 
-    activity = tracked_persist(
+    activity = tracked_persist_shared(
         events.select("user_id", _day().alias("day")).distinct()
     )
     first_day = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
@@ -227,9 +227,9 @@ def rfm_segments(events: DataFrame) -> DataFrame:
     Scores are 1–4, higher = better (recent, frequent, high-spend). Output:
     (r_score, f_score, m_score, n_users, avg_monetary) ordered by scores.
     """
-    from ..caching import tracked_persist
+    from ..caching import tracked_persist_shared
 
-    per_user = tracked_persist(
+    per_user = tracked_persist_shared(
         events.groupBy("user_id").agg(
             F.max(_day()).alias("last_day"),
             F.count(F.lit(1)).alias("freq"),
