@@ -228,3 +228,33 @@ def test_q15_shape_max_is_single_row_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert_no_python_udf(df)
+
+
+def test_r4_queries_stay_jvm_side(spark):
+    """None of the round-4 analytics queries route through Python — their
+    plans must be pure Catalyst (no BatchEvalPython, no ArrowEvalPython)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMOKE
+
+    qs = entrymod.queries()
+    for name in (
+        "funnel_conversion", "cohort_retention", "rfm_segments",
+        "lone_problem_suppliers", "ngram_novelty", "tokenizer_fertility",
+        "embedding_coverage",
+    ):
+        plan = qs[name](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_funnel_single_wide_exchange(spark):
+    """funnel_conversion's window chain + per-user reduction must share ONE
+    user_id hash exchange (the docstring's load-bearing claim)."""
+    import re
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMOKE
+
+    df = entrymod.queries()["funnel_conversion"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
