@@ -728,14 +728,36 @@ def _exact_topk_twin(spark: SparkSession, sf_dir: str, k: int = 10):
 # vector-search deployment fits the quantizer / buckets / codebooks once and
 # serves many queries against the prebuilt index, so the registry mirrors
 # that split — the first ANN query pays the build (bounded driver fit +
-# one corpus pass, tracked_persist so caching.trim() bounds residency; an
-# evicted table recomputes silently), repeat queries pay only the probe.
+# one corpus pass, tracked_persist so caching.trim() bounds residency; a
+# memo hit re-checks storageLevel and re-persists a trim-evicted table so
+# the build-once claim survives a full registry sweep), repeat queries pay
+# only the probe.
 _ANN_INDEX_CACHE: dict[tuple, object] = {}
+
+
+def _revive_ann_index(idx):
+    """Re-register an index table that ``caching.trim()`` evicted.
+
+    The memo outlives the trim window: after a long registry sweep the
+    persisted index DataFrame may have been unpersisted while the memo
+    still returns its handle — every later probe would then silently
+    re-run the full bucketing/assignment/encoding pass per action,
+    defeating the build-once claim. ``tracked_persist_shared`` is the
+    exact guard for this: no-op when the plan is still cached, re-persist
+    plus re-registration when it was evicted.
+    """
+    if isinstance(idx, tuple):
+        return (caching.tracked_persist_shared(idx[0]),) + idx[1:]
+    return caching.tracked_persist_shared(idx)
 
 
 def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     idx = _ANN_INDEX_CACHE.get(key)
+    if idx is not None:
+        idx = _revive_ann_index(idx)
+        _ANN_INDEX_CACHE[key] = idx
+        return idx
     if idx is None:
         base = _plant_query_twins(_t(spark, sf_dir, "embeddings"))
         if kind == "lsh":

@@ -128,6 +128,26 @@ HEADLINE = [
 ]
 
 
+def compact_line(payload: dict, budget: int = 1900) -> str:
+    """Final stdout line sized for the driver's tail capture (~2000 chars):
+    keeps the slowest queries until the serialized line fits ``budget``,
+    records how many were shown, and points at BENCH_LOCAL.json for the
+    full map. Always returns valid JSON ≤ budget (given sane metadata)."""
+    timings = payload["queries"]
+    compact = dict(payload)
+    compact["queries_full"] = "BENCH_LOCAL.json"
+    compact["queries_total"] = len(timings)
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    line = json.dumps(compact)
+    for n_keep in range(len(by_cost), -1, -1):
+        compact["queries"] = {n: timings[n] for n in by_cost[:n_keep]}
+        compact["queries_shown"] = n_keep
+        line = json.dumps(compact)
+        if len(line) <= budget:
+            break
+    return line
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -153,17 +173,24 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # The driver records only the LAST ~2000 chars of stdout; the full
+    # ~110-query map is ~4 KB, so a single full-payload line gets its head
+    # truncated and parses as null (BENCH_r03/r04). Persist the full record
+    # in-repo, then print a final line guaranteed to fit the capture window:
+    # slowest queries first until the budget is spent, plus a pointer.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(payload))  # full record first — survives un-truncated logs
+    print(compact_line(payload))
     spark.stop()
 
 
