@@ -1,0 +1,41 @@
+"""COVERAGE.md is machine-derived from the driver's CORRECTNESS records and
+must stay current and non-regressing (r4 VERDICT item 3)."""
+
+from __future__ import annotations
+
+import os
+
+from tools import coverage_ledger as cl
+
+
+def test_classify_evidence_classes():
+    assert cl.classify({"hash_match": True}) == "hash"
+    assert cl.classify({"err": "no_oracle", "spark_rows": 10}) == "rows"
+    assert cl.classify({"hash_match": False, "rows_match": True}) == "RED"
+    assert cl.classify({"err": "boom", "spark_rows": None}) == "RED"
+    assert cl.classify({}) is None
+
+
+def test_coverage_md_is_current():
+    """Regeneration must equal the committed file — a new CORRECTNESS round
+    or a registry change makes this fail until the ledger is re-run."""
+    text = cl.render(cl.fold(cl.load_rounds()), cl.registry_names())
+    path = os.path.join(cl.REPO, "COVERAGE.md")
+    assert os.path.exists(path), "run: python tools/coverage_ledger.py"
+    assert open(path).read() == text, "COVERAGE.md stale — rerun tools/coverage_ledger.py"
+
+
+def test_coverage_never_regresses():
+    """Every query that ever earned a green driver row must still be
+    registered (dropping one silently would shrink the graded surface),
+    and no query may sit red with no later green."""
+    folded = cl.fold(cl.load_rounds())
+    registry = set(cl.registry_names())
+    ever_green = {n for n, row in folded.items() if row["green"]}
+    assert ever_green <= registry, sorted(ever_green - registry)
+    open_red = [
+        n
+        for n, row in folded.items()
+        if row["red"] and (row["last_green"] is None or row["last_green"] < max(row["red"]))
+    ]
+    assert not open_red, open_red
