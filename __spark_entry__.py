@@ -845,6 +845,42 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize.cohort_retention(_t(spark, sf_dir, "events"))
 
 
+def q_cohort_retention_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened cohort triangle: identical semantics to
+    cohort_retention, but the user-day dedup runs as the two-stage salted
+    distinct (skew.salted_distinct, 16 buckets keyed off event_id) — the
+    100 TB path when one power user's same-day event count dwarfs a
+    reducer. Shares cohort_retention's oracle: the driver hash match IS
+    the machine-checked equivalence proof for the salted rewrite."""
+    return sessionize.cohort_retention(_t(spark, sf_dir, "events"), salt_buckets=16)
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (the DAU/WAU family) without
+    COUNT(DISTINCT) over a sliding frame: user-day dedup → per-user lag →
+    explode into the ≤7 target days each user-day is first-in-window for →
+    one count per day. Peak volume user-days × 7, independent of raw event
+    count; the corpus max-day joins as a broadcast single row."""
+    return sessionize.rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
+
+
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch purchase attribution: each purchase credited to the
+    user's most recent preceding non-purchase event type ('none' when the
+    purchase is the first touch). One window pass on the user_id
+    partitioning, (ts, event_id)-ordered so same-timestamp ties are
+    deterministic and hash-stable across engines."""
+    return sessionize.last_touch_attribution(_t(spark, sf_dir, "events"))
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 dedup observability: per-source exact-duplicate rate over the
+    corpus-wide fingerprint (which upstream feed floods the corpus with
+    copies). Window count on the fingerprint partitioning + one per-source
+    roll-up — no joins, no collect."""
+    return dedup.dup_rate_by_source(_t(spark, sf_dir, "documents"))
+
+
 def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 cross-table hygiene audit: which (lang, source) corpus slices
     lack embeddings — the check a pipeline runs before trusting
@@ -1254,7 +1290,17 @@ def q_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stream; its dead ``aggregated`` paths intended exactly this).
     Oracle-checked against the identical lag/cumsum SQL as the batch twin,
     so the driver record proves streaming session merge logic equals batch
-    semantics row for row."""
+    semantics row for row.
+
+    SCALE BOUNDARY — parity-harness shape, not the 100 TB recipe: the
+    ``complete`` output mode below exists so the AvailableNow drain emits
+    every session for the row-for-row oracle compare (append mode would
+    hold back sessions the final watermark never passes). Complete mode
+    retains every session ever seen in the state store — unbounded state
+    on a genuinely unbounded stream. Production streaming sessionization
+    should use ``append`` output mode (sessions emitted once the watermark
+    closes them, state bounded by the 48 h watermark horizon); the batch
+    ``user_sessions`` operator is the backfill/at-scale path."""
     raw_schema = table(spark, "events", sf_dir).schema
     raw = (
         spark.readStream.schema(raw_schema)
@@ -1816,70 +1862,13 @@ def _released(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSe
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks the FIRST
-    # 50 entries, so queries without a green driver row in any prior round
-    # come first (r1/r2 rows already stand as evidence for the rest).
+    # 50 entries each round; COVERAGE.md (machine-derived) shows per-query
+    # staleness. Tiers below rotate the least-recently-driver-checked
+    # queries into the window.
     raw = {
-        # -- tier 1 (r4): the round-3 red row (oracle type bug, now fixed)
-        #    plus the 4 queries registered after the r3 window filled --------
-        "session_stats": q_session_stats,
-        "embedding_norm_stats": q_embedding_norm_stats,
-        "event_heatmap": q_event_heatmap,
-        "bpe_merge_candidates": q_bpe_merge_candidates,
-        "approx_value_percentiles": q_approx_value_percentiles,
-        # -- new in r4: product-analytics tier + Q21 shape ------------------
-        "funnel_conversion": q_funnel_conversion,
-        "cohort_retention": q_cohort_retention,
-        "rfm_segments": q_rfm_segments,
-        "lone_problem_suppliers": q_lone_problem_suppliers,
-        "streaming_user_sessions": q_streaming_user_sessions,
-        "ngram_novelty": q_ngram_novelty,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "embedding_coverage": q_embedding_coverage,
-        # -- tier 2 (r4): rows-only queries whose last driver row predates
-        #    the r3 evidence-column contracts -------------------------------
-        "ivf_topk": q_ivf_topk,
-        "minhash_near_dups": q_minhash_near_dups,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "simhash_near_dups": q_simhash_near_dups,
-        # -- tier 3 (r4): green in r1/r2 but outside the r3 window — rotate
-        #    in for a fresh driver row --------------------------------------
-        "counts_by_lang_topk": q_counts_by_lang_topk,
-        "token_topk": q_token_topk,
-        "time_series": q_time_series,
-        "sentiment_label_counts": q_sentiment_label_counts,
-        "json_props_buckets": q_hashtag_extract,
-        "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
-        "local_supplier_volume": q_local_supplier_volume,
-        "nation_trade_volume": q_nation_trade_volume,
-        "brand_market_share": q_brand_market_share,
-        "dormant_customers": q_dormant_customers,
-        "top_customers": q_top_customers,
-        "order_priority_counts": q_order_priority_counts,
-        "url_domain_stats": q_url_domain_stats,
-        "packed_sequences": q_packed_sequences,
-        "repetition_stats": q_repetition_stats,
-        "pii_redaction": q_pii_redaction,
-        "benchmark_contamination": q_benchmark_contamination,
-        "decontaminated_corpus": q_decontaminated_corpus,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_cluster_sizes": q_dedup_cluster_sizes,
-        "clean_corpus_clustered": q_clean_corpus_clustered,
-        "exact_dedup_groups": q_exact_dedup_groups,
-        "doc_quality": q_doc_quality,
-        "similarity_topk": q_similarity_topk,
-        "streaming_time_series": q_streaming_time_series,
-        "lang_id_counts": q_lang_id_counts,
-        "token_count_stats": q_token_count_stats,
-        "similarity_join_exact": q_similarity_join_exact,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "fingerprint_containment": q_fingerprint_containment,
-        "heavy_tokens": q_heavy_tokens,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        # ---- driver window boundary (first 50 above) ----------------------
+        # -- tier 1 (r5): the 13 queries whose last driver row is r1/r2 —
+        #    closing the full-registry r3∪r4∪r5 freshness goal ------------
         "stratified_sample": q_stratified_sample,
-        # -- tier 3b: r1/r2-green queries displaced from the window by the
-        #    r4 additions — first in line for the r5 rotation ---------------
         "media_metadata_stats": q_media_metadata_stats,
         "cosine_pairs_sample": q_cosine_pairs_sample,
         "label_centroids": q_label_centroids,
@@ -1887,14 +1876,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_status_cube": q_priority_status_cube,
         "users_purchase_and_error": q_users_purchase_and_error,
         "users_purchase_no_error": q_users_purchase_no_error,
-        # -- tier 4: r2-green one-liners whose evidence also rides the
-        #    driver's every-round entry() smoke — safe to re-check in r5 ----
         "flagship_event_summary": q_flagship_event_summary,
         "global_stats": q_global_stats,
         "counts_by_source": q_counts_by_source,
         "last_events": q_last_events,
         "head_events": q_head_events,
-        # -- tier 5: green driver rows from round 3 -------------------------
+        # -- tier 2 (r5): new this round --------------------------------
+        "cohort_retention_salted": q_cohort_retention_salted,
+        "rolling_active_users": q_rolling_active_users,
+        "last_touch_attribution": q_last_touch_attribution,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        # -- tier 3 (r5): r3-green queries rotated in for fresh rows ----
         "user_sessions": q_user_sessions,
         "daily_distinct_users": q_daily_distinct_users,
         "event_type_pivot": q_event_type_pivot,
@@ -1928,6 +1920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "text_normalization": q_text_normalization,
         "rolling_anomalies": q_rolling_anomalies,
+        # ---- driver window boundary (first 50 above) ------------------
+        # -- r3-green queries next in line for the r6 rotation ----------
         "small_quantity_revenue": q_small_quantity_revenue,
         "top_supplier_revenue": q_top_supplier_revenue,
         "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
@@ -1944,6 +1938,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "brand_revenue": q_brand_revenue,
         "clean_corpus_exact": q_clean_corpus_exact,
+        # -- r4-green queries (freshest evidence) -----------------------
+        "session_stats": q_session_stats,
+        "embedding_norm_stats": q_embedding_norm_stats,
+        "event_heatmap": q_event_heatmap,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        "approx_value_percentiles": q_approx_value_percentiles,
+        "funnel_conversion": q_funnel_conversion,
+        "cohort_retention": q_cohort_retention,
+        "rfm_segments": q_rfm_segments,
+        "lone_problem_suppliers": q_lone_problem_suppliers,
+        "streaming_user_sessions": q_streaming_user_sessions,
+        "ngram_novelty": q_ngram_novelty,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "embedding_coverage": q_embedding_coverage,
+        "ivf_topk": q_ivf_topk,
+        "minhash_near_dups": q_minhash_near_dups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_near_dups": q_simhash_near_dups,
+        "counts_by_lang_topk": q_counts_by_lang_topk,
+        "token_topk": q_token_topk,
+        "time_series": q_time_series,
+        "sentiment_label_counts": q_sentiment_label_counts,
+        "json_props_buckets": q_hashtag_extract,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "nation_trade_volume": q_nation_trade_volume,
+        "brand_market_share": q_brand_market_share,
+        "dormant_customers": q_dormant_customers,
+        "top_customers": q_top_customers,
+        "order_priority_counts": q_order_priority_counts,
+        "url_domain_stats": q_url_domain_stats,
+        "packed_sequences": q_packed_sequences,
+        "repetition_stats": q_repetition_stats,
+        "pii_redaction": q_pii_redaction,
+        "benchmark_contamination": q_benchmark_contamination,
+        "decontaminated_corpus": q_decontaminated_corpus,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "clean_corpus_clustered": q_clean_corpus_clustered,
+        "exact_dedup_groups": q_exact_dedup_groups,
+        "doc_quality": q_doc_quality,
+        "similarity_topk": q_similarity_topk,
+        "streaming_time_series": q_streaming_time_series,
+        "lang_id_counts": q_lang_id_counts,
+        "token_count_stats": q_token_count_stats,
+        "similarity_join_exact": q_similarity_join_exact,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "fingerprint_containment": q_fingerprint_containment,
+        "heavy_tokens": q_heavy_tokens,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
     return {name: _released(fn) for name, fn in raw.items()}
 
@@ -2051,7 +2096,7 @@ _USER_SESSIONS_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     lex = sql_lexicon_score_duckdb("text")
-    return {
+    oracles = {
         "flagship_event_summary": """
             SELECT event_type, COUNT(*) AS cnt, ROUND(AVG(value), 6) AS avg_value
             FROM events WHERE value IS NOT NULL
@@ -2642,6 +2687,59 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN f USING (user_id)
             WHERE datediff('day', f.cohort_day, a.day) <= 14
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # 7-day trailing distinct users: the oracle takes the direct route
+        # (day spine × events range join + COUNT(DISTINCT)); the Spark side
+        # proves the explode-first-in-window rewrite equals it.
+        "rolling_active_users": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ), bounds AS (
+                SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud
+            ), spine AS (
+                SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                       AS day
+                FROM bounds
+            )
+            SELECT CAST(s.day AS TIMESTAMP) AS day,
+                   COUNT(DISTINCT u.user_id) AS active_users
+            FROM spine s JOIN ud u ON u.day BETWEEN s.day - 6 AND s.day
+            GROUP BY s.day ORDER BY day
+        """,
+        "last_touch_attribution": """
+            WITH attr AS (
+                SELECT event_type,
+                       last_value(CASE WHEN event_type <> 'purchase'
+                                       THEN event_type END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS src
+                FROM events
+            ), p AS (
+                SELECT COALESCE(src, 'none') AS attributed_type,
+                       COUNT(*) AS n_purchases
+                FROM attr WHERE event_type = 'purchase' GROUP BY 1
+            )
+            SELECT attributed_type, n_purchases,
+                   ROUND(n_purchases / SUM(n_purchases) OVER (), 6) AS share
+            FROM p ORDER BY n_purchases DESC, attributed_type
+        """,
+        "dup_rate_by_source": r"""
+            WITH fp AS (
+                SELECT source,
+                       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fingerprint
+                FROM documents
+            ), c AS (
+                SELECT source, fingerprint,
+                       COUNT(*) OVER (PARTITION BY fingerprint) AS cc
+                FROM fp
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM((cc > 1)::INT) AS BIGINT) AS n_dup_docs,
+                   ROUND(SUM((cc > 1)::INT) / COUNT(*), 6) AS dup_rate,
+                   COUNT(DISTINCT fingerprint) AS n_distinct_texts
+            FROM c GROUP BY source ORDER BY source
         """,
         "event_type_pivot": """
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -3534,3 +3632,8 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB-expressible; the exact tier rides along per row and the
         # no_false_negative evidence column must be TRUE everywhere.
     }
+    # The salted cohort variant is semantics-preserving by construction —
+    # the SAME oracle verifies both plans, which is exactly the equivalence
+    # claim (skew.salted_distinct == plain distinct) driver-hash-proven.
+    oracles["cohort_retention_salted"] = oracles["cohort_retention"]
+    return oracles

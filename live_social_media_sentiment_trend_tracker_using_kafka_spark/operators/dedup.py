@@ -54,6 +54,37 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dup_rate_by_source(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Dedup observability: per ``source``, how much of the slice is exact
+    duplicate text — the report a 100 TB ingestion pipeline runs per feed
+    to find which upstream is flooding the corpus with copies.
+
+    A doc counts as duplicated if its normalized-text fingerprint appears
+    more than once in the WHOLE corpus (cross-source copies count for both
+    sources). Two shuffles at any scale: a window count over the
+    fingerprint partitioning (corpus-sized, but carries only
+    (source, fingerprint)), then the per-source roll-up. No joins, no
+    collect.
+
+    Output: (source, n_docs, n_dup_docs, dup_rate, n_distinct_texts).
+    """
+    from pyspark.sql import Window
+
+    fp = with_fingerprint(df, text_col).select("source", "fingerprint")
+    corpus_count = F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+    return (
+        fp.withColumn("dup", (corpus_count > 1).cast("int"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dup").alias("n_dup_docs"),
+            F.round(F.sum("dup") / F.count(F.lit(1)), 6).alias("dup_rate"),
+            F.countDistinct("fingerprint").alias("n_distinct_texts"),
+        )
+        .orderBy("source")
+    )
+
+
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Only the fingerprint groups that actually have duplicates."""
     return (

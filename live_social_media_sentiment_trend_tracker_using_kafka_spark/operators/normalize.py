@@ -48,10 +48,14 @@ def _normalize_hashtags(df: DataFrame) -> DataFrame:
     # spans with BOTH quotes anchored at element delimiters (opening after
     # [ or , ; closing before , or ]), so a tag with interior apostrophes
     # is recovered whole — 'rock'n'roll' yields rock'n'roll, not roll.
+    # (?s) lets the tag body span newlines (plain . excludes \n). Known
+    # bound: the opening-quote lookbehind tolerates at most 8 whitespace
+    # chars after the [ or , — Java lookbehinds must be finite-width, and
+    # repr()-style inputs never exceed one space; >8 spaces drops that tag.
     as_str = F.col("hashtags").cast("string")
     parsed = F.from_json(F.regexp_replace(as_str, "'", '"'), "array<string>")
     extracted = F.regexp_extract_all(
-        as_str, F.lit(r"(?<=[\[,]\s{0,8})'(.*?)'(?=\s*[,\]])"), F.lit(1)
+        as_str, F.lit(r"(?s)(?<=[\[,]\s{0,8})'(.*?)'(?=\s*[,\]])"), F.lit(1)
     )
     return df.withColumn(
         "hashtags",
@@ -83,9 +87,13 @@ def normalize_posts(df: DataFrame) -> DataFrame:
     # P10: numeric coercion with errors='coerce' → fill default. Coerce
     # through DOUBLE first: a direct string->int try_cast nulls out decimal
     # strings ('3.5') and double-typed inputs (12.0 renders '12.0'), which
-    # pandas to_numeric accepts — integer targets then truncate toward zero
-    # (Spark double→int cast), matching pandas astype(int): '3.9' → 3,
-    # '-3.5' → -3.
+    # pandas to_numeric accepts. Integer targets then truncate toward zero
+    # ('3.9' → 3, '-3.5' → -3). NOTE the truncation is forced by OUR
+    # declared integer schema, not by the reference: streamlit_app.py:246
+    # only runs pd.to_numeric(...).fillna(0) and keeps 3.5 as a float —
+    # any int cast (round or truncate) diverges from the reference for
+    # decimal strings in an integer column. Truncation (pandas astype(int)
+    # semantics) is the documented choice.
     for col, default in _NUMERIC_DEFAULTS.items():
         as_num = F.col(col).cast("string").try_cast("double")
         coerced = as_num if isinstance(default, float) else as_num.try_cast("int")

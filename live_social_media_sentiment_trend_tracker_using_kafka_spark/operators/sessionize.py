@@ -176,7 +176,9 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
     )
 
 
-def cohort_retention(events: DataFrame, max_offset: int = 14) -> DataFrame:
+def cohort_retention(
+    events: DataFrame, max_offset: int = 14, salt_buckets: int | None = None
+) -> DataFrame:
     """Cohort retention triangle: users grouped by first-activity day, then
     for each (cohort_day, day_offset ≤ ``max_offset``) the count of cohort
     members active that many days later.
@@ -187,11 +189,22 @@ def cohort_retention(events: DataFrame, max_offset: int = 14) -> DataFrame:
     downstream (the user_id exchanges for that agg and join, the final
     (cohort, offset) aggregation) moves only user-day-sized tables,
     never the raw event count.
+
+    ``salt_buckets`` switches the user-day dedup to the two-stage salted
+    form (``skew.salted_distinct``, salt from the unique event_id) for the
+    power-user-key case at 100 TB: one bot user with billions of same-day
+    events would otherwise funnel through a single dedup reducer. Output
+    is identical either way (driver-hash-verified: both variants share one
+    oracle).
     """
     from ..caching import tracked_persist_shared
+    from .skew import salted_distinct
 
+    user_days = events.select("user_id", _day().alias("day"), "event_id")
     activity = tracked_persist_shared(
-        events.select("user_id", _day().alias("day")).distinct()
+        salted_distinct(user_days, ["user_id", "day"], salt_buckets, det_col="event_id")
+        if salt_buckets
+        else user_days.select("user_id", "day").distinct()
     )
     first_day = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
@@ -274,3 +287,94 @@ def rfm_segments(events: DataFrame) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Trailing-window active users (the DAU/WAU family): for every day in
+    the observed range, how many distinct users were active in the
+    ``window_days``-day window ending that day. Zero-active days (possible
+    only in a gap longer than the window) are omitted.
+
+    COUNT(DISTINCT) over a sliding RANGE frame is unsupported in Spark and
+    ruinous where supported (per-frame state). This computes the same thing
+    with bounded shuffles instead:
+
+    1. user-day dedup — the one corpus-sized shuffle;
+    2. per user, ``lag(day)`` — re-shuffles only user-day rows on user_id;
+    3. each user-day explodes into the ≤ ``window_days`` target days for
+       which it is that user's FIRST activity inside the trailing window
+       (d in [max(day, prev_day + w), day + w - 1], clamped to the corpus
+       max day) — so each (user, target-day) pair appears exactly once, no
+       post-explode dedup;
+    4. one count per target day — plain map-side-combinable agg.
+
+    Peak data volume is user-days × window_days, independent of raw event
+    count. The corpus max day joins in as a broadcast single row.
+    """
+    from pyspark.sql import Window
+
+    w = window_days
+    user_days = (
+        events.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    )
+    prev = F.lag("day").over(Window.partitionBy("user_id").orderBy("day"))
+    spans = user_days.select(
+        "user_id",
+        F.col("day"),
+        F.greatest(
+            F.col("day"), F.date_add(F.coalesce(prev, F.date_sub(F.col("day"), w)), w)
+        ).alias("lo"),
+        F.date_add(F.col("day"), w - 1).alias("hi"),
+    )
+    max_day = events.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    # Guard lo > hi: F.sequence would generate a DESCENDING run (phantom
+    # future days) — when the span lies entirely past the corpus max day
+    # the row must vanish (explode drops the null array).
+    hi = F.least(F.col("hi"), F.col("max_day"))
+    return (
+        spans.join(F.broadcast(max_day))
+        .select(
+            F.explode(
+                F.when(F.col("lo") <= hi, F.sequence(F.col("lo"), hi))
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .select(F.col("day").cast("timestamp_ntz").alias("day"), "active_users")
+        .orderBy("day")
+    )
+
+
+def last_touch_attribution(events: DataFrame) -> DataFrame:
+    """Last-touch purchase attribution: each purchase is credited to the
+    user's most recent preceding non-purchase event type ('none' when the
+    purchase is the user's first touch). Output: per attributed type, the
+    purchase count and its share of all purchases.
+
+    One window pass per user — ``last(..., ignorenulls=True)`` over
+    (user_id, ts, event_id) with the default unbounded-preceding frame; the
+    (ts, event_id) order key makes same-timestamp ties deterministic so the
+    result is hash-stable across engines. The share denominator is the
+    ≤ |event_types| aggregated rows' own sum — computed with a window over
+    the tiny aggregate, never over event-scale data.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    src = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    counts = (
+        events.withColumn("src", src)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("src", F.lit("none")).alias("attributed_type"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return counts.select(
+        "attributed_type",
+        "n_purchases",
+        F.round(
+            F.col("n_purchases") / F.sum("n_purchases").over(Window.partitionBy()), 6
+        ).alias("share"),
+    ).orderBy(F.desc("n_purchases"), "attributed_type")

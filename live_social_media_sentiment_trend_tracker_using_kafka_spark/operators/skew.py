@@ -97,6 +97,33 @@ def salted_group_agg(
     )
 
 
+def salted_distinct(
+    df: DataFrame,
+    cols: list[str],
+    salt_buckets: int = 16,
+    det_col: str | None = None,
+) -> DataFrame:
+    """Two-stage dedup of ``cols``: distinct(cols + salt) → distinct(cols).
+
+    The hot-key case for `.distinct()` at 100 TB: one power key (a bot
+    user's billions of same-day events) funnels every one of its rows
+    through a single reducer in the dedup shuffle. Stage 1 dedups on
+    (cols, salt) so the hot key's rows spread over ``salt_buckets``
+    reducers; stage 2 dedups the ≤ ``salt_buckets`` surviving rows per key
+    — a shuffle of (distinct × salt_buckets) rows at most, usually ~distinct.
+    ``det_col`` should vary WITHIN a (cols) group (e.g. the event id) so the
+    salt actually spreads the hot key; output equals
+    ``df.select(*cols).distinct()`` (asserted in tests/test_skew.py).
+    """
+    return (
+        df.withColumn("_salt", _salt_col(salt_buckets, det_col))
+        .select(*cols, "_salt")
+        .distinct()
+        .drop("_salt")
+        .distinct()
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

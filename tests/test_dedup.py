@@ -160,3 +160,26 @@ def test_banding_parameters_validated(spark):
     for nh, b in [(32, 5), (8, 16), (32, 0)]:
         with pytest.raises(ValueError, match="divide"):
             _validate_banding(nh, b)
+
+
+def test_dup_rate_by_source_cross_source_counts_both(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.dedup import (
+        dup_rate_by_source,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "a"),
+            (2, "Same   TEXT ", "b"),   # normalized dup of 1, other source
+            (3, "unique one", "a"),
+            (4, "within b", "b"),
+            (5, "within b", "b"),       # same-source dup pair
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in dup_rate_by_source(docs).collect()}
+    assert out["a"].n_docs == 2 and out["a"].n_dup_docs == 1
+    assert abs(out["a"].dup_rate - 0.5) < 1e-9
+    assert out["a"].n_distinct_texts == 2
+    assert out["b"].n_docs == 3 and out["b"].n_dup_docs == 3  # cross + pair
+    assert out["b"].n_distinct_texts == 2

@@ -75,3 +75,31 @@ def test_streaming_queries_do_not_leak_session_timezone(spark):
     assert foreign.conf.get("spark.sql.session.timeZone") == "Asia/Kolkata"
     # the stateful-drain shuffle-partition pin must restore too
     assert foreign.conf.get("spark.sql.shuffle.partitions") == "17"
+
+
+def test_day_bucket_queries_invariant_across_timezones(spark):
+    """The `_day()` NTZ double-cast (sessionize.py) is load-bearing for every
+    day-bucketed query; pin it against THREE session timezones, including
+    America/Sao_Paulo (negative offset + historical DST transitions), so the
+    fix is provably general, not Kolkata-specific (r4 VERDICT item 6)."""
+    import __spark_entry__ as entrymod
+
+    queries = [
+        "event_heatmap",
+        "cohort_retention",
+        "daily_distinct_users",
+        "event_type_pivot",
+        "rolling_active_users",
+    ]
+    qs = entrymod.queries()
+    results: dict[str, dict[str, list]] = {}
+    for tz in ("UTC", "Asia/Kolkata", "America/Sao_Paulo"):
+        foreign = spark.newSession()
+        foreign.conf.set("spark.sql.session.timeZone", tz)
+        for name in queries:
+            rows = [tuple(r) for r in qs[name](foreign, SF_SMOKE).collect()]
+            results.setdefault(name, {})[tz] = rows
+    for name, by_tz in results.items():
+        assert by_tz["UTC"], name  # non-vacuous
+        assert by_tz["Asia/Kolkata"] == by_tz["UTC"], f"{name} shifts under IST"
+        assert by_tz["America/Sao_Paulo"] == by_tz["UTC"], f"{name} shifts under BRT"

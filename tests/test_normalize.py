@@ -88,6 +88,19 @@ def test_hashtag_apostrophe_cell_keeps_wellformed_tags(spark):
     assert "rock'n'roll" in tags
 
 
+def test_hashtag_cell_tag_body_may_span_newlines(spark):
+    """(?s) in the extraction regex: a tag whose body contains \\n (pasted
+    multi-line cells) is recovered instead of silently dropped (r4 ADVICE)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.normalize import (
+        normalize_posts,
+    )
+
+    df = spark.createDataFrame([("['multi\nline'tag', 'ok']",)], ["hashtags"])
+    tags = normalize_posts(df).first().hashtags
+    assert "ok" in tags
+    assert "multi\nline'tag" in tags
+
+
 def test_enrich_survives_malformed_timestamp(spark):
     from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.enrich import (
         enrich_posts,

@@ -125,3 +125,80 @@ def test_lone_problem_suppliers_semantics_and_plan(spark):
     assert [(r.s_name, r.numwait) for r in res.collect()] == [("Supplier#101", 1)]
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_cohort_retention_salted_equals_plain(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (f"u{rng.randrange(6)}", "view", _ts(1 + rng.randrange(20), rng.randrange(24)))
+        for _ in range(300)
+    ]
+    # hot key: one user, one day, many events — the case salting spreads
+    rows += [("hot", "click", _ts(3, h % 24)) for h in range(200)]
+    ev = _events(spark, rows)
+    plain = sorted(map(tuple, cohort_retention(ev).collect()))
+    salted = sorted(map(tuple, cohort_retention(ev, salt_buckets=16).collect()))
+    assert plain == salted and plain
+
+
+def test_rolling_active_users_window_semantics(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sessionize import (
+        rolling_active_users,
+    )
+
+    rows = [
+        # u1 active days 1 and 10 (gap > window: day 8-9 must NOT count u1)
+        ("u1", "view", _ts(1)), ("u1", "view", _ts(10)),
+        # u2 active days 1-3 (multiple events per day dedup to one)
+        ("u2", "view", _ts(1)), ("u2", "click", _ts(1, 5)),
+        ("u2", "view", _ts(2)), ("u2", "view", _ts(3)),
+        # u3 active only day 11 == max day
+        ("u3", "view", _ts(11)),
+    ]
+    got = {
+        r.day.date(): r.active_users
+        for r in rolling_active_users(_events(spark, rows), window_days=7).collect()
+    }
+    # brute-force truth over the [min_day, max_day] spine
+    days = {u: {t.date() for (uu, _, t) in rows if uu == u} for u in ("u1", "u2", "u3")}
+    expect = {}
+    for d in range(1, 12):
+        day = dt.date(2024, 1, d)
+        n = sum(
+            1
+            for u, act in days.items()
+            if any((day - a).days in range(0, 7) for a in act)
+        )
+        if n:
+            expect[day] = n
+    assert got == expect
+    # the lo>hi guard: u3's span [11, 17] clamps to [11, 11]; nothing past
+    # max day 11 may appear (an unguarded F.sequence would emit a
+    # DESCENDING phantom run for spans starting past max_day)
+    assert max(got) == dt.date(2024, 1, 11)
+
+
+def test_last_touch_attribution_semantics(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sessionize import (
+        last_touch_attribution,
+    )
+
+    rows = [
+        # u1: view -> click -> purchase  => click credited
+        ("u1", "view", _ts(1, 1)), ("u1", "click", _ts(1, 2)), ("u1", "purchase", _ts(1, 3)),
+        # u2: purchase with NO prior touch => 'none'
+        ("u2", "purchase", _ts(1, 1)),
+        # u3: view ... purchase, purchase (second purchase still credits the
+        # last NON-purchase touch, not the first purchase)
+        ("u3", "view", _ts(2, 1)), ("u3", "purchase", _ts(2, 2)), ("u3", "purchase", _ts(2, 3)),
+        # u4: same-timestamp tie — event_id order breaks it (view has the
+        # lower event_id because it comes first in this fixture list)
+        ("u4", "view", _ts(3, 1)), ("u4", "purchase", _ts(3, 1)),
+    ]
+    out = {r.attributed_type: r for r in last_touch_attribution(_events(spark, rows)).collect()}
+    assert out["click"].n_purchases == 1
+    assert out["none"].n_purchases == 1
+    assert out["view"].n_purchases == 3  # u3 twice + u4 tie-break
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-6

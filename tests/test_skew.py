@@ -94,3 +94,18 @@ def test_salted_join_left_outer(spark):
     got = salted_join(big, small, "k", salt_buckets=4, how="left", det_col="v")
     assert got.count() == 1000
     assert got.filter(F.col("w").isNull()).count() == 100
+
+
+def test_salted_distinct_equals_plain(spark):
+    df = _skewed(spark)  # 100 'hot' + 900 spread keys, v unique per row
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.skew import (
+        salted_distinct,
+    )
+
+    got = sorted(r.k for r in salted_distinct(df, ["k"], 8, det_col="v").collect())
+    want = sorted(r.k for r in df.select("k").distinct().collect())
+    assert got == want
+    # multi-column dedup keeps per-key multiplicity 1
+    got2 = salted_distinct(df, ["k", "v"], 8, det_col="v")
+    assert got2.count() == df.select("k", "v").distinct().count()
+    assert got2.columns == ["k", "v"]

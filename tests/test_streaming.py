@@ -343,3 +343,68 @@ def test_kafka_option_passthrough_contract():
         "topic": "out",
         "checkpointLocation": "/tmp/ckpt",
     }
+
+
+def test_streaming_sessions_append_mode_emits_watermark_closed_subset(spark):
+    """Production shape for streaming sessionization (r4 VERDICT item 4):
+    append output mode emits exactly the sessions the final watermark has
+    closed, holding back open ones — bounded state, unlike the complete-mode
+    drain the oracle-parity query q_streaming_user_sessions uses.
+
+    Boundary-tolerant: sessions whose end (last event + 30 min gap) is
+    strictly inside the watermark must appear; sessions past it must not;
+    the ==watermark edge may land either side.
+    """
+    import __spark_entry__ as entrymod
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import (
+        normalize_ts,
+    )
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.streaming.pipeline import (
+        run_available_now_to_memory,
+    )
+    from tests.conftest import SF_SMOKE
+
+    raw_schema = entrymod.table(spark, "events", SF_SMOKE).schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_SMOKE)
+    )
+    with entrymod._session_tz(spark, "UTC"), entrymod._stateful_stream_partitions(spark):
+        ev = normalize_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
+        sess = (
+            ev.withWatermark("ts", "48 hours")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+            .select(
+                "user_id",
+                F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+                F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+                "n_events",
+            )
+        )
+        appended = run_available_now_to_memory(
+            sess, spark, "stream_sessions_append_test", output_mode="append"
+        ).collect()
+
+    # batch truth + the final watermark the drain ended on
+    import datetime as dt
+
+    batch = entrymod.queries()["streaming_user_sessions"](spark, SF_SMOKE).collect()
+    max_ts = max(r.last_ts for r in batch)
+    wm = max_ts - dt.timedelta(hours=48)
+    gap = dt.timedelta(minutes=30)
+
+    emitted = {(r.user_id, r.session_start) for r in appended}
+    all_sessions = {(r.user_id, r.session_start): r for r in batch}
+    assert emitted <= set(all_sessions), "append emitted a session batch never saw"
+    closed = {k for k, r in all_sessions.items() if r.last_ts + gap < wm}
+    still_open = {k for k, r in all_sessions.items() if r.last_ts + gap > wm}
+    assert closed, "test needs some watermark-closed sessions to be meaningful"
+    assert still_open, "test needs some open sessions to be meaningful"
+    assert closed <= emitted, f"{len(closed - emitted)} closed sessions held back"
+    assert not (still_open & emitted), "append leaked sessions the watermark never closed"
+    # per-session aggregates match the complete-mode/batch truth
+    for r in appended:
+        truth = all_sessions[(r.user_id, r.session_start)]
+        assert r.n_events == truth.n_events and r.last_ts == truth.last_ts
