@@ -529,6 +529,30 @@ def _session_tz(spark: SparkSession, tz: str):
         spark.conf.set("spark.sql.session.timeZone", prior)
 
 
+def _stream_events(spark: SparkSession, sf_dir: str):
+    """File-stream source for the events table, layout-agnostic.
+
+    Handles BOTH on-disk shapes of ``{sf_dir}/events.parquet``:
+
+    - single file (the testdata layout): the file-stream source rejects a
+      file path outright ("Option 'basePath' must be a directory"), so
+      stream the parent dir with ``pathGlobFilter`` selecting the file;
+    - part-file directory (any Spark-written corpus): stream the directory
+      itself. The glob-filter shape is WRONG here — ``pathGlobFilter``
+      matches file names only, so a directory-layout corpus silently
+      streamed ZERO rows (caught by the r5 20× scale probe).
+    """
+    raw_schema = table(spark, "events", sf_dir).schema
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        return spark.readStream.schema(raw_schema).parquet(path)
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
 @contextmanager
 def _stateful_stream_partitions(spark: SparkSession):
     """Scope ``spark.sql.shuffle.partitions`` down for a stateful streaming
@@ -555,14 +579,7 @@ def q_streaming_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     STREAM, watermarked tumbling-window agg, drained with
     Trigger.AvailableNow — proves the streaming layer computes the same
     answer as the batch/oracle path (same oracle SQL as ``time_series``)."""
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = table(spark, "events", sf_dir).schema
-    # The file-stream source requires a directory; glob-filter to the one table.
-    raw = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = _stream_events(spark, sf_dir)
     # Watermarks require TIMESTAMP (not NTZ): pin the session tz to UTC so
     # the NTZ→timestamp cast is exact, window on it, and cast the bucket
     # start back to NTZ so the output matches the timezone-free batch twin.
@@ -1261,12 +1278,7 @@ def q_streaming_dedup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain batch per-day counts — proving the stateful operator actually
     removes the planted dups and nothing else (same oracle family as
     streaming_time_series, which covers windowed aggs)."""
-    raw_schema = table(spark, "events", sf_dir).schema
-    raw = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = _stream_events(spark, sf_dir)
     with _session_tz(spark, "UTC"), _stateful_stream_partitions(spark):
         ev = normalize_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
         doubled = ev.select("event_id", "ts", F.explode(F.array(F.lit(1), F.lit(2))).alias("copy")).drop("copy")
@@ -1301,12 +1313,7 @@ def q_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     should use ``append`` output mode (sessions emitted once the watermark
     closes them, state bounded by the 48 h watermark horizon); the batch
     ``user_sessions`` operator is the backfill/at-scale path."""
-    raw_schema = table(spark, "events", sf_dir).schema
-    raw = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = _stream_events(spark, sf_dir)
     with _session_tz(spark, "UTC"), _stateful_stream_partitions(spark):
         ev = normalize_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
         sess = (
@@ -1612,12 +1619,7 @@ def q_streaming_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_value_stats,
     )
 
-    raw_schema = table(spark, "events", sf_dir).schema
-    raw = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = _stream_events(spark, sf_dir)
     with _stateful_stream_partitions(spark):
         stats = running_user_value_stats(raw.select("user_id", "value"))
         _STREAM_SEQ[0] += 1
@@ -1745,14 +1747,8 @@ def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFram
     constraint = bounded state on both sides), drained AvailableNow. The
     result must equal the plain batch interval join — same oracle family as
     streaming_time_series/streaming_dedup_daily."""
-    raw_schema = table(spark, "events", sf_dir).schema
-
     def _stream():
-        return (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        return _stream_events(spark, sf_dir)
 
     with _session_tz(spark, "UTC"), _stateful_stream_partitions(spark):
         views = (

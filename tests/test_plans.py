@@ -269,3 +269,33 @@ def test_funnel_single_wide_exchange(spark):
     # and the reduction does shuffle somewhere — zero would mean the test
     # is looking at a degenerate plan, not that the claim got cheaper
     assert "Exchange" in plan, plan
+
+
+def test_r5_queries_stay_jvm_side_and_bounded_exchanges(spark):
+    """The r5 event-analytics queries are pure Catalyst (no Python boundary)
+    and keep their documented exchange budget: rolling_active_users moves
+    only user-day-sized tables after the dedup (3 hash exchanges: dedup,
+    user window, day count — the broadcast max-day join adds none);
+    last_touch_attribution is one user_id window + one tiny group (2);
+    dup_rate_by_source is fingerprint window + source roll-up (2, the
+    distinct-agg's internal re-exchange allowed)."""
+    import re
+
+    from tests.conftest import SF_SMOKE
+
+    qs = entrymod.queries()
+    budget = {
+        "rolling_active_users": 3,
+        "last_touch_attribution": 2,
+        "dup_rate_by_source": 3,
+        "cohort_retention_salted": 5,  # salted dedup adds ONE extra narrow stage
+    }
+    for name, max_hash in budget.items():
+        df = qs[name](spark, SF_SMOKE)
+        assert_no_python_udf(df)
+        jvm = spark._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = df._jdf.queryExecution().explainString(mode)
+        n = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n <= max_hash, f"{name}: {n} hash exchanges (budget {max_hash})\n{plan}"
+        assert "CartesianProduct" not in plan, name

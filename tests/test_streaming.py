@@ -408,3 +408,19 @@ def test_streaming_sessions_append_mode_emits_watermark_closed_subset(spark):
     for r in appended:
         truth = all_sessions[(r.user_id, r.session_start)]
         assert r.n_events == truth.n_events and r.last_ts == truth.last_ts
+
+
+def test_stream_events_reads_directory_layout(spark, tmp_path):
+    """_stream_events must stream a part-file DIRECTORY events.parquet too:
+    the old dir+pathGlobFilter shape matched file names only, so any
+    Spark-written corpus silently streamed zero rows (r5 probe catch)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMOKE
+
+    src = entrymod.table(spark, "events", SF_SMOKE).limit(500)
+    d = str(tmp_path / "corpus")
+    src.repartition(3).write.parquet(f"{d}/events.parquet")
+    streamed = entrymod.queries()["streaming_time_series"](spark, d)
+    batch = entrymod.queries()["time_series"](spark, d)
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+    assert streamed.count() > 0
