@@ -890,6 +890,24 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize.last_touch_attribution(_t(spark, sf_dir, "events"))
 
 
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 data selection: DSIR-style contrastive importance score — mean
+    ln p_target/p_corpus per doc under add-one unigram models, target slice
+    = lang 'en' (Xie et al. 2023, reduced to its oracle-checkable unigram
+    core). One token explode, ONE hash agg building both models (target
+    counts ride as a conditional sum), broadcast totals, token-keyed
+    scoring join."""
+    return corpus.dsir_importance_scores(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day single-event-session share over the native session_window
+    sessions — one user_id shuffle, day roll-up on session-sized rows."""
+    return sessionize.session_bounce_rate(_t(spark, sf_dir, "events"))
+
+
 def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 dedup observability: per-source exact-duplicate rate over the
     corpus-wide fingerprint (which upstream feed floods the corpus with
@@ -1882,6 +1900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": q_rolling_active_users,
         "last_touch_attribution": q_last_touch_attribution,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "dsir_importance_weights": q_dsir_importance_weights,
+        "session_bounce_rate": q_session_bounce_rate,
         # -- tier 3 (r5): r3-green queries rotated in for fresh rows ----
         "user_sessions": q_user_sessions,
         "daily_distinct_users": q_daily_distinct_users,
@@ -2683,6 +2703,53 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN f USING (user_id)
             WHERE datediff('day', f.cohort_day, a.day) <= 14
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "dsir_importance_weights": r"""
+            WITH toks AS (
+                SELECT doc_id, (lang = 'en') AS tgt,
+                       unnest(list_filter(
+                           string_split_regex(lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                           t -> t <> '')) AS tok
+                FROM documents
+            ), uni AS (
+                SELECT tok, COUNT(*) AS c_all,
+                       CAST(SUM(tgt::INT) AS BIGINT) AS c_tgt
+                FROM toks GROUP BY tok
+            ), tot AS (
+                SELECT CAST(SUM(c_all) AS DOUBLE) AS n_all,
+                       CAST(SUM(c_tgt) AS DOUBLE) AS n_tgt,
+                       CAST(COUNT(*) AS DOUBLE) AS vocab
+                FROM uni
+            )
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(ln((c_tgt + 1) / (n_tgt + vocab))
+                             - ln((c_all + 1) / (n_all + vocab))), 6) AS dsir_score
+            FROM toks JOIN uni USING (tok) CROSS JOIN tot
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "session_bounce_rate": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+                FROM g
+            ), sessions AS (
+                SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+                FROM s GROUP BY user_id, sess
+            )
+            SELECT CAST(CAST(session_start AS DATE) AS TIMESTAMP) AS day,
+                   COUNT(*) AS n_sessions,
+                   CAST(SUM((n_events = 1)::INT) AS BIGINT) AS n_bounces,
+                   ROUND(SUM((n_events = 1)::INT) / COUNT(*), 6) AS bounce_rate
+            FROM sessions GROUP BY 1 ORDER BY 1
         """,
         # 7-day trailing distinct users: the oracle takes the direct route
         # (day spine × events range join + COUNT(DISTINCT)); the Spark side

@@ -129,6 +129,8 @@ HEADLINE = [
     "rolling_active_users",
     "last_touch_attribution",
     "dup_rate_by_source",
+    "dsir_importance_weights",
+    "session_bounce_rate",
 ]
 
 

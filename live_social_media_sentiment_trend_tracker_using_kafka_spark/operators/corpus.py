@@ -490,3 +490,70 @@ def ngram_novelty(
         )
         .orderBy(id_col)
     )
+
+
+def dsir_importance_scores(
+    df: DataFrame,
+    is_target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR-style contrastive importance score per document: mean
+    ``ln p_target(tok) - ln p_corpus(tok)`` over the doc's token stream,
+    with both add-one-smoothed unigram models estimated from the corpus
+    itself (``is_target`` marks the rows defining the target slice).
+
+    The data-selection ranking of Xie et al. 2023 ("Data Selection for
+    Language Models via Importance Resampling"), reduced to its
+    SQL-expressible core: DSIR's hashed-n-gram bag features with unigram
+    bags, so every score is oracle-checkable. Positive scores read "more
+    like the target slice than the average corpus doc" — rank/threshold on
+    it to resample toward the target distribution.
+
+    Scale shape, identical to :func:`unigram_logprob_scores` and tf·idf:
+    one token explode feeds ONE hash aggregation building BOTH models
+    (target counts ride along as a conditional sum — no second corpus
+    pass), a 3-value totals row broadcasts by value, and the scoring join
+    is token-keyed (AQE promotes it to broadcast when the vocab fits).
+    The token stream is persisted (tracked, trim-bounded) because the
+    model build and the scoring join both consume it.
+    """
+    from .skew import fan_out
+
+    toks = fan_out(df.withColumn("_tgt", is_target)).select(
+        F.col(id_col),
+        F.col("_tgt").cast("long").alias("_tgt"),
+        F.explode(word_tokens_col(F.col(text_col))).alias("tok"),
+    )
+    toks = tracked_persist(toks)
+    uni = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_all"), F.sum("_tgt").alias("c_tgt")
+    )
+    totals = uni.agg(
+        F.sum("c_all").cast("double").alias("n_all"),
+        F.sum("c_tgt").cast("double").alias("n_tgt"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    return (
+        toks.join(uni, "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c_tgt") + 1).cast("double")
+                        / (F.col("n_tgt") + F.col("vocab"))
+                    )
+                    - F.log(
+                        (F.col("c_all") + 1).cast("double")
+                        / (F.col("n_all") + F.col("vocab"))
+                    )
+                ),
+                round_digits,
+            ).alias("dsir_score"),
+        )
+        .orderBy(id_col)
+    )

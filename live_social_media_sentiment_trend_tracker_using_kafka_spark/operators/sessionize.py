@@ -378,3 +378,22 @@ def last_touch_attribution(events: DataFrame) -> DataFrame:
             F.col("n_purchases") / F.sum("n_purchases").over(Window.partitionBy()), 6
         ).alias("share"),
     ).orderBy(F.desc("n_purchases"), "attributed_type")
+
+
+def session_bounce_rate(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-day bounce rate: of the sessions STARTING each day, how many
+    consist of a single event. Rides :func:`user_sessions` (native
+    session_window — one user_id shuffle); the roll-up moves only
+    session-sized rows. Output: (day, n_sessions, n_bounces, bounce_rate).
+    """
+    s = user_sessions(events, gap)
+    bounce = (F.col("n_events") == 1).cast("long")
+    return (
+        s.groupBy(_day("session_start").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(bounce).alias("n_bounces"),
+            F.round(F.sum(bounce) / F.count(F.lit(1)), 6).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )

@@ -159,3 +159,31 @@ def test_chunk_documents_no_redundant_tail_chunk(spark):
     # tail chunk covers [48, 65) — 17 tokens, ends at the document end
     tail = max(by_doc[2], key=lambda r: r.chunk_id)
     assert tail.n_chunk_tokens == 17 and tail.chunk_text.endswith("t64")
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    """Contrastive ranking: docs written in the target slice's vocabulary
+    must outscore docs in the off-target vocabulary, with a mixed doc in
+    between — the property importance resampling relies on."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        dsir_importance_scores,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta", "en"),
+            (2, "alpha gamma beta beta alpha", "en"),
+            (3, "rojo verde azul rojo verde", "es"),
+            (4, "rojo azul verde azul rojo", "es"),
+            (5, "alpha beta rojo verde", "es"),      # mixed vocabulary
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r.doc_id: r.dsir_score
+        for r in dsir_importance_scores(docs, F.col("lang") == "en").collect()
+    }
+    assert len(out) == 5
+    assert min(out[1], out[2]) > out[5] > max(out[3], out[4])
+    assert out[1] > 0 and out[3] < 0

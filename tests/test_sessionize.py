@@ -202,3 +202,24 @@ def test_last_touch_attribution_semantics(spark):
     assert out["none"].n_purchases == 1
     assert out["view"].n_purchases == 3  # u3 twice + u4 tie-break
     assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-6
+
+
+def test_session_bounce_rate_counts_single_event_sessions(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sessionize import (
+        session_bounce_rate,
+    )
+
+    rows = [
+        # u1 day1: two events 5 min apart -> ONE session, not a bounce
+        ("u1", "view", _ts(1, 1)), ("u1", "click", dt.datetime(2024, 1, 1, 1, 5)),
+        # u2 day1: single event -> bounce
+        ("u2", "view", _ts(1, 2)),
+        # u1 day2: single event -> bounce
+        ("u1", "view", _ts(2, 1)),
+    ]
+    out = {r.day.date(): r for r in session_bounce_rate(_events(spark, rows)).collect()}
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    assert out[d1].n_sessions == 2 and out[d1].n_bounces == 1
+    assert abs(out[d1].bounce_rate - 0.5) < 1e-9
+    assert out[d2].n_sessions == 1 and out[d2].n_bounces == 1
+    assert abs(out[d2].bounce_rate - 1.0) < 1e-9
