@@ -543,8 +543,19 @@ def _stream_events(spark: SparkSession, sf_dir: str):
       streamed ZERO rows (caught by the r5 20× scale probe).
     """
     raw_schema = table(spark, "events", sf_dir).schema
-    path = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(path):
+    path = sf_dir.rstrip("/") + "/events.parquet"
+    # Layout detection through the Hadoop FileSystem API so hdfs://, s3a://
+    # etc. corpora detect the directory shape too — a driver-local
+    # os.path.isdir would be False for any non-local URI and silently fall
+    # into the zero-row glob branch.
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        is_dir = fs.getFileStatus(hpath).isDirectory()
+    except Exception:  # pragma: no cover - e.g. path missing entirely
+        is_dir = os.path.isdir(path)
+    if is_dir:
         return spark.readStream.schema(raw_schema).parquet(path)
     return (
         spark.readStream.schema(raw_schema)
@@ -775,19 +786,18 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
         idx = _revive_ann_index(idx)
         _ANN_INDEX_CACHE[key] = idx
         return idx
-    if idx is None:
-        base = _plant_query_twins(_t(spark, sf_dir, "embeddings"))
-        if kind == "lsh":
-            idx = caching.tracked_persist(similarity.with_lsh_bucket(base, dim=64))
-        elif kind == "ivf":
-            assigned, centroids = similarity.ivf_index(base)
-            idx = (caching.tracked_persist(assigned), centroids)
-        elif kind == "pq":
-            coded, codebooks = similarity.pq_index(base)
-            idx = (caching.tracked_persist(coded), codebooks)
-        else:  # pragma: no cover
-            raise ValueError(kind)
-        _ANN_INDEX_CACHE[key] = idx
+    base = _plant_query_twins(_t(spark, sf_dir, "embeddings"))
+    if kind == "lsh":
+        idx = caching.tracked_persist(similarity.with_lsh_bucket(base, dim=64))
+    elif kind == "ivf":
+        assigned, centroids = similarity.ivf_index(base)
+        idx = (caching.tracked_persist(assigned), centroids)
+    elif kind == "pq":
+        coded, codebooks = similarity.pq_index(base)
+        idx = (caching.tracked_persist(coded), codebooks)
+    else:  # pragma: no cover
+        raise ValueError(kind)
+    _ANN_INDEX_CACHE[key] = idx
     return idx
 
 
@@ -906,6 +916,14 @@ def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day single-event-session share over the native session_window
     sessions — one user_id shuffle, day roll-up on session-sized rows."""
     return sessionize.session_bounce_rate(_t(spark, sf_dir, "events"))
+
+
+def q_corpus_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 cleaning observability: stage-by-stage survivor funnel of the
+    oracle-checkable cleaning chain (raw → lang → quality → exact dedup) —
+    one scan, monotone survival flags, a fingerprint-window dedup mark,
+    ONE global aggregate; 4 rows at any corpus size."""
+    return pipeline.attrition_report(_t(spark, sf_dir, "documents"))
 
 
 def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1902,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": q_dup_rate_by_source,
         "dsir_importance_weights": q_dsir_importance_weights,
         "session_bounce_rate": q_session_bounce_rate,
+        "corpus_attrition": q_corpus_attrition,
         # -- tier 3 (r5): r3-green queries rotated in for fresh rows ----
         "user_sessions": q_user_sessions,
         "daily_distinct_users": q_daily_distinct_users,
@@ -1933,11 +1952,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "incremental_near_dups": q_incremental_near_dups,
         "streaming_user_value_stats": q_streaming_user_value_stats,
+        # ---- driver window boundary (first 50 above) ------------------
+        # -- r3-green queries next in line for the r6 rotation (the three
+        #    displaced by the late r5 additions lead) --------------------
         "temperature_mix": q_temperature_mix,
         "text_normalization": q_text_normalization,
         "rolling_anomalies": q_rolling_anomalies,
-        # ---- driver window boundary (first 50 above) ------------------
-        # -- r3-green queries next in line for the r6 rotation ----------
         "small_quantity_revenue": q_small_quantity_revenue,
         "top_supplier_revenue": q_top_supplier_revenue,
         "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
@@ -2703,6 +2723,49 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN f USING (user_id)
             WHERE datediff('day', f.cohort_day, a.day) <= 14
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Same scored/quality CTEs as clean_corpus_exact, kept as survival
+        # FLAGS so every stage's count comes from one pass.
+        "corpus_attrition": r"""
+            WITH scored AS (
+                SELECT doc_id, lang, text,
+                       len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
+                       len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b', 1)) AS n_stop,
+                       len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
+                       length(text) AS n_chars
+                FROM documents
+            ), q AS (
+                SELECT doc_id, text,
+                       (lang IN ('en','es','de','fr')) AS s_lang,
+                       (lang IN ('en','es','de','fr')) AND (
+                         LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
+                         + LEAST((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 5.0, 1.0) * 0.4
+                         + (1.0 - LEAST((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 5.0, 1.0)) * 0.2
+                         >= 0.5) AS s_quality
+                FROM scored
+            ), d AS (
+                SELECT s_lang, s_quality,
+                       s_quality AND doc_id = MIN(CASE WHEN s_quality THEN doc_id END)
+                           OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+                       AS s_dedup
+                FROM q
+            ), c AS (
+                SELECT COUNT(*) AS n_raw,
+                       CAST(SUM(s_lang::INT) AS BIGINT) AS n_lang,
+                       CAST(SUM(s_quality::INT) AS BIGINT) AS n_quality,
+                       CAST(SUM(s_dedup::INT) AS BIGINT) AS n_dedup
+                FROM d
+            ), stages AS (
+                SELECT 1 AS stage_order, 'raw' AS stage, n_raw AS n_docs,
+                       CAST(NULL AS BIGINT) AS prev, n_raw FROM c
+                UNION ALL SELECT 2, 'lang_allowlist', n_lang, n_raw, n_raw FROM c
+                UNION ALL SELECT 3, 'quality_gate', n_quality, n_lang, n_raw FROM c
+                UNION ALL SELECT 4, 'exact_dedup', n_dedup, n_quality, n_raw FROM c
+            )
+            SELECT stage_order, stage, n_docs,
+                   ROUND(n_docs / NULLIF(prev, 0), 6) AS frac_of_prev,
+                   ROUND(n_docs / n_raw, 6) AS frac_of_raw
+            FROM stages ORDER BY stage_order
         """,
         "dsir_importance_weights": r"""
             WITH toks AS (

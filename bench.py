@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract: the FULL record {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: sec}, "sf": ...} is written to
+BENCH_LOCAL.json (repo root) and printed as the first stdout line; the
+LAST stdout line is the same record with "queries" trimmed slowest-first
+to fit ~1900 chars (the driver keeps only a ~2000-char stdout tail) plus
+queries_shown/queries_total counters and a queries_full pointer.
 
 Each query is forced end-to-end with the noop sink (computes every column —
 ``count()`` would let Catalyst prune the expensive ones away).
@@ -131,6 +136,7 @@ HEADLINE = [
     "dup_rate_by_source",
     "dsir_importance_weights",
     "session_bounce_rate",
+    "corpus_attrition",
 ]
 
 

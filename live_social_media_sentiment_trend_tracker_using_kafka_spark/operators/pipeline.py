@@ -138,3 +138,74 @@ def clean_corpus_exact_neardup(
             survivors, threshold=near_dup_threshold, order_corpus=docs
         ),
     )
+
+
+def attrition_report(
+    docs: DataFrame,
+    langs: list[str] = ("en", "es", "de", "fr"),
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """Stage-by-stage attrition of the oracle-checkable cleaning chain
+    (raw → language allowlist → quality gate → exact dedup): the survivor
+    funnel a pipeline operator watches to see WHERE the corpus is being
+    lost before committing a 100 TB run.
+
+    Single-pass design: one scan computes monotone per-doc survival flags
+    (each stage's predicate conjoins the previous), exact-dedup survival is
+    a min-id window over the fingerprint partitioning computed in the same
+    pass (non-surviving docs get a per-doc partition key so they don't
+    pile into one reducer), and ONE global aggregate emits every stage —
+    no per-stage scans, no joins. Output: (stage_order, stage, n_docs,
+    frac_of_prev, frac_of_raw).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import quality_score_cols
+    from .dedup import with_fingerprint
+
+    q = quality_score_cols(F.col("text"))["quality_score"]
+    flagged = (
+        with_fingerprint(docs)
+        .withColumn("s_lang", F.col("lang").isin(list(langs)))
+        .withColumn("s_quality", F.col("s_lang") & (q >= min_quality))
+    )
+    # exact-dedup survivor: min doc_id among quality-stage survivors of the
+    # same fingerprint; non-survivors partition by their own doc_id
+    part = F.when(F.col("s_quality"), F.col("fingerprint")).otherwise(
+        F.concat(F.lit("solo:"), F.col("doc_id").cast("string"))
+    )
+    keep_id = F.min(F.when(F.col("s_quality"), F.col("doc_id"))).over(
+        Window.partitionBy(part)
+    )
+    flagged = flagged.withColumn(
+        "s_dedup", F.col("s_quality") & (F.col("doc_id") == keep_id)
+    )
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("s_lang").cast("long")).alias("n_lang"),
+        F.sum(F.col("s_quality").cast("long")).alias("n_quality"),
+        F.sum(F.col("s_dedup").cast("long")).alias("n_dedup"),
+    )
+    return (
+        counts.select(
+            F.expr(
+                "stack(4,"
+                " 1, 'raw', n_raw, cast(null as bigint),"
+                " 2, 'lang_allowlist', n_lang, n_raw,"
+                " 3, 'quality_gate', n_quality, n_lang,"
+                " 4, 'exact_dedup', n_dedup, n_quality)"
+                " as (stage_order, stage, n_docs, prev)"
+            ),
+            F.col("n_raw"),
+        )
+        .select(
+            "stage_order",
+            "stage",
+            "n_docs",
+            F.round(F.col("n_docs") / F.nullif(F.col("prev"), F.lit(0)), 6).alias(
+                "frac_of_prev"
+            ),
+            F.round(F.col("n_docs") / F.col("n_raw"), 6).alias("frac_of_raw"),
+        )
+        .orderBy("stage_order")
+    )

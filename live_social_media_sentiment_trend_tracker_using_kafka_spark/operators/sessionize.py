@@ -33,6 +33,20 @@ def _day(ts_col: str = "ts") -> F.Column:
     return F.col(ts_col).cast("date").cast("timestamp_ntz")
 
 
+def user_day_activity(events: DataFrame) -> DataFrame:
+    """Canonical deduped (user_id, day) activity table — THE corpus-sized
+    shuffle of the event-analytics tier, persisted and shared: cohort
+    retention and rolling-active-users construct this identical plan, so
+    within a session the dedup runs once and later consumers hit the cache
+    (the shingle_table pattern; ``tracked_persist_shared`` dedups the
+    handle)."""
+    from ..caching import tracked_persist_shared
+
+    return tracked_persist_shared(
+        events.select("user_id", _day().alias("day")).distinct()
+    )
+
+
 def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gap-based sessions per user: start, event count, summed value."""
     return (
@@ -200,12 +214,13 @@ def cohort_retention(
     from ..caching import tracked_persist_shared
     from .skew import salted_distinct
 
-    user_days = events.select("user_id", _day().alias("day"), "event_id")
-    activity = tracked_persist_shared(
-        salted_distinct(user_days, ["user_id", "day"], salt_buckets, det_col="event_id")
-        if salt_buckets
-        else user_days.select("user_id", "day").distinct()
-    )
+    if salt_buckets:
+        user_days = events.select("user_id", _day().alias("day"), "event_id")
+        activity = tracked_persist_shared(
+            salted_distinct(user_days, ["user_id", "day"], salt_buckets, det_col="event_id")
+        )
+    else:
+        activity = user_day_activity(events)
     first_day = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
         activity.join(first_day, "user_id")
@@ -299,7 +314,9 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
     ruinous where supported (per-frame state). This computes the same thing
     with bounded shuffles instead:
 
-    1. user-day dedup — the one corpus-sized shuffle;
+    1. user-day dedup — the one corpus-sized shuffle, via the SHARED
+       :func:`user_day_activity` table (same plan as cohort_retention, so
+       a session computes it once);
     2. per user, ``lag(day)`` — re-shuffles only user-day rows on user_id;
     3. each user-day explodes into the ≤ ``window_days`` target days for
        which it is that user's FIRST activity inside the trailing window
@@ -309,13 +326,14 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
     4. one count per target day — plain map-side-combinable agg.
 
     Peak data volume is user-days × window_days, independent of raw event
-    count. The corpus max day joins in as a broadcast single row.
+    count. The corpus max day comes from the deduped table (not a second
+    event scan) and joins in as a broadcast single row.
     """
     from pyspark.sql import Window
 
     w = window_days
-    user_days = (
-        events.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    user_days = user_day_activity(events).select(
+        "user_id", F.col("day").cast("date").alias("day")
     )
     prev = F.lag("day").over(Window.partitionBy("user_id").orderBy("day"))
     spans = user_days.select(
@@ -326,7 +344,7 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
         ).alias("lo"),
         F.date_add(F.col("day"), w - 1).alias("hi"),
     )
-    max_day = events.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    max_day = user_days.agg(F.max("day").alias("max_day"))
     # Guard lo > hi: F.sequence would generate a DESCENDING run (phantom
     # future days) — when the span lies entirely past the corpus max day
     # the row must vanish (explode drops the null array).

@@ -187,3 +187,29 @@ def test_dsir_scores_rank_target_like_docs_higher(spark):
     assert len(out) == 5
     assert min(out[1], out[2]) > out[5] > max(out[3], out[4])
     assert out[1] > 0 and out[3] < 0
+
+
+def test_attrition_report_stage_semantics(spark):
+    """Planted fixture where every stage removes a known doc: raw 5 →
+    lang 4 (drops zz) → quality 3 (drops the punctuation-soup doc) →
+    dedup 2 (drops the exact copy, keeps min id)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.pipeline import (
+        attrition_report,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog and runs to the old barn again"
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "a"),
+            (2, good, "en", "b"),              # exact duplicate of 1
+            (3, good + " tonight", "fr", "a"),
+            (4, "!!! ??? ### $$$ %%%", "en", "a"),   # fails quality
+            (5, good, "zz", "a"),              # fails lang allowlist
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r.stage: r for r in attrition_report(docs).collect()}
+    assert [out[s].n_docs for s in ("raw", "lang_allowlist", "quality_gate", "exact_dedup")] == [5, 4, 3, 2]
+    assert out["raw"].frac_of_prev is None
+    assert abs(out["lang_allowlist"].frac_of_prev - 0.8) < 1e-9
+    assert abs(out["exact_dedup"].frac_of_raw - 0.4) < 1e-9

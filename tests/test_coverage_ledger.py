@@ -14,6 +14,9 @@ def test_classify_evidence_classes():
     assert cl.classify({"hash_match": False, "rows_match": True}) == "RED"
     assert cl.classify({"err": "boom", "spark_rows": None}) == "RED"
     assert cl.classify({}) is None
+    # a zero-row rows-only record is NOT green evidence (the silent
+    # empty-result failure mode must surface, not ledger as covered)
+    assert cl.classify({"err": "no_oracle", "spark_rows": 0}) == "RED"
 
 
 def test_coverage_md_is_current():

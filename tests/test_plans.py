@@ -247,6 +247,19 @@ def test_r4_queries_stay_jvm_side(spark):
         assert "ArrowEvalPython" not in plan, name
 
 
+def count_hash_exchanges(spark, df) -> int:
+    """Hash-exchange count from the FORMATTED explain, where each Exchange
+    node's partitioning lives on its own ``Arguments: hashpartitioning(...)``
+    detail line (the tree section prints bare ``Exchange``, so matching
+    'Exchange hashpartitioning' over this mode silently counts zero)."""
+    import re
+
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    return len(re.findall(r"Arguments: hashpartitioning\(", plan))
+
+
 def test_funnel_single_wide_exchange(spark):
     """funnel_conversion's window chain + per-user reduction must share ONE
     user_id hash exchange (the docstring's load-bearing claim)."""
@@ -261,14 +274,11 @@ def test_funnel_single_wide_exchange(spark):
     # claim under test is the docstring's "ONE wide user_id exchange" — so
     # assert AT MOST one hash exchange (a final orderBy's rangepartitioning
     # exchange is narrow/irrelevant and deliberately not counted).
-    jvm = spark._jvm
-    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    plan = df._jdf.queryExecution().explainString(mode)
-    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
-    assert n_hash <= 1, plan
-    # and the reduction does shuffle somewhere — zero would mean the test
-    # is looking at a degenerate plan, not that the claim got cheaper
-    assert "Exchange" in plan, plan
+    # exactly one: a second hash exchange breaks the shared-partitioning
+    # claim, and ZERO would mean the per-user reduction stopped being
+    # distributed at all (the trailing orderBy's rangepartitioning
+    # exchange deliberately doesn't count)
+    assert count_hash_exchanges(spark, df) == 1
 
 
 def test_r5_queries_stay_jvm_side_and_bounded_exchanges(spark):
@@ -293,9 +303,8 @@ def test_r5_queries_stay_jvm_side_and_bounded_exchanges(spark):
     for name, max_hash in budget.items():
         df = qs[name](spark, SF_SMOKE)
         assert_no_python_udf(df)
-        jvm = spark._jvm
-        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-        plan = df._jdf.queryExecution().explainString(mode)
-        n = len(re.findall(r"Exchange hashpartitioning", plan))
-        assert n <= max_hash, f"{name}: {n} hash exchanges (budget {max_hash})\n{plan}"
-        assert "CartesianProduct" not in plan, name
+        n = count_hash_exchanges(spark, df)
+        # lower bound keeps the assertion non-vacuous: every one of these
+        # queries has at least its corpus-sized shuffle
+        assert 1 <= n <= max_hash, f"{name}: {n} hash exchanges (budget {max_hash})"
+        assert "CartesianProduct" not in plan_text(df), name
