@@ -926,6 +926,14 @@ def q_corpus_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.attrition_report(_t(spark, sf_dir, "documents"))
 
 
+def q_label_cosine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 embedding hygiene: per-label distribution of each vector's
+    cosine to its own label centroid (mislabel/noise screen). Centroid agg
+    moves |labels|x|dims| rows, centroids broadcast back, one narrow
+    scoring scan — JVM-side zip_with/aggregate arithmetic throughout."""
+    return similarity.label_cosine_report(_t(spark, sf_dir, "embeddings"))
+
+
 def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 dedup observability: per-source exact-duplicate rate over the
     corpus-wide fingerprint (which upstream feed floods the corpus with
@@ -1921,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": q_dsir_importance_weights,
         "session_bounce_rate": q_session_bounce_rate,
         "corpus_attrition": q_corpus_attrition,
+        "label_cosine_report": q_label_cosine_report,
         # -- tier 3 (r5): r3-green queries rotated in for fresh rows ----
         "user_sessions": q_user_sessions,
         "daily_distinct_users": q_daily_distinct_users,
@@ -1951,10 +1960,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "vocab_coverage": q_vocab_coverage,
         "incremental_near_dups": q_incremental_near_dups,
-        "streaming_user_value_stats": q_streaming_user_value_stats,
         # ---- driver window boundary (first 50 above) ------------------
-        # -- r3-green queries next in line for the r6 rotation (the three
+        # -- r3-green queries next in line for the r6 rotation (those
         #    displaced by the late r5 additions lead) --------------------
+        "streaming_user_value_stats": q_streaming_user_value_stats,
         "temperature_mix": q_temperature_mix,
         "text_normalization": q_text_normalization,
         "rolling_anomalies": q_rolling_anomalies,
@@ -2723,6 +2732,38 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN f USING (user_id)
             WHERE datediff('day', f.cohort_day, a.day) <= 14
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Centroids round to 6dp BEFORE scoring on both sides so the
+        # cosine arithmetic is identical; same dot/sqrt formula as
+        # cosine_pairs_sample.
+        "label_cosine_report": """
+            WITH c AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       unnest(CAST(embedding AS DOUBLE[])) AS v
+                FROM embeddings
+            ), cent AS (
+                SELECT label, dim, ROUND(AVG(v), 6) AS cv
+                FROM c GROUP BY label, dim
+            ), carr AS (
+                SELECT label, list(cv ORDER BY dim) AS cvec FROM cent GROUP BY label
+            ), scored AS (
+                SELECT e.label,
+                       ROUND(CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                                       * sqrt(list_dot_product(carr.cvec, carr.cvec)) > 0
+                             THEN list_dot_product(e.v, carr.cvec)
+                                  / (sqrt(list_dot_product(e.v, e.v))
+                                     * sqrt(list_dot_product(carr.cvec, carr.cvec)))
+                             ELSE 0.0 END, 6) AS cos
+                FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+                JOIN carr USING (label)
+            )
+            SELECT label, COUNT(*) AS n_vecs,
+                   ROUND(AVG(cos), 6) AS mean_cos,
+                   ROUND(quantile_cont(cos, 0.05), 6) AS p05_cos,
+                   MIN(cos) AS min_cos,
+                   CAST(SUM((cos < 0)::INT) AS BIGINT) AS n_neg
+            FROM scored GROUP BY label ORDER BY label
         """,
         # Same scored/quality CTEs as clean_corpus_exact, kept as survival
         # FLAGS so every stage's count comes from one pass.

@@ -137,6 +137,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "session_bounce_rate",
     "corpus_attrition",
+    "label_cosine_report",
 ]
 
 

@@ -586,3 +586,52 @@ def semantic_dedup(
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return embeddings.join(drop, id_col, "left_anti")
+
+
+def label_cosine_report(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-label embedding-hygiene report: the distribution of each
+    vector's cosine to its OWN label centroid — low/negative cosines are
+    mislabel/noise candidates (the nearest-centroid sanity check a
+    pipeline runs before trusting labels for class-conditional sampling
+    or per-label ANN routing).
+
+    Output: (label, n_vecs, mean_cos, p05_cos, min_cos, n_neg) — a
+    distributional report, so no arbitrary outlier threshold is baked in.
+
+    Scale shape: the centroid aggregation moves |labels|·|dims| rows
+    (map-side partials compress the corpus); centroids re-assemble to
+    arrays and BROADCAST back (labels are a dim table); scoring is one
+    narrow scan with JVM-side zip_with/aggregate arithmetic; the roll-up
+    is |labels| rows. Centroid values round to ``round_digits`` BEFORE
+    scoring so the cosine arithmetic matches the DuckDB oracle
+    bit-for-bit.
+    """
+    cent = (
+        embeddings.select(F.col(label_col), F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy(label_col, "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), round_digits).alias("cv"))
+    )
+    carr = cent.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+        ).alias("cvec")
+    )
+    cos = F.round(cosine_similarity_col(F.col(vec_col), F.col("cvec")), round_digits)
+    return (
+        embeddings.join(F.broadcast(carr), label_col)
+        .select(F.col(label_col), cos.alias("cos"))
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("cos"), round_digits).alias("mean_cos"),
+            F.round(F.percentile("cos", F.lit(0.05)), round_digits).alias("p05_cos"),
+            F.min("cos").alias("min_cos"),
+            F.sum((F.col("cos") < 0).cast("long")).alias("n_neg"),
+        )
+        .orderBy(label_col)
+    )

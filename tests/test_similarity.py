@@ -179,3 +179,24 @@ def test_multimodal_edge_inputs_do_not_crash(spark):
     )
     rows = multimodal.frame_sample(media).collect()
     assert [r.frame_idx for r in rows] == [0]
+
+
+def test_label_cosine_report_flags_planted_mislabel(spark):
+    """A vector labeled 0 but pointing like label 1 must surface as the
+    only negative cosine in label 0's report row."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.similarity import (
+        label_cosine_report,
+    )
+
+    rows = []
+    for i in range(8):
+        rows.append((i, [1.0 + 0.01 * i, 0.1, 0.0, 0.0], 0))
+    for i in range(8, 16):
+        rows.append((i, [-1.0 - 0.01 * i, 0.0, 0.1, 0.0], 1))
+    rows.append((99, [-1.0, 0.0, 0.0, 0.1], 0))  # planted mislabel
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in label_cosine_report(emb).collect()}
+    assert out[0].n_vecs == 9 and out[1].n_vecs == 8
+    assert out[0].n_neg == 1, out[0]
+    assert out[1].n_neg == 0, out[1]
+    assert out[0].min_cos < 0 < out[0].mean_cos
