@@ -942,6 +942,36 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_rate_by_source(_t(spark, sf_dir, "documents"))
 
 
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by returned-lineitem revenue in an
+    order-date quarter. Both fact filters push to the scans before the
+    orderkey join; per-customer agg BEFORE the customer decorate; nation
+    broadcast; TakeOrderedAndProject top-20."""
+    return relational.returned_item_revenue(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 collocation mining: PMI of top-vocab token pairs co-occurring
+    in the same document. Broadcast top-100 vocab cut bounds the within-doc
+    self-join at |docs|*C(100,2) rows through one hash agg — never
+    all-pairs over the open vocabulary."""
+    return corpus.token_pmi_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_value_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of the daily mean value (the 'is this
+    series drifting' statistic the reference's dashboard line chart
+    eyeballs; dashboard/streamlit_app.py plots the same per-tick series).
+    Closed-form sums over two map-side-combinable hash aggs; x anchored
+    near the data so the 6-dp intercept is well-conditioned."""
+    return timeseries.value_trend_slope(_t(spark, sf_dir, "events"))
+
+
 def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 cross-table hygiene audit: which (lang, source) corpus slices
     lack embeddings — the check a pipeline runs before trusting
@@ -1930,6 +1960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_bounce_rate": q_session_bounce_rate,
         "corpus_attrition": q_corpus_attrition,
         "label_cosine_report": q_label_cosine_report,
+        "returned_items": q_returned_items,
+        "token_pmi_pairs": q_token_pmi_pairs,
+        "value_trend_slope": q_value_trend_slope,
         # -- tier 3 (r5): r3-green queries rotated in for fresh rows ----
         "user_sessions": q_user_sessions,
         "daily_distinct_users": q_daily_distinct_users,
@@ -1957,12 +1990,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_view_purchase_join": q_streaming_view_purchase_join,
         "value_histogram": q_value_histogram,
         "value_outliers_mad": q_value_outliers_mad,
-        "chunk_documents": q_chunk_documents,
-        "vocab_coverage": q_vocab_coverage,
-        "incremental_near_dups": q_incremental_near_dups,
         # ---- driver window boundary (first 50 above) ------------------
         # -- r3-green queries next in line for the r6 rotation (those
         #    displaced by the late r5 additions lead) --------------------
+        "chunk_documents": q_chunk_documents,
+        "vocab_coverage": q_vocab_coverage,
+        "incremental_near_dups": q_incremental_near_dups,
         "streaming_user_value_stats": q_streaming_user_value_stats,
         "temperature_mix": q_temperature_mix,
         "text_normalization": q_text_normalization,
@@ -3287,6 +3320,81 @@ def oracle_sql() -> dict[str, str]:
                      JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 20
+        """,
+        # TPC-H Q10 shape: returned-revenue per customer in a quarter.
+        "returned_items": """
+            WITH r AS (
+                SELECT o_custkey,
+                       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                           AS DECIMAL(18,6))), 2)
+                            AS DOUBLE) AS revenue
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1996-04-01'
+                GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_name, n_name, c_acctbal, revenue
+            FROM r JOIN customer ON o_custkey = c_custkey
+                   JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        # PMI collocations over the shared token definition; the vocab cut,
+        # the >= 5 pair floor, and the (tok_a, tok_b) tiebreak mirror the
+        # Spark operator exactly. All ln() inputs are exact integers in
+        # doubles, so 6-dp rounding is engine-stable.
+        "token_pmi_pairs": r"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(list_filter(
+                               string_split_regex(lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                               t -> t <> '')) AS tok
+                    FROM documents
+                )
+            ), dfreq AS (
+                SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok
+            ), vocab AS (
+                SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT 100
+            ), ft AS (
+                SELECT t.doc_id, t.tok, v.df FROM toks t JOIN vocab v USING (tok)
+            ), n AS (
+                SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM toks
+            ), pairs AS (
+                SELECT a.tok AS tok_a, b.tok AS tok_b,
+                       a.df AS df_a, b.df AS df_b, COUNT(*) AS pair_docs
+                FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+                GROUP BY 1, 2, 3, 4
+                HAVING COUNT(*) >= 5
+            )
+            SELECT tok_a, tok_b, CAST(pair_docs AS BIGINT) AS pair_docs,
+                   CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+                   ROUND(ln(pair_docs * n_docs / (df_a * df_b)), 6) AS pmi
+            FROM pairs CROSS JOIN n
+            ORDER BY pmi DESC, tok_a, tok_b
+            LIMIT 50
+        """,
+        # OLS daily-mean trend per event_type — the IDENTICAL closed-form
+        # sums as the Spark operator (not regr_slope: built-in regression
+        # aggs may use differently-rounding single-pass algorithms).
+        "value_trend_slope": """
+            WITH daily AS (
+                SELECT event_type AS grp,
+                       CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x,
+                       AVG(value) AS y
+                FROM events GROUP BY 1, 2
+            ), s AS (
+                SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                FROM daily GROUP BY grp
+            )
+            SELECT grp AS event_type, CAST(n AS BIGINT) AS n_days,
+                   ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS trend_slope,
+                   ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+                       AS trend_intercept
+            FROM s ORDER BY event_type
         """,
         # Streaming stateful dedup twin: the stream plants one duplicate per
         # event and dropDuplicatesWithinWatermark must remove exactly those,

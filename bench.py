@@ -138,6 +138,9 @@ HEADLINE = [
     "session_bounce_rate",
     "corpus_attrition",
     "label_cosine_report",
+    "returned_items",
+    "token_pmi_pairs",
+    "value_trend_slope",
 ]
 
 

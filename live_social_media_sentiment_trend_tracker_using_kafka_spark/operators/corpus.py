@@ -557,3 +557,75 @@ def dsir_importance_scores(
         )
         .orderBy(id_col)
     )
+
+
+def token_pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_k: int = 100,
+    min_pair_docs: int = 5,
+    k: int = 50,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring in the same
+    document, restricted to the top-``vocab_k`` tokens by document
+    frequency — the collocation statistic phrase-mining / tokenizer-merge
+    pipelines compute over a corpus (Church & Hanks 1990, public).
+
+    PMI(a, b) = ln( P(a, b) / (P(a) P(b)) ) with probabilities estimated as
+    document frequencies over N = docs with at least one token. Returns the
+    top-``k`` pairs (tok_a, tok_b, pair_docs, df_a, df_b, pmi) with
+    ``pair_docs >= min_pair_docs`` (rare pairs make PMI explode), ordered by
+    pmi desc with a (tok_a, tok_b) tiebreak.
+
+    Scale shape: the all-pairs trap is avoided by the broadcast vocab cut —
+    the within-doc self-join runs on the vocab-filtered presence table, so
+    the pair expansion is bounded by |docs| * C(vocab_k, 2) rows flowing
+    into ONE map-side-combinable hash agg whose output is <= C(vocab_k, 2)
+    rows; the vocab itself is a TakeOrderedAndProject over the df table
+    (never a driver collect), and N stays in-plan as a 1-row broadcast.
+    """
+    from .dedup import word_tokens_col
+    from .skew import fan_out
+
+    toks = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_tokens_col(F.col(text_col)))).alias("tok"),
+    )
+    # presence table feeds three consumers (df table, N, the filtered join
+    # input) — tokenize the corpus once
+    toks = tracked_persist(toks)
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfreq.orderBy(F.desc("df"), F.asc("tok")).limit(vocab_k)
+    n_docs = toks.agg(F.countDistinct("doc_id").alias("_n_docs"))
+    ft = tracked_persist(toks.join(F.broadcast(vocab), "tok"))
+    a = ft.select("doc_id", F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    b = ft.select("doc_id", F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("pair_docs"))
+    )
+    return (
+        pairs.filter(F.col("pair_docs") >= min_pair_docs)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("pair_docs").cast("long").alias("pair_docs"),
+            F.col("df_a").cast("long").alias("df_a"),
+            F.col("df_b").cast("long").alias("df_b"),
+            F.round(
+                F.log(
+                    F.col("pair_docs")
+                    * F.col("_n_docs").cast("double")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                round_digits,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(k)
+    )

@@ -563,3 +563,56 @@ def lone_problem_suppliers(
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(k)
     )
+
+
+def returned_item_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue in an
+    order-date quarter — returned-lineitem revenue aggregated per customer,
+    decorated with customer/nation detail, top-k.
+
+    Scale shape: both fact-side filters (returnflag on lineitem, the date
+    window on orders) push to their parquet scans BEFORE the orderkey
+    shuffle join; the per-customer aggregate reduces to at most |customer|
+    rows before the customer join (never decorate, then aggregate — the
+    decorated pre-agg row would be ~5x wider through the shuffle); nation
+    broadcasts; top-k is TakeOrderedAndProject with a c_custkey tiebreak so
+    rounded-revenue ties stay deterministic.
+    """
+    # the per-row double product is IEEE-identical on any engine; summing it
+    # as DECIMAL makes the aggregate EXACT (order-independent), so the 2-dp
+    # round can't flip a .xx5 boundary between engines the way a
+    # double-accumulated sum did at sf0.01 (observed ±0.01 on one customer)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    per_cust = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+    return (
+        per_cust.join(
+            customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            per_cust["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )

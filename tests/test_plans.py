@@ -308,3 +308,38 @@ def test_r5_queries_stay_jvm_side_and_bounded_exchanges(spark):
         # queries has at least its corpus-sized shuffle
         assert 1 <= n <= max_hash, f"{name}: {n} hash exchanges (budget {max_hash})"
         assert "CartesianProduct" not in plan_text(df), name
+
+
+def test_r5_third_batch_jvm_side_and_exchange_budget(spark):
+    """The r5 third-batch queries are pure Catalyst and keep their documented
+    exchange budgets: returned_items is two fact-side shuffles + custkey
+    agg/join with nation broadcast (<=5); token_pmi_pairs is the df agg, the
+    doc_id self-join pair, and the pair agg (<=6 — the vocab TakeOrdered and
+    the 1-row N broadcast add no hash exchange); value_trend_slope is
+    exactly its two documented map-side-combinable hash aggs."""
+    from tests.conftest import SF_SMOKE
+
+    qs = entrymod.queries()
+    budget = {
+        "returned_items": 5,
+        "token_pmi_pairs": 6,
+        "value_trend_slope": 2,
+    }
+    for name, max_hash in budget.items():
+        df = qs[name](spark, SF_SMOKE)
+        assert_no_python_udf(df)
+        n = count_hash_exchanges(spark, df)
+        assert 1 <= n <= max_hash, f"{name}: {n} hash exchanges (budget {max_hash})"
+        assert "CartesianProduct" not in plan_text(df), name
+
+
+def test_returned_items_pushes_filters_and_broadcasts_nation(spark):
+    """Both fact filters reach the parquet scans (returnflag on lineitem,
+    the date window on orders) and nation joins as a broadcast."""
+    df = entrymod.q_returned_items(spark, SF)
+    plan = plan_text(df)
+    # substring, not the full bracketed list: the scan may append join-key
+    # IsNotNull atoms inside the same PushedFilters bracket
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert_broadcast_join(df, expected=1)

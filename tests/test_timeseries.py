@@ -120,3 +120,65 @@ def test_flat_baseline_spike_is_flagged(spark):
     assert out[-1].is_anomaly is True
     # flat mid-series points are explicitly not anomalous (False, not None)
     assert out[3].is_anomaly is False
+
+
+def test_value_trend_slope_matches_builtin_regr(spark):
+    """The closed-form sums ARE ordinary least squares: agree with Spark's
+    built-in regr_slope/regr_intercept to the operator's own 6-dp rounding
+    granularity on real data (the operator avoids the built-ins only for
+    cross-engine rounding determinism)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.timeseries import (
+        value_trend_slope,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        r["event_type"]: r
+        for r in value_trend_slope(events).collect()
+    }
+    x = F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("2024-01-01"))).cast(
+        "double"
+    )
+    daily = events.groupBy(F.col("event_type"), x.alias("x")).agg(
+        F.avg("value").alias("y")
+    )
+    ref = {
+        r["event_type"]: r
+        for r in daily.groupBy("event_type")
+        .agg(
+            F.regr_slope("y", "x").alias("slope"),
+            F.regr_intercept("y", "x").alias("intercept"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref) and len(got) == 5
+    for et, r in ref.items():
+        # operator output is rounded to 6 dp -> half-step tolerance
+        assert abs(got[et]["trend_slope"] - r["slope"]) < 5.1e-7, et
+        assert abs(got[et]["trend_intercept"] - r["intercept"]) < 5.1e-7, et
+
+
+def test_value_trend_slope_exact_on_synthetic_line(spark):
+    """y = 2x + 3 over 4 days reproduces slope 2, intercept 3 exactly; a
+    group with within-day scatter regresses the daily MEANS, not raw rows."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.timeseries import (
+        value_trend_slope,
+    )
+
+    rows = [("up", f"2024-01-0{d+1} 10:00:00", 2.0 * d + 3.0) for d in range(4)]
+    # 'flat': two rows per day whose mean is constant 5.0 -> slope 0
+    rows += [
+        ("flat", "2024-01-01 01:00:00", 4.0),
+        ("flat", "2024-01-01 02:00:00", 6.0),
+        ("flat", "2024-01-02 01:00:00", 9.0),
+        ("flat", "2024-01-02 02:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts string, value double").select(
+        "event_type", F.col("ts").cast("timestamp_ntz").alias("ts"), "value"
+    )
+    out = {r["event_type"]: r for r in value_trend_slope(df).collect()}
+    assert out["up"]["trend_slope"] == 2.0
+    assert out["up"]["trend_intercept"] == 3.0
+    assert out["up"]["n_days"] == 4
+    assert out["flat"]["trend_slope"] == 0.0
+    assert out["flat"]["trend_intercept"] == 5.0
