@@ -67,6 +67,7 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators impor
     sessionize,
     similarity,
     simjoin,
+    skew,
     timeseries,
     window_funcs,
 )
@@ -970,6 +971,60 @@ def q_value_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     Closed-form sums over two map-side-combinable hash aggs; x anchored
     near the data so the 6-dp intercept is well-conditioned."""
     return timeseries.value_trend_slope(_t(spark, sf_dir, "events"))
+
+
+def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-health diagnostic on the events join/groupBy key: top-20
+    heaviest user_ids with share-of-total and skew-vs-mean — the audit
+    that decides whether salting/AQE skew splitting is warranted. One
+    map-side-combinable count agg + a 1-row broadcast of totals +
+    TakeOrderedAndProject."""
+    return skew.key_skew_audit(_t(spark, sf_dir, "events"), ["user_id"])
+
+
+def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 corpus statistics: per-source Zipf exponent (OLS of ln freq on
+    ln rank over the top-1000 tokens) — a source-level quality screen;
+    natural text sits near 1.0. Vocab-sized rank window, decimal-
+    accumulated OLS sums for cross-engine determinism."""
+    return corpus.zipf_alpha(_t(spark, sf_dir, "documents"))
+
+
+def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency histogram: hours from each user's first view to
+    their first purchase (strict ordering, funnel_conversion's rule).
+    Per-user conditional-min agg then a tiny bucket agg; the NTZ delta is
+    timestampdiff(MICROSECOND, ...) — wall-clock pure, no session-tz
+    cast."""
+    return sessionize.time_to_conversion(_t(spark, sf_dir, "events"))
+
+
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive brand/size/quantity bracket revenue.
+    Part filters to the brackets' brands (pushed down) and broadcasts;
+    lineitem prunes quantity at its scan; one broadcast hash join into a
+    3-row map-side agg, decimal-accumulated revenue."""
+    return relational.bracket_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 metadata hygiene: declared-vs-detected language confusion
+    matrix (lang_id_col classifier vs the crawl's self-declared lang).
+    One hash agg to |langs|^2 cells; the per-declared fraction windows
+    over that tiny matrix, never corpus rows."""
+    return corpus.lang_confusion(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_by_dup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 cross-operator audit: quality heuristics aggregated by
+    near-dup cluster membership (the dedup_clusters chain's components)
+    — the 'are dups boilerplate?' check before choosing dedup
+    aggressiveness. Quality computes in the scan; membership is one left
+    join on the id; 2-row agg."""
+    cc = cluster.connected_components(_neardup_pairs(spark, sf_dir))
+    return corpus.quality_by_dup_status(_t(spark, sf_dir, "documents"), cc)
 
 
 def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1963,6 +2018,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items": q_returned_items,
         "token_pmi_pairs": q_token_pmi_pairs,
         "value_trend_slope": q_value_trend_slope,
+        "key_skew_audit": q_key_skew_audit,
+        "zipf_alpha": q_zipf_alpha,
+        "time_to_conversion": q_time_to_conversion,
+        "bracket_revenue": q_bracket_revenue,
+        "lang_confusion": q_lang_confusion,
+        "quality_by_dup_status": q_quality_by_dup_status,
         # -- tier 3 (r5): r3-green queries rotated in for fresh rows ----
         "user_sessions": q_user_sessions,
         "daily_distinct_users": q_daily_distinct_users,
@@ -1984,15 +2045,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_near_dups": q_semantic_near_dups,
         "media_resize": q_media_resize,
         "line_dedup": q_line_dedup,
+        # ---- driver window boundary (first 50 above) ------------------
+        # -- r3-green queries next in line for the r6 rotation (those
+        #    displaced by the late r5 additions lead) --------------------
         "range_join_windows": q_range_join_windows,
         "time_series_gapfill": q_time_series_gapfill,
         "bloom_decontamination": q_bloom_decontamination,
         "streaming_view_purchase_join": q_streaming_view_purchase_join,
         "value_histogram": q_value_histogram,
         "value_outliers_mad": q_value_outliers_mad,
-        # ---- driver window boundary (first 50 above) ------------------
-        # -- r3-green queries next in line for the r6 rotation (those
-        #    displaced by the late r5 additions lead) --------------------
         "chunk_documents": q_chunk_documents,
         "vocab_coverage": q_vocab_coverage,
         "incremental_near_dups": q_incremental_near_dups,
@@ -3395,6 +3456,153 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
                        AS trend_intercept
             FROM s ORDER BY event_type
+        """,
+        # Shuffle-health audit: heaviest keys + share + skew-vs-mean. The
+        # counts are exact integers; ratios divide them in doubles (the
+        # explicit DOUBLE casts avoid DuckDB's integer division).
+        "key_skew_audit": """
+            WITH c AS (
+                SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+            ), t AS (
+                SELECT CAST(SUM(n_rows) AS DOUBLE) AS total,
+                       CAST(COUNT(*) AS DOUBLE) AS n_keys
+                FROM c
+            )
+            SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows,
+                   ROUND(n_rows / total, 6) AS share,
+                   ROUND(n_rows * n_keys / total, 6) AS skew_vs_mean
+            FROM c CROSS JOIN t
+            ORDER BY n_rows DESC, user_id
+            LIMIT 20
+        """,
+        # Per-source Zipf fit over the shared token definition. The OLS
+        # sums accumulate DECIMAL(24,12) casts of the per-row doubles
+        # (order-independent, the returned_items house pattern); ln()
+        # inputs are exact integers so per-row values are engine-identical.
+        "zipf_alpha": r"""
+            WITH toks AS (
+                SELECT source AS grp,
+                       unnest(list_filter(
+                           string_split_regex(lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                           t -> t <> '')) AS tok
+                FROM documents
+            ), counts AS (
+                SELECT grp, tok, COUNT(*) AS n FROM toks GROUP BY grp, tok
+            ), ranked AS (
+                SELECT grp, n,
+                       ROW_NUMBER() OVER (PARTITION BY grp ORDER BY n DESC, tok) AS rank
+                FROM counts QUALIFY rank <= 1000
+            ), s AS (
+                SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n_fit,
+                       CAST(SUM(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(24,12))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(24,12))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(n AS DOUBLE)) AS DECIMAL(24,12))) AS DOUBLE) AS sxy,
+                       CAST(SUM(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) AS DECIMAL(24,12))) AS DOUBLE) AS sxx
+                FROM ranked GROUP BY grp
+            )
+            SELECT grp AS source, CAST(n_fit AS BIGINT) AS n_terms,
+                   ROUND(-((n_fit * sxy - sx * sy) / (n_fit * sxx - sx * sx)), 6) AS zipf_alpha,
+                   ROUND((sy - (n_fit * sxy - sx * sy) / (n_fit * sxx - sx * sx) * sx) / n_fit, 6)
+                       AS zipf_intercept
+            FROM s ORDER BY source
+        """,
+        # Conversion latency: first view -> first purchase per user, hour
+        # buckets. epoch_us difference == Spark's
+        # timestampdiff(MICROSECOND, ...) exactly (both integer micros,
+        # tz-free on naive timestamps); // == div for positive deltas.
+        "time_to_conversion": """
+            WITH f AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_from,
+                       MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_to
+                FROM events GROUP BY user_id
+            )
+            SELECT (epoch_us(t_to) - epoch_us(t_from)) // 3600000000 AS hours_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM f
+            WHERE t_from IS NOT NULL AND t_to IS NOT NULL AND t_to >= t_from
+            GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H Q19 shape, per-bracket: the CASE mirrors the operator's
+        # first-match chain (brands are disjoint so order is moot);
+        # revenue is the decimal-accumulated house pattern.
+        "bracket_revenue": """
+            WITH j AS (
+                SELECT CASE
+                         WHEN p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                              AND l_quantity BETWEEN 1 AND 15 THEN 'bracket_small'
+                         WHEN p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                              AND l_quantity BETWEEN 10 AND 30 THEN 'bracket_medium'
+                         WHEN p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 35
+                              AND l_quantity BETWEEN 20 AND 50 THEN 'bracket_large'
+                       END AS bracket,
+                       CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS rev
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            )
+            SELECT bracket, CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS revenue
+            FROM j WHERE bracket IS NOT NULL
+            GROUP BY bracket ORDER BY bracket
+        """,
+        # Declared-vs-detected confusion matrix: same argmax chain as
+        # lang_id_counts, grouped by the declared lang; the fraction
+        # windows over the tiny matrix exactly like the Spark side.
+        "lang_confusion": f"""
+            WITH s AS (
+                SELECT lang AS declared_lang,
+                       len(regexp_extract_all(lower(text), '{_marker_re("en")}', 1)) AS s_en,
+                       len(regexp_extract_all(lower(text), '{_marker_re("es")}', 1)) AS s_es,
+                       len(regexp_extract_all(lower(text), '{_marker_re("de")}', 1)) AS s_de,
+                       len(regexp_extract_all(lower(text), '{_marker_re("fr")}', 1)) AS s_fr,
+                       len(regexp_extract_all(text, '[一-鿿]', 0)) AS cjk
+                FROM documents
+            ), step1 AS (
+                SELECT *, CASE WHEN s_es > s_en THEN 'es' ELSE 'en' END AS b1,
+                          CASE WHEN s_es > s_en THEN s_es ELSE s_en END AS v1
+                FROM s
+            ), step2 AS (
+                SELECT *, CASE WHEN s_de > v1 THEN 'de' ELSE b1 END AS b2,
+                          CASE WHEN s_de > v1 THEN s_de ELSE v1 END AS v2
+                FROM step1
+            ), pick AS (
+                SELECT declared_lang,
+                       CASE WHEN cjk > 0 THEN 'zh'
+                            WHEN s_fr > v2 THEN 'fr' ELSE b2 END AS detected_lang
+                FROM step2
+            ), cells AS (
+                SELECT declared_lang, detected_lang, COUNT(*) AS n_docs
+                FROM pick GROUP BY 1, 2
+            )
+            SELECT declared_lang, detected_lang, CAST(n_docs AS BIGINT) AS n_docs,
+                   ROUND(n_docs / CAST(SUM(n_docs) OVER (PARTITION BY declared_lang)
+                                       AS DOUBLE), 6) AS frac_of_declared
+            FROM cells ORDER BY declared_lang, detected_lang
+        """,
+        # Quality by near-dup membership: the cluster chain's recursive
+        # CTE decides membership; quality heuristics come from the
+        # doc_quality oracle verbatim.
+        "quality_by_dup_status": rf"""
+            WITH RECURSIVE {_CLUSTER_CTES}, scored AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
+                       len(regexp_extract_all(lower(text), '{_STOPWORD_RE}', 1)) AS n_stop,
+                       len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
+                       length(text) AS n_chars
+                FROM documents
+            ), q AS (
+                SELECT doc_id, n_tokens,
+                       LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
+                       + LEAST((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 5.0, 1.0) * 0.4
+                       + (1.0 - LEAST((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 5.0, 1.0)) * 0.2
+                       AS quality_score
+                FROM scored
+            )
+            SELECT CASE WHEN q.doc_id IN (SELECT node FROM comp)
+                        THEN 'near_dup_member' ELSE 'unique' END AS dup_status,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND(AVG(quality_score), 6) AS avg_quality,
+                   ROUND(AVG(CAST(n_tokens AS DOUBLE)), 6) AS avg_tokens
+            FROM q GROUP BY 1 ORDER BY 1
         """,
         # Streaming stateful dedup twin: the stream plants one duplicate per
         # event and dropDuplicatesWithinWatermark must remove exactly those,

@@ -141,6 +141,12 @@ HEADLINE = [
     "returned_items",
     "token_pmi_pairs",
     "value_trend_slope",
+    "key_skew_audit",
+    "zipf_alpha",
+    "time_to_conversion",
+    "bracket_revenue",
+    "lang_confusion",
+    "quality_by_dup_status",
 ]
 
 

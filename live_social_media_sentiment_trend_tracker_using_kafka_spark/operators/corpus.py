@@ -629,3 +629,171 @@ def token_pmi_pairs(
         .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
         .limit(k)
     )
+
+
+def zipf_alpha(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_n: int = 1000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Zipf exponent of the token-frequency distribution per corpus slice:
+    OLS fit of ln(freq) on ln(rank) over the top-``top_n`` tokens —
+    ``zipf_alpha`` is the negated slope (natural text ~ 1.0; templated or
+    boilerplate-heavy slices drift away, which makes this a cheap
+    source-level quality screen alongside repetition_stats/doc_quality).
+
+    Returns (group_col, n_terms, zipf_alpha, zipf_intercept) ordered by
+    group; ``zipf_intercept`` is the fitted ln-frequency at rank 1.
+
+    Cross-engine determinism: ranks and counts are exact integers, so the
+    per-row ln() inputs are identical on any engine; the four OLS sums
+    accumulate DECIMAL casts of the per-row doubles (the returned_items
+    house pattern) so the sums are order-independent, then the closed form
+    runs in doubles on identical inputs.
+
+    Scale shape: one map-side-combinable (group, token) count agg reduces
+    the corpus to vocab-sized rows; the rank window partitions by group
+    over each group's VOCAB (never the corpus — bounded by distinct
+    tokens, and only the top-``top_n`` rows survive into the per-group
+    sums agg, whose output is |groups| rows).
+    """
+    from .skew import fan_out
+
+    toks = fan_out(df).select(
+        F.col(group_col).alias("grp"),
+        F.explode(word_tokens_col(F.col(text_col))).alias("tok"),
+    )
+    counts = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("grp").orderBy(F.desc("n"), F.asc("tok"))
+    ranked = (
+        counts.select("grp", "n", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= top_n)
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    dec = "decimal(24,12)"
+    sums = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n_fit"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n_fit") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n_fit") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        sums.select(
+            F.col("grp").alias(group_col),
+            F.col("n_fit").cast("long").alias("n_terms"),
+            F.round(-slope, round_digits).alias("zipf_alpha"),
+            F.round(
+                (F.col("sy") - slope * F.col("sx")) / F.col("n_fit"), round_digits
+            ).alias("zipf_intercept"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def lang_confusion(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Declared-vs-detected language confusion matrix: for every declared
+    language, how the heuristic classifier (functions.text.lang_id_col —
+    the operator behind lang_id_counts) distributes its predictions. The
+    metadata-hygiene audit a pipeline runs before trusting a crawl's
+    self-declared `lang` field for filtering or mixture weighting.
+
+    Returns (declared_lang, detected_lang, n_docs, frac_of_declared)
+    ordered by declared then detected; fractions sum to 1 per declared
+    language.
+
+    Scale shape: one map-side-combinable hash agg reduces the corpus to
+    at most |langs|² cells; the per-declared fraction is a window over
+    that TINY matrix (never over corpus rows), so the only corpus-sized
+    work is the classifier's regexp scan riding the input scan.
+    """
+    from ..functions.text import lang_id_col
+    from .skew import fan_out
+
+    cells = (
+        fan_out(df)
+        .select(
+            F.col(lang_col).alias("declared_lang"),
+            lang_id_col(F.col(text_col)).alias("detected_lang"),
+        )
+        .groupBy("declared_lang", "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    per_declared = Window.partitionBy("declared_lang")
+    return (
+        cells.select(
+            "declared_lang",
+            "detected_lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(
+                F.col("n_docs") / F.sum("n_docs").over(per_declared).cast("double"),
+                6,
+            ).alias("frac_of_declared"),
+        )
+        .orderBy("declared_lang", "detected_lang")
+    )
+
+
+def quality_by_dup_status(
+    df: DataFrame,
+    components: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Are near-duplicated documents lower-quality than unique ones? Joins
+    the quality heuristics (quality_score_cols) against a near-dup
+    connected-components table (``cluster.connected_components`` over
+    Jaccard>=0.8 pairs — the dedup_clusters chain) and aggregates per
+    membership status: ``near_dup_member`` (the doc shares a cluster with
+    at least one other doc) vs ``unique``. Public corpus studies
+    consistently find dup clusters skew toward boilerplate — this is the
+    query that checks it on YOUR corpus before choosing dedup
+    aggressiveness.
+
+    Returns (dup_status, n_docs, avg_quality, avg_tokens) ordered by
+    status.
+
+    Scale shape: quality columns compute inside the corpus scan; the
+    membership check is ONE left join on the id (the components side
+    holds only clustered docs — far smaller than the corpus — and the
+    join carries just (id, quality, n_tokens), never text); the final
+    agg reduces to 2 rows map-side. The components input is whatever the
+    cluster chain already produced — membership is derived, not
+    recomputed.
+    """
+    from ..functions.text import quality_score_cols
+    from .skew import fan_out
+
+    q = quality_score_cols(F.col(text_col))
+    scored = fan_out(df).select(
+        F.col(id_col).alias("_id"),
+        q["quality_score"].alias("quality_score"),
+        q["n_tokens"].alias("n_tokens"),
+    )
+    members = components.select(F.col("node").alias("_id")).distinct()
+    status = F.when(
+        F.col("_member").isNotNull(), F.lit("near_dup_member")
+    ).otherwise(F.lit("unique"))
+    return (
+        scored.join(
+            members.withColumn("_member", F.lit(1)), "_id", "left"
+        )
+        .select(status.alias("dup_status"), "quality_score", "n_tokens")
+        .groupBy("dup_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias("avg_tokens"),
+        )
+        .orderBy("dup_status")
+    )

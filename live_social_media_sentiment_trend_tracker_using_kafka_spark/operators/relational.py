@@ -616,3 +616,65 @@ def returned_item_revenue(
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(k)
     )
+
+
+BRACKETS = [
+    # (label, brand, size_max, qty_min, qty_max)
+    ("bracket_small", "Brand#12", 15, 1.0, 15.0),
+    ("bracket_medium", "Brand#23", 25, 10.0, 30.0),
+    ("bracket_large", "Brand#5", 35, 20.0, 50.0),
+]
+
+
+def bracket_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brackets: list[tuple[str, str, int, float, float]] = BRACKETS,
+) -> DataFrame:
+    """TPC-H Q19 shape: revenue from disjunctive brand/size/quantity
+    brackets — each bracket is (brand, max size, quantity window), and a
+    line item counts toward the first bracket whose part and quantity both
+    match. Reported per bracket (Q19 sums one number; per-bracket rows are
+    strictly more informative and reduce to it).
+
+    Returns (bracket, n_items, revenue) ordered by bracket label.
+
+    Scale shape: the part side filters to the brackets' brands/sizes —
+    a few permille of the part table — so it BROADCASTS after pushdown
+    (brand IN (...) and the size bound reach the parquet scan); lineitem
+    prunes l_quantity <= max(qty_max) at ITS scan before the join, so the
+    only corpus-sized work is one pushed-down scan feeding a broadcast
+    hash join and a 3-row map-side agg. Revenue accumulates
+    DECIMAL(18,6) per-row products (exact, order-independent), then
+    rounds to 2 dp — the returned_items house pattern.
+    """
+    qty_cap = max(b[4] for b in brackets)
+    p = part.filter(
+        F.col("p_brand").isin([b[1] for b in brackets])
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= max(b[2] for b in brackets))
+    ).select("p_partkey", "p_brand", "p_size")
+    li = lineitem.filter(F.col("l_quantity") <= F.lit(qty_cap)).select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    label = F.lit(None).cast("string")
+    for name, brand, size_max, qmin, qmax in reversed(brackets):
+        label = F.when(
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") <= size_max)
+            & (F.col("l_quantity") >= qmin)
+            & (F.col("l_quantity") <= qmax),
+            F.lit(name),
+        ).otherwise(label)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(label.alias("bracket"), rev.alias("rev"))
+        .filter(F.col("bracket").isNotNull())
+        .groupBy("bracket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("bracket")
+    )

@@ -415,3 +415,48 @@ def session_bounce_rate(events: DataFrame, gap: str = "30 minutes") -> DataFrame
         )
         .orderBy("day")
     )
+
+
+def time_to_conversion(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """Conversion-latency histogram: for every user whose FIRST ``to_type``
+    event lands at-or-after their FIRST ``from_type`` event, the elapsed
+    time bucketed into whole hours — the "how long from first view to
+    first purchase" distribution a product dashboard plots next to the
+    funnel (funnel_conversion above counts who converts; this measures how
+    fast).
+
+    Returns (hours_bucket, n_users) ordered by bucket. Users missing
+    either event, or whose first ``to_type`` precedes their first
+    ``from_type`` (converted before ever viewing), are excluded — the
+    same strict ordering rule funnel_conversion applies.
+
+    Timezone note: ``ts`` is TIMESTAMP_NTZ; the delta uses
+    ``timestampdiff(MICROSECOND, ...)``, which is wall-clock pure on NTZ
+    (exact integer micros on both engines — verified against DuckDB's
+    ``epoch_us`` difference), then integer-divides into hour buckets. No
+    session-timezone cast ever touches the values.
+
+    Scale shape: one map-side-combinable per-user conditional-min agg
+    reduces the corpus to |users| rows, then one tiny hash agg reduces to
+    |buckets| rows. No windows, no joins, nothing collected.
+    """
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == from_type, F.col("ts"))).alias("t_from"),
+        F.min(F.when(F.col("event_type") == to_type, F.col("ts"))).alias("t_to"),
+    )
+    bucket = F.expr("timestampdiff(MICROSECOND, t_from, t_to) div 3600000000")
+    return (
+        firsts.filter(
+            F.col("t_from").isNotNull()
+            & F.col("t_to").isNotNull()
+            & (F.col("t_to") >= F.col("t_from"))
+        )
+        .select(bucket.alias("hours_bucket"))
+        .groupBy("hours_bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("hours_bucket")
+    )

@@ -154,3 +154,47 @@ def salted_join(
     )
     out = b.join(s, [key_col, "_salt"], how)
     return out.drop("_salt")
+
+
+def key_skew_audit(df: DataFrame, key_cols: list[str], k: int = 20) -> DataFrame:
+    """Shuffle-health diagnostic: the top-``k`` heaviest keys with their
+    share of all rows and their count relative to the mean key — the audit
+    a pipeline runs on a join/groupBy key BEFORE deciding whether
+    ``salted_group_agg`` / ``salted_join`` (above) or AQE skew splitting is
+    needed. ``skew_vs_mean`` ~ 1 means uniform; a key at 50 means one
+    reducer will receive 50 keys' worth of rows.
+
+    Returns (key_cols..., n_rows, share, skew_vs_mean) ordered by n_rows
+    desc with a key tiebreak.
+
+    Scale shape: ONE map-side-combinable hash agg reduces the corpus to
+    |keys| rows (persisted — it feeds both the 1-row totals agg and the
+    top-k); totals join back as a 1-row broadcast; top-k is
+    TakeOrderedAndProject. Nothing key-skewed runs here: the audit itself
+    aggregates on the (possibly hot) key, but count partials compress
+    map-side so the hot key contributes one row per map task, not its raw
+    rows. Ratios divide exact integer counts in doubles, so the 6-dp round
+    is engine-stable.
+    """
+    from ..caching import tracked_persist
+
+    counts = tracked_persist(
+        df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    totals = counts.agg(
+        F.sum("n_rows").cast("double").alias("_total"),
+        F.count(F.lit(1)).cast("double").alias("_n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("_n_keys") / F.col("_total"), 6
+            ).alias("skew_vs_mean"),
+        )
+        .orderBy(F.desc("n_rows"), *[F.asc(c) for c in key_cols])
+        .limit(k)
+    )

@@ -253,3 +253,96 @@ def test_token_pmi_pairs_vocab_cut_and_pair_floor(spark):
     only_ab = token_pmi_pairs(df, vocab_k=2, min_pair_docs=1, k=10).collect()
     assert [(r["tok_a"], r["tok_b"]) for r in only_ab] == [("a", "b")]
     assert token_pmi_pairs(df, vocab_k=10, min_pair_docs=3, k=10).count() == 0
+
+
+def test_zipf_alpha_exact_power_law(spark):
+    """Token frequencies 12/6/4 at ranks 1/2/3 follow n = 12/r exactly, so
+    ln n = ln 12 - 1.0 * ln r and the fitted alpha is exactly 1.0 with
+    intercept ln 12; a uniform-frequency source fits alpha 0."""
+    import math
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        zipf_alpha,
+    )
+
+    text_zipf = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4)
+    text_flat = " ".join(["p"] * 3 + ["q"] * 3 + ["r"] * 3)
+    df = spark.createDataFrame(
+        [(1, text_zipf, "zipf"), (2, text_flat, "flat")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in zipf_alpha(df).collect()}
+    assert out["zipf"]["n_terms"] == 3
+    assert abs(out["zipf"]["zipf_alpha"] - 1.0) < 1e-6
+    assert abs(out["zipf"]["zipf_intercept"] - round(math.log(12), 6)) < 1e-6
+    assert out["flat"]["zipf_alpha"] == 0.0
+    assert abs(out["flat"]["zipf_intercept"] - round(math.log(3), 6)) < 1e-6
+
+
+def test_zipf_alpha_top_n_cut_and_rank_tiebreak(spark):
+    """top_n=2 fits only ranks 1-2; equal counts rank alphabetically (the
+    deterministic tiebreak the oracle mirrors)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        zipf_alpha,
+    )
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["a"] * 4 + ["b"] * 2 + ["c"] * 2 + ["d"] * 1), "s")],
+        "doc_id long, text string, source string",
+    )
+    out = zipf_alpha(df, top_n=2).collect()
+    assert len(out) == 1 and out[0]["n_terms"] == 2
+    # ranks fitted: a(4)@1, b(2)@2 (b beats c alphabetically); exact 2-point
+    # fit through (ln1, ln4), (ln2, ln2) -> slope -1 -> alpha 1
+    assert abs(out[0]["zipf_alpha"] - 1.0) < 1e-6
+
+
+def test_lang_confusion_matrix_and_fractions(spark):
+    """Declared-vs-detected cells with per-declared fractions summing to 1;
+    marker words drive detection (the lang_id_col contract)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        lang_confusion,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here", "en"),   # detected en
+            (2, "el gato que la casa es una", "en"),    # declared en, detected es
+            (3, "el perro la casa que de", "es"),       # detected es
+            (4, "the thing and it is of", "es"),        # declared es, detected en
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = [tuple(r) for r in lang_confusion(df).collect()]
+    assert out == [
+        ("en", "en", 1, 0.5),
+        ("en", "es", 1, 0.5),
+        ("es", "en", 1, 0.5),
+        ("es", "es", 1, 0.5),
+    ]
+
+
+def test_quality_by_dup_status_membership_split(spark):
+    """Docs present in the components table aggregate as near_dup_member;
+    the rest as unique; avg_tokens is the whitespace token mean per side."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        quality_by_dup_status,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),          # member, 5 tokens
+            (2, "the quick brown fox jumped today"),   # member, 6 tokens
+            (3, "completely different text"),          # unique, 3 tokens
+        ],
+        "doc_id long, text string",
+    )
+    comp = spark.createDataFrame([(1, 1), (2, 1)], "node long, component long")
+    out = {r["dup_status"]: r for r in quality_by_dup_status(docs, comp).collect()}
+    assert set(out) == {"near_dup_member", "unique"}
+    assert out["near_dup_member"]["n_docs"] == 2
+    assert out["near_dup_member"]["avg_tokens"] == 5.5
+    assert out["unique"]["n_docs"] == 1
+    assert out["unique"]["avg_tokens"] == 3.0
+    for r in out.values():
+        assert 0.0 <= r["avg_quality"] <= 1.0

@@ -343,3 +343,53 @@ def test_returned_items_pushes_filters_and_broadcasts_nation(spark):
     assert "EqualTo(l_returnflag,R)" in plan, plan
     assert "GreaterThanOrEqual(o_orderdate" in plan, plan
     assert_broadcast_join(df, expected=1)
+
+
+def test_r5_fourth_batch_jvm_side_and_exchange_budget(spark):
+    """The r5 fourth-batch queries are pure Catalyst within their documented
+    exchange budgets: key_skew_audit is one count agg (+ the 1-row totals
+    agg, broadcast back) (<=3); zipf_alpha is the token count agg, the
+    per-group rank window, and the per-group sums agg (<=4);
+    time_to_conversion is exactly its two map-side-combinable hash aggs."""
+    from tests.conftest import SF_SMOKE
+
+    qs = entrymod.queries()
+    budget = {
+        "key_skew_audit": 3,
+        "zipf_alpha": 4,
+        "time_to_conversion": 2,
+    }
+    for name, max_hash in budget.items():
+        df = qs[name](spark, SF_SMOKE)
+        assert_no_python_udf(df)
+        n = count_hash_exchanges(spark, df)
+        assert 1 <= n <= max_hash, f"{name}: {n} hash exchanges (budget {max_hash})"
+        assert "CartesianProduct" not in plan_text(df), name
+
+
+def test_r5_fifth_batch_jvm_side_and_exchange_budget(spark):
+    """Fifth-batch plan claims: bracket_revenue is a pushed-down broadcast
+    join into a 3-row agg (1 hash exchange, 1 broadcast, no python);
+    lang_confusion is one corpus agg + the tiny-matrix window (<=3);
+    quality_by_dup_status rides the iterative CC chain so only the
+    no-python/no-cartesian invariants are asserted (its exchange count
+    varies with CC rounds)."""
+    from tests.conftest import SF_SMOKE
+
+    qs = entrymod.queries()
+    df = qs["bracket_revenue"](spark, SF_SMOKE)
+    assert_no_python_udf(df)
+    assert 1 <= count_hash_exchanges(spark, df) <= 2
+    assert_broadcast_join(df, expected=1)
+    plan = plan_text(df)
+    assert "In(p_brand" in plan, plan            # brand set pushed to part scan
+    assert "LessThanOrEqual(l_quantity" in plan, plan  # qty cap pushed to lineitem scan
+
+    df = qs["lang_confusion"](spark, SF_SMOKE)
+    assert_no_python_udf(df)
+    assert 1 <= count_hash_exchanges(spark, df) <= 3
+    assert "CartesianProduct" not in plan_text(df)
+
+    df = qs["quality_by_dup_status"](spark, SF_SMOKE)
+    assert_no_python_udf(df)
+    assert "CartesianProduct" not in plan_text(df)

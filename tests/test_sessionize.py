@@ -223,3 +223,35 @@ def test_session_bounce_rate_counts_single_event_sessions(spark):
     assert abs(out[d1].bounce_rate - 0.5) < 1e-9
     assert out[d2].n_sessions == 1 and out[d2].n_bounces == 1
     assert abs(out[d2].bounce_rate - 1.0) < 1e-9
+
+
+def test_time_to_conversion_buckets_and_exclusions(spark):
+    """Hour-bucketed first-view->first-purchase latency: 90 min -> bucket 1;
+    simultaneous -> bucket 0; purchase-before-view and view-only users are
+    excluded; the FIRST view/purchase per user is what counts."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sessionize import (
+        time_to_conversion,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        # user 1: first view 10:00 (second view later must not matter),
+        # first purchase 11:30 -> 90 min -> bucket 1
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "view", "2024-01-01 11:00:00"),
+        (1, "purchase", "2024-01-01 11:30:00"),
+        (1, "purchase", "2024-01-02 00:00:00"),
+        # user 2: purchase precedes first view -> excluded
+        (2, "purchase", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 10:00:00"),
+        # user 3: view only -> excluded
+        (3, "view", "2024-01-01 08:00:00"),
+        # user 4: simultaneous -> bucket 0
+        (4, "view", "2024-01-01 12:00:00"),
+        (4, "purchase", "2024-01-01 12:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).select("user_id", "event_type", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    out = [(r["hours_bucket"], r["n_users"]) for r in time_to_conversion(df).collect()]
+    assert out == [(0, 1), (1, 1)]

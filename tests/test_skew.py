@@ -109,3 +109,32 @@ def test_salted_distinct_equals_plain(spark):
     got2 = salted_distinct(df, ["k", "v"], 8, det_col="v")
     assert got2.count() == df.select("k", "v").distinct().count()
     assert got2.columns == ["k", "v"]
+
+
+def test_key_skew_audit_hand_computed(spark):
+    """Counts/share/skew_vs_mean on a 3-key toy table: 6+3+1 rows ->
+    total 10, mean 10/3; ordering is n_rows desc with the key tiebreak."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.skew import (
+        key_skew_audit,
+    )
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = [tuple(r) for r in key_skew_audit(df, ["k"]).collect()]
+    assert out == [
+        ("a", 6, 0.6, 1.8),
+        ("b", 3, 0.3, 0.9),
+        ("c", 1, 0.1, 0.3),
+    ]
+
+
+def test_key_skew_audit_top_k_and_tiebreak(spark):
+    """k=2 keeps the heaviest two; equal counts break ties on the key."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.skew import (
+        key_skew_audit,
+    )
+
+    rows = [("z",)] * 2 + [("y",)] * 2 + [("x",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_audit(df, ["k"], k=2).collect()
+    assert [(r["k"], r["n_rows"]) for r in out] == [("x", 5), ("y", 2)]
