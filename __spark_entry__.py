@@ -1027,6 +1027,31 @@ def q_quality_by_dup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_by_dup_status(_t(spark, sf_dir, "documents"), cc)
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov matrix: (from_type -> to_type) counts and
+    conditional probabilities over consecutive same-user events — the
+    Sankey behind 'what happens right after an error?'. One user_id
+    window shuffle, then a |types|^2-row agg; the prob window runs over
+    the tiny matrix."""
+    return sessionize.event_transitions(_t(spark, sf_dir, "events"))
+
+
+def q_event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types with (user, day) baskets —
+    support and lift vs independence per unordered pair. One corpus
+    shuffle builds the persisted basket table; pairs expand JVM-side from
+    each basket's sorted type set (HOF transform+slice, no self-join)."""
+    return sessionize.event_type_lift(_t(spark, sf_dir, "events"))
+
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per event type: mean/stddev gap seconds
+    and cv=std/mean from exact NTZ microsecond deltas, decimal-accumulated
+    sums (order-independent). One user_id window shuffle + one tiny agg —
+    the bot/incident screen next to key_skew_audit."""
+    return timeseries.interarrival_stats(_t(spark, sf_dir, "events"))
+
+
 def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 cross-table hygiene audit: which (lang, source) corpus slices
     lack embeddings — the check a pipeline runs before trusting
@@ -2024,6 +2049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bracket_revenue": q_bracket_revenue,
         "lang_confusion": q_lang_confusion,
         "quality_by_dup_status": q_quality_by_dup_status,
+        "event_transitions": q_event_transitions,
+        "event_type_lift": q_event_type_lift,
+        "interarrival_stats": q_interarrival_stats,
         # -- tier 3 (r5): r3-green queries rotated in for fresh rows ----
         "user_sessions": q_user_sessions,
         "daily_distinct_users": q_daily_distinct_users,
@@ -2042,10 +2070,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": q_promo_revenue_share,
         "large_orders": q_large_orders,
         "bigram_logprob": q_bigram_logprob,
+        # ---- driver window boundary (first 50 above) ------------------
         "semantic_near_dups": q_semantic_near_dups,
         "media_resize": q_media_resize,
         "line_dedup": q_line_dedup,
-        # ---- driver window boundary (first 50 above) ------------------
         # -- r3-green queries next in line for the r6 rotation (those
         #    displaced by the late r5 additions lead) --------------------
         "range_join_windows": q_range_join_windows,
@@ -3603,6 +3631,82 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(quality_score), 6) AS avg_quality,
                    ROUND(AVG(CAST(n_tokens AS DOUBLE)), 6) AS avg_tokens
             FROM q GROUP BY 1 ORDER BY 1
+        """,
+        # Markov transition matrix: identical (ts, event_id) lag ordering;
+        # the conditional probability divides exact counts in doubles.
+        "event_transitions": """
+            WITH seq AS (
+                SELECT LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS from_type,
+                       event_type AS to_type
+                FROM events
+            )
+            SELECT from_type, to_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_transitions,
+                   ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (
+                       PARTITION BY from_type) AS DOUBLE), 6) AS prob
+            FROM seq WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
+            ORDER BY from_type, to_type
+        """,
+        # Market-basket lift over (user, day) baskets. The engine expands
+        # pairs from each basket's sorted type set JVM-side; the oracle's
+        # presence self-join is the semantically identical relational twin.
+        # n_baskets casts to DOUBLE once so every ratio divides exact
+        # integer counts in doubles (products stay < 2^53, hence exact).
+        "event_type_lift": """
+            WITH pres AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+                FROM events
+            ), tot AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n_baskets
+                FROM (SELECT DISTINCT user_id, day FROM pres)
+            ), tc AS (
+                SELECT event_type, COUNT(*) AS n_t FROM pres GROUP BY event_type
+            ), pc AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       COUNT(*) AS n_both
+                FROM pres a
+                JOIN pres b ON a.user_id = b.user_id AND a.day = b.day
+                           AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT pc.type_a, pc.type_b,
+                   CAST(pc.n_both AS BIGINT) AS n_both,
+                   ROUND(pc.n_both / t.n_baskets, 6) AS support,
+                   ROUND(pc.n_both * t.n_baskets
+                         / CAST(ta.n_t * tb.n_t AS DOUBLE), 6) AS lift
+            FROM pc CROSS JOIN tot t
+            JOIN tc ta ON ta.event_type = pc.type_a
+            JOIN tc tb ON tb.event_type = pc.type_b
+            ORDER BY type_a, type_b
+        """,
+        # Inter-arrival burstiness: exact epoch_us deltas -> per-row double
+        # seconds (identical integer/1e6 division on both engines); sums
+        # accumulate DECIMAL casts (order-independent, the zipf pattern),
+        # then mean/var/cv run in doubles on identical inputs.
+        "interarrival_stats": """
+            WITH g AS (
+                SELECT event_type,
+                       (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                        ))) / 1000000.0 AS gap_s
+                FROM events
+            ), s AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                       CAST(SUM(CAST(gap_s AS DECIMAL(24,6))) AS DOUBLE) AS _s,
+                       CAST(SUM(CAST(gap_s * gap_s AS DECIMAL(30,6))) AS DOUBLE) AS _s2
+                FROM g WHERE gap_s IS NOT NULL GROUP BY event_type
+            )
+            SELECT event_type, n_gaps,
+                   ROUND(_s / n_gaps, 4) AS mean_gap_s,
+                   ROUND(sqrt(greatest(_s2 / n_gaps - (_s / n_gaps) * (_s / n_gaps), 0.0)), 4)
+                       AS stddev_gap_s,
+                   ROUND(sqrt(greatest(_s2 / n_gaps - (_s / n_gaps) * (_s / n_gaps), 0.0))
+                         / (_s / n_gaps), 4) AS burstiness_cv
+            FROM s ORDER BY event_type
         """,
         # Streaming stateful dedup twin: the stream plants one duplicate per
         # event and dropDuplicatesWithinWatermark must remove exactly those,

@@ -147,6 +147,9 @@ HEADLINE = [
     "bracket_revenue",
     "lang_confusion",
     "quality_by_dup_status",
+    "event_transitions",
+    "event_type_lift",
+    "interarrival_stats",
 ]
 
 

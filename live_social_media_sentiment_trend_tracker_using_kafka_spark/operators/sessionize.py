@@ -460,3 +460,120 @@ def time_to_conversion(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("hours_bucket")
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over each user's event stream:
+    for every ordered pair of consecutive events by the same user, count
+    (from_type -> to_type) and the conditional probability of to_type
+    given from_type — the numbers behind a user-journey Sankey / "what do
+    users do right after an error?" panel.
+
+    Returns (from_type, to_type, n_transitions, prob) ordered by
+    (from_type, to_type); ``prob`` rows sum to 1 per from_type. Ordering
+    within a user is (ts, event_id) — the event_id tiebreak makes the lag
+    deterministic if two events share a timestamp.
+
+    Timezone note: the window only ORDERS by the NTZ ``ts`` — no
+    truncation or arithmetic, so no session-tz cast can touch values.
+
+    Scale shape: ONE corpus shuffle (hashpartitioning on user_id for the
+    lag window; per-user runs sort within partitions, no global sort),
+    then a map-side-combinable hash agg down to <= |types|^2 rows; the
+    conditional-probability window runs over that tiny matrix, never
+    corpus rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    per_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(per_from).cast("double"),
+            6,
+        ).alias("prob"),
+    ).orderBy("from_type", "to_type")
+
+
+def event_type_lift(events: DataFrame) -> DataFrame:
+    """Market-basket association between event types with the (user, day)
+    as the basket: for every unordered type pair, the number of baskets
+    containing both, the support, and the lift vs independence — lift > 1
+    means the pair co-occurs more than chance ("users who error also
+    purchase?"), the screen behind cross-sell / incident-impact panels.
+
+    Returns (type_a, type_b, n_both, support, lift) for type_a < type_b,
+    ordered by (type_a, type_b). support = n_both / n_baskets;
+    lift = n_both * n_baskets / (n_a * n_b). All counts exact integers,
+    ratios computed in doubles and rounded — engine-stable.
+
+    Scale shape: ONE corpus shuffle builds the basket table
+    (groupBy(user, day) -> sorted type set; persisted, it feeds all three
+    tiny consumers). Pairs expand JVM-side from each basket's <= |types|
+    sorted array via nested ``transform``+``slice`` higher-order functions
+    — C(|types|,2) per basket, linear blow-up, NO self-join and no second
+    corpus shuffle; per-type and total counts ride the same cached table.
+    Day-truncation uses the NTZ double-cast (_day) so baskets are
+    wall-clock pure on any session timezone.
+    """
+    from ..caching import tracked_persist
+
+    baskets = tracked_persist(
+        events.groupBy("user_id", _day().alias("day")).agg(
+            F.array_sort(F.collect_set("event_type")).alias("types")
+        )
+    )
+    pairs_col = F.flatten(
+        F.expr(
+            "transform(types, (x, i) -> "
+            "transform(slice(types, i + 2, size(types)), y -> struct(x as a, y as b)))"
+        )
+    )
+    pair_counts = (
+        baskets.select(F.explode(pairs_col).alias("p"))
+        .groupBy(F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    type_counts = (
+        baskets.select(F.explode("types").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    totals = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    return (
+        pair_counts.join(
+            F.broadcast(type_counts.withColumnsRenamed({"t": "type_a", "n_t": "n_a"})),
+            "type_a",
+        )
+        .join(
+            F.broadcast(type_counts.withColumnsRenamed({"t": "type_b", "n_t": "n_b"})),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n_baskets").cast("double"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_both")
+                * F.col("n_baskets")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -225,3 +225,54 @@ def value_trend_slope(
         )
         .orderBy(group_col)
     )
+
+
+def interarrival_stats(events: DataFrame, round_digits: int = 4) -> DataFrame:
+    """Inter-arrival-time profile per event type: for every event with a
+    predecessor from the SAME user (any type), the gap in seconds back to
+    that predecessor, aggregated by the arriving event's type — mean gap,
+    population stddev, and the burstiness coefficient of variation
+    (cv = std/mean; ~1 is Poisson-like, >> 1 is bursty — the bot/incident
+    screen next to key_skew_audit).
+
+    Returns (event_type, n_gaps, mean_gap_s, stddev_gap_s, burstiness_cv)
+    ordered by event_type.
+
+    Cross-engine determinism: the per-row gap is timestampdiff(MICROSECOND)
+    on NTZ timestamps — an exact integer, wall-clock pure (no session-tz
+    cast); gap seconds and their squares accumulate DECIMAL casts of the
+    per-row doubles (the zipf_alpha house pattern — exact,
+    order-independent sums), then mean/var/cv run in doubles on identical
+    inputs. At extreme scale the DECIMAL(30,6) square-sum is the bound to
+    watch (~1e12 rows of day-long gaps approach it) — switch the unit to
+    hours or widen to DECIMAL(38,6) there.
+
+    Scale shape: ONE corpus shuffle (user_id lag window — same exchange
+    shape as event_transitions), then one map-side-combinable hash agg to
+    |types| rows. No joins, nothing collected.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) over "
+        "(partition by user_id order by ts, event_id), ts)"
+    )
+    gaps = events.select(
+        F.col("event_type"), (gap_us / F.lit(1e6)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    sums = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("gap_s").cast("decimal(24,6)")).cast("double").alias("_s"),
+        F.sum((F.col("gap_s") * F.col("gap_s")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("_s2"),
+    )
+    mean = F.col("_s") / F.col("n_gaps")
+    var = F.col("_s2") / F.col("n_gaps") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return sums.select(
+        "event_type",
+        "n_gaps",
+        F.round(mean, round_digits).alias("mean_gap_s"),
+        F.round(std, round_digits).alias("stddev_gap_s"),
+        F.round(std / mean, round_digits).alias("burstiness_cv"),
+    ).orderBy("event_type")

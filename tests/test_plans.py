@@ -393,3 +393,26 @@ def test_r5_fifth_batch_jvm_side_and_exchange_budget(spark):
     df = qs["quality_by_dup_status"](spark, SF_SMOKE)
     assert_no_python_udf(df)
     assert "CartesianProduct" not in plan_text(df)
+
+
+def test_r5_sixth_batch_jvm_side_and_exchange_budget(spark):
+    """Sixth-batch plan claims: event_transitions is one user_id window
+    shuffle + the matrix agg + the tiny prob window (<=3 hash exchanges);
+    interarrival_stats is the same window shuffle + one agg (<=2);
+    event_type_lift is ONE corpus basket shuffle + three tiny downstream
+    aggs (<=4) with the dim sides broadcast (no self-join, no cartesian on
+    multi-row sides — the 1-row totals crossJoin broadcasts)."""
+    from tests.conftest import SF_SMOKE
+
+    qs = entrymod.queries()
+    for name, max_hash in (
+        ("event_transitions", 3),
+        ("interarrival_stats", 2),
+        ("event_type_lift", 4),
+    ):
+        df = qs[name](spark, SF_SMOKE)
+        assert_no_python_udf(df)
+        n = count_hash_exchanges(spark, df)
+        assert 1 <= n <= max_hash, f"{name}: {n} hash exchanges (budget {max_hash})"
+        assert "CartesianProduct" not in plan_text(df), name
+    assert_broadcast_join(qs["event_type_lift"](spark, SF_SMOKE), expected=2)

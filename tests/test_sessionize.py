@@ -255,3 +255,68 @@ def test_time_to_conversion_buckets_and_exclusions(spark):
     ).select("user_id", "event_type", F.col("ts").cast("timestamp_ntz").alias("ts"))
     out = [(r["hours_bucket"], r["n_users"]) for r in time_to_conversion(df).collect()]
     assert out == [(0, 1), (1, 1)]
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sessionize import (
+        event_transitions,
+    )
+
+    rows = [
+        # u1: view -> click -> click  (view->click, click->click)
+        ("u1", "view", _ts(1, 1)), ("u1", "click", _ts(1, 2)), ("u1", "click", _ts(1, 3)),
+        # u2: view -> purchase
+        ("u2", "view", _ts(1, 1)), ("u2", "purchase", _ts(1, 2)),
+        # u3: single event — no transition
+        ("u3", "error", _ts(1, 1)),
+    ]
+    out = {
+        (r.from_type, r.to_type): r
+        for r in event_transitions(_events(spark, rows)).collect()
+    }
+    assert out[("view", "click")].n_transitions == 1
+    assert out[("view", "purchase")].n_transitions == 1
+    assert out[("click", "click")].n_transitions == 1
+    assert len(out) == 3
+    # view fans out 50/50; probs per from_type sum to 1
+    assert out[("view", "click")].prob == 0.5
+    assert out[("view", "purchase")].prob == 0.5
+    assert out[("click", "click")].prob == 1.0
+
+
+def test_event_transitions_tiebreak_on_event_id(spark):
+    """Two events at the same ts order by event_id, so the transition chain
+    is deterministic: id0(view) -> id1(click) -> id2(error)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sessionize import (
+        event_transitions,
+    )
+
+    rows = [("u1", "view", _ts(1, 1)), ("u1", "click", _ts(1, 1)), ("u1", "error", _ts(1, 1))]
+    got = {
+        (r.from_type, r.to_type)
+        for r in event_transitions(_events(spark, rows)).collect()
+    }
+    assert got == {("view", "click"), ("click", "error")}
+
+
+def test_event_type_lift_baskets_and_independence(spark):
+    """4 user-day baskets: {view,click} x2, {view} x1, {purchase} x1.
+    lift(click,view) = n_both*n_baskets/(n_click*n_view) = 2*4/(2*3)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sessionize import (
+        event_type_lift,
+    )
+
+    rows = [
+        ("u1", "view", _ts(1, 1)), ("u1", "click", _ts(1, 2)),
+        ("u1", "view", _ts(1, 3)),  # same basket — presence dedups
+        ("u2", "view", _ts(1, 1)), ("u2", "click", _ts(1, 2)),
+        ("u1", "view", _ts(2, 1)),  # u1 day2: view only
+        ("u3", "purchase", _ts(1, 1)),
+    ]
+    out = event_type_lift(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b) == ("click", "view")  # sorted pair
+    assert r.n_both == 2
+    assert r.support == 0.5            # 2 of 4 baskets
+    assert r.lift == round(2 * 4 / (2 * 3), 6)

@@ -182,3 +182,33 @@ def test_value_trend_slope_exact_on_synthetic_line(spark):
     assert out["up"]["n_days"] == 4
     assert out["flat"]["trend_slope"] == 0.0
     assert out["flat"]["trend_intercept"] == 5.0
+
+
+def test_interarrival_stats_exact_moments(spark):
+    """u1 gaps arriving at click: 60 s and 180 s -> mean 120, population
+    std 60, cv 0.5; the first event per user contributes no gap; gaps
+    attribute to the ARRIVING event's type."""
+    import datetime as dt
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.timeseries import (
+        interarrival_stats,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, "u1", "view", 1.0),
+        (1, t0 + dt.timedelta(seconds=60), "u1", "click", 1.0),
+        (2, t0 + dt.timedelta(seconds=240), "u1", "click", 1.0),
+        (3, t0, "u2", "view", 1.0),  # single event — no gap
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id string, event_type string, value double",
+    )
+    out = {r.event_type: r for r in interarrival_stats(df).collect()}
+    assert set(out) == {"click"}
+    r = out["click"]
+    assert r.n_gaps == 2
+    assert r.mean_gap_s == 120.0
+    assert r.stddev_gap_s == 60.0
+    assert r.burstiness_cv == 0.5
