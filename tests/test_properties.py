@@ -300,3 +300,83 @@ def test_gapfill_linear_matches_pandas(spark, obs):
     ).interpolate(method="linear", limit_area="inside")
     for ts, want in ser.items():
         assert got[ts.to_pydatetime()] == (None if pd.isna(want) else pytest.approx(want))
+
+
+# ---- r5 sixth batch: journey transitions / basket lift invariants --------
+
+_event_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["u1", "u2", "u3"]),
+        st.sampled_from(["view", "click", "purchase", "error"]),
+        st.integers(min_value=0, max_value=100_000),  # offset seconds
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, BASE + dt.timedelta(seconds=s), u, et, 1.0)
+            for i, (u, et, s) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp_ntz, user_id string, event_type string, value double",
+    )
+
+
+@settings(**SETTINGS)
+@given(rows=_event_rows)
+def test_event_transitions_conservation_and_prob_sum(spark, rows):
+    """Invariants for ANY event stream: total transitions equal
+    n_events - n_users (each user chain drops exactly its first event),
+    and conditional probabilities sum to ~1 per from_type (6-dp rounding
+    slack bounded by the matrix width)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sessionize import (
+        event_transitions,
+    )
+
+    out = event_transitions(_mk_events(spark, rows)).collect()
+    n_users = len({u for u, _, _ in rows})
+    assert sum(r.n_transitions for r in out) == len(rows) - n_users
+    by_from: dict[str, float] = {}
+    for r in out:
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.prob
+    for ft, total in by_from.items():
+        assert abs(total - 1.0) < 5e-6, (ft, total)
+
+
+@settings(**SETTINGS)
+@given(rows=_event_rows)
+def test_event_type_lift_matches_bruteforce_baskets(spark, rows):
+    """The HOF pair expansion equals a brute-force python recount of
+    (user, day) baskets for any stream — pins the slice/transform index
+    arithmetic (1-based slice bounds) against an independent formulation."""
+    from itertools import combinations
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sessionize import (
+        event_type_lift,
+    )
+
+    baskets: dict[tuple, set] = {}
+    for u, et, s in rows:
+        day = (BASE + dt.timedelta(seconds=s)).date()
+        baskets.setdefault((u, day), set()).add(et)
+    n_b = len(baskets)
+    expect = {}
+    for types in baskets.values():
+        for a, b in combinations(sorted(types), 2):
+            expect[(a, b)] = expect.get((a, b), 0) + 1
+    per_type: dict[str, int] = {}
+    for types in baskets.values():
+        for t in types:
+            per_type[t] = per_type.get(t, 0) + 1
+
+    out = event_type_lift(_mk_events(spark, rows)).collect()
+    got = {(r.type_a, r.type_b): r for r in out}
+    assert set(got) == set(expect)
+    for pair, r in got.items():
+        assert r.n_both == expect[pair]
+        assert r.support == round(expect[pair] / n_b, 6)
+        a, b = pair
+        assert r.lift == round(expect[pair] * n_b / (per_type[a] * per_type[b]), 6)
