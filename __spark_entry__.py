@@ -365,18 +365,43 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+# One canonical near-dup components table per (session, corpus): FOUR
+# registry queries (dedup_clusters, dedup_cluster_sizes,
+# clean_corpus_clustered, quality_by_dup_status) consume the same exact
+# simjoin + iterative large-star/small-star chain — the most expensive
+# non-ANN subplan in a registry sweep (~3-4 s each at sf0.1, so the memo
+# saves ~3 redundant chains). Same build-once discipline as
+# _ANN_INDEX_CACHE, including the trim-revival guard: a memo hit
+# re-checks storageLevel and re-persists an evicted table. The CC table
+# is tiny (only docs that have a near-dup partner), so persisting it is
+# bounded at any corpus scale.
+_CC_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cc = _CC_CACHE.get(key)
+    if cc is not None:
+        cc = caching.tracked_persist_shared(cc)
+    else:
+        cc = caching.tracked_persist(
+            cluster.connected_components(_neardup_pairs(spark, sf_dir))
+        )
+    _CC_CACHE[key] = cc
+    return cc
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 dedup clustering: connected components (alternating
     large-star/small-star, Kiveris et al. SoCC 2014) over exact
     Jaccard≥0.8 near-dup pairs → (doc_id, component=min id in cluster)."""
-    cc = cluster.connected_components(_neardup_pairs(spark, sf_dir))
+    cc = _cc_table(spark, sf_dir)
     return cc.select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")
 
 
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 dedup clustering: cluster-size histogram (component, n_members)."""
-    cc = cluster.connected_components(_neardup_pairs(spark, sf_dir))
-    return cluster.cluster_sizes(cc).orderBy("component")
+    return cluster.cluster_sizes(_cc_table(spark, sf_dir)).orderBy("component")
 
 
 def q_clean_corpus_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,7 +409,9 @@ def q_clean_corpus_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup cluster. The principled keep-rule — pairwise right-side
     dropping (clean_corpus_exact_neardup) over-deletes on chains A~B~C."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
-    return cluster.cluster_dedup(docs, _neardup_pairs(spark, sf_dir)).orderBy("doc_id")
+    return cluster.cluster_dedup(
+        docs, components=_cc_table(spark, sf_dir)
+    ).orderBy("doc_id")
 
 
 def _bench_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -1023,7 +1050,7 @@ def q_quality_by_dup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the 'are dups boilerplate?' check before choosing dedup
     aggressiveness. Quality computes in the scan; membership is one left
     join on the id; 2-row agg."""
-    cc = cluster.connected_components(_neardup_pairs(spark, sf_dir))
+    cc = _cc_table(spark, sf_dir)
     return corpus.quality_by_dup_status(_t(spark, sf_dir, "documents"), cc)
 
 
@@ -1050,6 +1077,61 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums (order-independent). One user_id window shuffle + one tiny agg —
     the bot/incident screen next to key_skew_audit."""
     return timeseries.interarrival_stats(_t(spark, sf_dir, "events"))
+
+
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order path analysis: top-20 length-3 event-type journeys
+    with share-of-all-windows — event_transitions' Sankey extended one
+    step. One user_id window shuffle (both leads share the window spec),
+    |types|^3-bounded agg, TakeOrderedAndProject top-k."""
+    return sessionize.top_event_paths(_t(spark, sf_dir, "events"))
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 corpus statistics: per-lang type-token ratio, hapax share,
+    and mean token length — the lexical-diversity screen next to
+    zipf_alpha (low TTR = templated; inflated hapax = OCR garbage).
+    One vocab-sized count agg + one |langs|-row rollup; every ratio
+    divides exact integers, engine-stable with no decimal accumulation."""
+    return corpus.lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
+def q_ship_latency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-adapted fulfillment audit: per order priority, the
+    order->ship latency stats plus the ship-before-order violation share
+    (a referential data-quality metric; deliberately non-vacuous on the
+    synthetic tables). One pruned fact-fact SMJ on orderkey into a
+    |priorities|-row map-side agg; exact integer day diffs of NTZ dates."""
+    return relational.ship_latency_audit(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-vs-retention split: per day, active users decomposed into
+    first-ever-seen vs returning. Rides the SHARED persisted (user, day)
+    activity table (cohort/rolling-active reuse the same plan in a
+    sweep); one user-sized first-day agg + join + |days|-row rollup."""
+    return sessionize.daily_new_vs_returning(_t(spark, sf_dir, "events"))
+
+
+def q_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-style concentration over per-user event counts: per
+    count-decile, rows held and cumulative share from the heaviest
+    decile down — key_skew_audit's companion. Value-based deciles from
+    ONE broadcast exact-percentile fit (no single-partition ntile); the
+    cumulative window orders <= 10 rows."""
+    return skew.concentration_deciles(_t(spark, sf_dir, "events"), ["user_id"])
+
+
+def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-adapted supplier-concentration screen: distinct
+    suppliers/parts and line volume per brand. Broadcast part decorate,
+    then TWO-LEVEL distinct — dedup to (brand, supp, part) combos first
+    so the countDistinct Expand runs over combos, never the corpus."""
+    return relational.supplier_diversity(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
 
 
 def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2052,6 +2134,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "event_type_lift": q_event_type_lift,
         "interarrival_stats": q_interarrival_stats,
+        "top_event_paths": q_top_event_paths,
+        "lexical_diversity": q_lexical_diversity,
+        "ship_latency_audit": q_ship_latency_audit,
+        "daily_new_vs_returning": q_daily_new_vs_returning,
+        "user_concentration": q_user_concentration,
+        "supplier_diversity": q_supplier_diversity,
         # -- tier 3 (r5): r3-green queries rotated in for fresh rows ----
         "user_sessions": q_user_sessions,
         "daily_distinct_users": q_daily_distinct_users,
@@ -2064,13 +2152,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile_filter": q_quality_percentile_filter,
         "priority_source_dedup": q_priority_source_dedup,
         "unigram_logprob": q_unigram_logprob,
+        # ---- driver window boundary (first 50 above) ------------------
         "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
         "streaming_dedup_daily": q_streaming_dedup_daily,
         "customer_order_distribution": q_customer_order_distribution,
         "promo_revenue_share": q_promo_revenue_share,
         "large_orders": q_large_orders,
         "bigram_logprob": q_bigram_logprob,
-        # ---- driver window boundary (first 50 above) ------------------
         "semantic_near_dups": q_semantic_near_dups,
         "media_resize": q_media_resize,
         "line_dedup": q_line_dedup,
@@ -3707,6 +3795,139 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sqrt(greatest(_s2 / n_gaps - (_s / n_gaps) * (_s / n_gaps), 0.0))
                          / (_s / n_gaps), 4) AS burstiness_cv
             FROM s ORDER BY event_type
+        """,
+        # Length-3 path windows via two LEADs over the same (user, ts,
+        # event_id) ordering; total ordering (count desc, then labels) makes
+        # the LIMIT cut deterministic. The denominator SUM casts to DOUBLE
+        # inside the ratio only — n_paths itself stays exact BIGINT.
+        "top_event_paths": """
+            WITH seq AS (
+                SELECT event_type AS step1,
+                       LEAD(event_type, 1) OVER w AS step2,
+                       LEAD(event_type, 2) OVER w AS step3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), p AS (
+                SELECT step1, step2, step3, COUNT(*) AS n_paths
+                FROM seq WHERE step3 IS NOT NULL
+                GROUP BY step1, step2, step3
+            )
+            SELECT step1, step2, step3,
+                   CAST(n_paths AS BIGINT) AS n_paths,
+                   ROUND(n_paths / CAST((SELECT SUM(n_paths) FROM p) AS DOUBLE),
+                         6) AS share
+            FROM p
+            ORDER BY n_paths DESC, step1, step2, step3
+            LIMIT 20
+        """,
+        # Same normalized tokenizer as the dedup/tfidf oracles (lower ->
+        # strip non-alnum -> split -> drop empties); all three ratios divide
+        # exact integer counts, so no decimal accumulation is needed.
+        "lexical_diversity": r"""
+            WITH toks AS (
+                SELECT lang,
+                       unnest(list_filter(
+                           string_split_regex(
+                               lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')),
+                               '\s+'),
+                           t -> t <> '')) AS tok
+                FROM documents
+            ), counts AS (
+                SELECT lang, tok, COUNT(*) AS n FROM toks GROUP BY lang, tok
+            )
+            SELECT lang,
+                   CAST(SUM(n) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   ROUND(COUNT(*) / CAST(SUM(n) AS DOUBLE), 6) AS ttr,
+                   ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share,
+                   ROUND(SUM(length(tok) * n) / CAST(SUM(n) AS DOUBLE), 6)
+                       AS avg_token_len
+            FROM counts GROUP BY lang ORDER BY lang
+        """,
+        # Exact integer day diffs of naive dates on both engines (NTZ ->
+        # DATE is truncation); every ratio divides exact integers.
+        "ship_latency_audit": """
+            WITH j AS (
+                SELECT o_orderpriority,
+                       datediff('day', CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE)) AS lat
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            )
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   ROUND(SUM(CASE WHEN lat < 0 THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS violation_share,
+                   ROUND(SUM(lat) / CAST(COUNT(*) AS DOUBLE), 6)
+                       AS avg_latency_days,
+                   CAST(MAX(lat) AS BIGINT) AS max_latency_days
+            FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        # New-vs-returning from the deduped (user, day) activity table; a
+        # user's first day comes from a per-user MIN. Day is the naive
+        # CAST(ts AS DATE) on both engines (wall-clock pure).
+        "daily_new_vs_returning": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day
+                FROM events
+            ), f AS (
+                SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
+            )
+            SELECT day,
+                   CAST(COUNT(*) AS BIGINT) AS n_active_users,
+                   CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new_users,
+                   CAST(COUNT(*) - SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_returning_users,
+                   ROUND(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS new_share
+            FROM ud JOIN f USING (user_id)
+            GROUP BY day ORDER BY day
+        """,
+        # Value-based deciles from exact interpolated percentiles of the
+        # per-user counts (quantile_cont == Spark's F.percentile on integer
+        # inputs — the rfm_segments-proven identity); decile = 1 + number of
+        # boundaries strictly exceeded, so heavy ties lump deterministically.
+        "user_concentration": """
+            WITH pu AS (
+                SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+            ), b AS (
+                SELECT quantile_cont(n, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+                       AS bs
+                FROM pu
+            ), scored AS (
+                SELECT n,
+                       1 + (n > bs[1])::INT + (n > bs[2])::INT + (n > bs[3])::INT
+                         + (n > bs[4])::INT + (n > bs[5])::INT + (n > bs[6])::INT
+                         + (n > bs[7])::INT + (n > bs[8])::INT + (n > bs[9])::INT
+                           AS decile
+                FROM pu CROSS JOIN b
+            ), per AS (
+                SELECT decile,
+                       CAST(COUNT(*) AS BIGINT) AS n_keys,
+                       CAST(SUM(n) AS BIGINT) AS n_rows
+                FROM scored GROUP BY decile
+            ), tot AS (SELECT CAST(SUM(n_rows) AS DOUBLE) AS t FROM per)
+            SELECT CAST(decile AS INT) AS decile, n_keys, n_rows,
+                   ROUND(n_rows / t, 6) AS row_share,
+                   ROUND(SUM(n_rows) OVER (ORDER BY decile DESC
+                             ROWS UNBOUNDED PRECEDING) / t, 6)
+                       AS cum_share_from_top
+            FROM per CROSS JOIN tot ORDER BY decile DESC
+        """,
+        # Q16-adapted: distinct suppliers/parts per brand over the
+        # lineitem-part decorate; the engine pre-dedups to combos so its
+        # Expand is bounded — the oracle states the plain distinct agg.
+        "supplier_diversity": """
+            SELECT p_brand,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
         """,
         # Streaming stateful dedup twin: the stream plants one duplicate per
         # event and dropDuplicatesWithinWatermark must remove exactly those,

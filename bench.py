@@ -150,6 +150,12 @@ HEADLINE = [
     "event_transitions",
     "event_type_lift",
     "interarrival_stats",
+    "top_event_paths",
+    "lexical_diversity",
+    "ship_latency_audit",
+    "daily_new_vs_returning",
+    "user_concentration",
+    "supplier_diversity",
 ]
 
 

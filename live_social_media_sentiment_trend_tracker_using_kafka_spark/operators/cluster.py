@@ -117,10 +117,11 @@ def cluster_sizes(components: DataFrame) -> DataFrame:
 
 def cluster_dedup(
     df: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus with one representative (min id) kept per near-dup cluster.
 
@@ -129,8 +130,17 @@ def cluster_dedup(
     so the join back is broadcast-able at any realistic dup rate; Spark's
     AQE converts it automatically when small, which is why no explicit
     broadcast hint is hard-coded.
+
+    Pass ``components`` (a precomputed ``connected_components`` result —
+    e.g. a session-memoized persisted table shared with the cluster
+    report queries) to skip recomputing the pair join + iterative CC;
+    otherwise ``pairs`` is required and the chain runs here.
     """
-    comp = connected_components(pairs, id_a, id_b)
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, id_a, id_b)
+    )
     drop = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

@@ -744,6 +744,63 @@ def lang_confusion(
     )
 
 
+def lexical_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-slice lexical-diversity screen: type-token ratio, hapax share,
+    and mean token length over the normalized word-token stream — the
+    corpus-statistics panel next to zipf_alpha (templated/boilerplate
+    slices show low TTR and low hapax share; OCR-garbage slices show
+    inflated hapax share and drifting token length).
+
+    Returns (group_col, n_tokens, n_types, n_hapax, ttr, hapax_share,
+    avg_token_len) ordered by group. ttr = n_types / n_tokens;
+    hapax_share = n_hapax / n_types; avg_token_len = total characters
+    across token OCCURRENCES / n_tokens.
+
+    Cross-engine determinism: every aggregate input is an exact integer
+    (counts and length(tok) * n character sums), so the three ratios
+    divide identical numerators/denominators on any engine — no decimal
+    accumulation needed, unlike zipf_alpha's per-row doubles.
+
+    Scale shape: one map-side-combinable (group, token) count agg reduces
+    the corpus to vocab-sized rows (the zipf_alpha shuffle shape); the
+    rollup to |groups| rows is a second tiny hash agg. Nothing windows
+    over corpus rows and nothing collects.
+    """
+    from .skew import fan_out
+
+    toks = fan_out(df).select(
+        F.col(group_col).alias("grp"),
+        F.explode(word_tokens_col(F.col(text_col))).alias("tok"),
+    )
+    counts = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("n"))
+    sums = counts.groupBy("grp").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.sum(F.length("tok").cast("long") * F.col("n")).alias("char_sum"),
+    )
+    return sums.select(
+        F.col("grp").alias(group_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_hapax").cast("long").alias("n_hapax"),
+        F.round(
+            F.col("n_types") / F.col("n_tokens").cast("double"), round_digits
+        ).alias("ttr"),
+        F.round(
+            F.col("n_hapax") / F.col("n_types").cast("double"), round_digits
+        ).alias("hapax_share"),
+        F.round(
+            F.col("char_sum") / F.col("n_tokens").cast("double"), round_digits
+        ).alias("avg_token_len"),
+    ).orderBy(group_col)
+
+
 def quality_by_dup_status(
     df: DataFrame,
     components: DataFrame,

@@ -678,3 +678,85 @@ def bracket_revenue(
         )
         .orderBy("bracket")
     )
+
+
+def ship_latency_audit(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q12-adapted fulfillment audit over the columns this schema
+    actually has (no shipmode/commitdate): per order priority, the
+    order-date -> ship-date latency distribution plus the share of
+    lineitems whose ship date PRECEDES the order date — impossible rows,
+    i.e. a referential data-quality violation metric (the synthetic
+    tables draw the two dates independently, so the violation share is
+    deliberately non-vacuous, ~0.49 at every sf).
+
+    Returns (o_orderpriority, n_items, violation_share, avg_latency_days,
+    max_latency_days) ordered by priority. Latency is an exact integer
+    day diff of NTZ dates (wall-clock pure — NTZ -> date is truncation,
+    no session-tz cast), so every aggregate divides exact integers:
+    engine-stable without decimal accumulation.
+
+    Scale shape: both sides are fact-sized, so this is ONE shuffle each
+    on the orderkey into a sort-merge join (neither side broadcasts at
+    100 TB); each scan is pruned to 2-3 columns (ReadSchema-checked in
+    tests). The groupBy lands on |priorities| rows via a
+    map-side-combinable agg — the join's exchange dominates, and that
+    exchange is irreducible for a fact-fact decorate.
+    """
+    li = lineitem.select("l_orderkey", F.to_date("l_shipdate").alias("ship_d"))
+    o = orders.select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("order_d")
+    )
+    lat = F.datediff(F.col("ship_d"), F.col("order_d"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderpriority", lat.alias("lat"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.when(F.col("lat") < 0, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("violation_share"),
+            F.round(F.sum("lat") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "avg_latency_days"
+            ),
+            F.max("lat").cast("long").alias("max_latency_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def supplier_diversity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q16 shape adapted to this schema (no partsupp table): per
+    brand, how many DISTINCT suppliers and distinct parts actually ship
+    lines, plus the line volume — the supplier-concentration screen
+    behind "is this brand single-sourced?".
+
+    Returns (p_brand, n_suppliers, n_parts, n_lines) ordered by brand.
+
+    Scale shape: part prunes to 2 columns and BROADCASTS into the
+    lineitem scan; the multi-distinct then runs TWO-LEVEL — first a
+    map-side-combinable dedup to (brand, suppkey, partkey) combo rows
+    (one corpus shuffle), then the countDistinct pair + line sum over
+    the COMBO table. Q21's lesson (relational.py:545) applies: a direct
+    corpus-level double countDistinct Expand-triplicates every lineitem
+    row through the exchange; pre-deduping to combos bounds the Expand
+    at |brands|x|suppliers|x|parts-per-brand| rows instead.
+    """
+    li = lineitem.select("l_partkey", "l_suppkey")
+    p = part.select("p_partkey", "p_brand")
+    combos = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_suppkey", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_combo_lines"))
+    )
+    return (
+        combos.groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.sum("n_combo_lines").cast("long").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )

@@ -577,3 +577,105 @@ def event_type_lift(events: DataFrame) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def daily_new_vs_returning(events: DataFrame) -> DataFrame:
+    """Per-day split of the active-user count into first-ever-seen
+    ("new") vs previously-seen ("returning") users — the growth-vs-
+    retention headline over a raw event stream (cohort_retention's day-0
+    row answers "how many signed up"; this answers "of today's actives,
+    how many are new?").
+
+    Returns (day, n_active_users, n_new_users, n_returning_users,
+    new_share) ordered by day; n_active = n_new + n_returning by
+    construction and new_share = n_new / n_active (6 dp).
+
+    Scale shape: rides the SHARED persisted (user, day) activity table
+    (user_day_activity — the same plan cohort_retention and
+    rolling_active_users hit, so in a sweep the corpus dedup runs once).
+    On top of it: one user-sized groupBy for each user's first day, one
+    user-keyed join back (both sides already hash-partitioned on
+    user_id from the dedup, so AQE can skip the re-exchange), and one
+    |days|-row agg. Day-truncation is the NTZ double-cast — wall-clock
+    pure on any session timezone.
+    """
+    ud = user_day_activity(events)
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_users"),
+            F.sum((F.col("day") == F.col("first_day")).cast("int")).cast(
+                "long"
+            ).alias("n_new_users"),
+        )
+        .select(
+            "day",
+            "n_active_users",
+            "n_new_users",
+            (F.col("n_active_users") - F.col("n_new_users")).alias(
+                "n_returning_users"
+            ),
+            F.round(
+                F.col("n_new_users") / F.col("n_active_users").cast("double"), 6
+            ).alias("new_share"),
+        )
+        .orderBy("day")
+    )
+
+
+def top_event_paths(events: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k length-3 event-type journeys: the most common (step1 ->
+    step2 -> step3) windows over each user's time-ordered event stream —
+    the path-analysis panel behind "what three-step routes do users
+    actually take?" (extends event_transitions' first-order matrix to
+    second order).
+
+    Returns (step1, step2, step3, n_paths, share) — ``share`` is the
+    path's fraction of ALL length-3 windows — ordered by n_paths
+    descending (ties broken by the step labels ascending, so the top-k
+    cut is total and deterministic). Ordering within a user is
+    (ts, event_id), the same tiebreak as event_transitions.
+
+    Timezone note: the window only ORDERS by the NTZ ``ts`` — no
+    truncation or arithmetic, so no session-tz cast can touch values.
+
+    Scale shape: ONE corpus shuffle (hashpartitioning on user_id; both
+    leads ride the SAME window spec, so Spark plans a single Window
+    node), then a map-side-combinable hash agg down to <= |types|^3
+    rows; the 1-row total broadcasts and the final top-k is
+    TakeOrderedAndProject over the tiny path table.
+    """
+    from pyspark.sql import Window
+
+    from ..caching import tracked_persist
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = events.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).filter(F.col("step3").isNotNull())
+    # Persist the <= |types|^3-row count table: the total and the top-k both
+    # read it, and without the pin the corpus-sized window would run twice.
+    counts = tracked_persist(
+        paths.groupBy("step1", "step2", "step3").agg(
+            F.count(F.lit(1)).alias("n_paths")
+        )
+    )
+    totals = counts.agg(F.sum("n_paths").alias("_n_total"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "step1",
+            "step2",
+            "step3",
+            "n_paths",
+            F.round(F.col("n_paths") / F.col("_n_total").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
+        .limit(k)
+    )

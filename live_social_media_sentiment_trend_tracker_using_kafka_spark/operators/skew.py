@@ -198,3 +198,70 @@ def key_skew_audit(df: DataFrame, key_cols: list[str], k: int = 20) -> DataFrame
         .orderBy(F.desc("n_rows"), *[F.asc(c) for c in key_cols])
         .limit(k)
     )
+
+
+def concentration_deciles(
+    df: DataFrame, key_cols: list[str], round_digits: int = 6
+) -> DataFrame:
+    """Lorenz-style concentration report over a key: per count-decile of
+    keys, how many rows that decile holds and the cumulative share held
+    from the heaviest decile down — key_skew_audit's companion ("the top
+    10% of users generate X% of events"), the number that decides whether
+    hot-key mitigation matters at all or only for a handful of outliers.
+
+    Deciles are VALUE-based: the nine boundaries are exact interpolated
+    percentiles (0.1..0.9) of the per-key counts, and a key's decile is
+    1 + (how many boundaries its count strictly exceeds). Heavy ties
+    therefore lump into one decile rather than being split arbitrarily —
+    deterministic on any engine, unlike a rank-based ntile whose tie
+    assignment is order-dependent (and whose global sort moves every key
+    to one task at scale; the rfm_segments lesson).
+
+    Returns (decile, n_keys, n_rows, row_share, cum_share_from_top)
+    ordered heaviest decile first.
+
+    Scale shape: one map-side-combinable count agg to |keys| rows
+    (persisted — feeds the percentile fit, the decile agg, and the
+    total); the boundary/total aggregates are 1-row broadcasts; the
+    cumulative window orders <= 10 rows. Integer counts keep the
+    interpolated boundaries and comparisons bit-identical across engines.
+    """
+    from pyspark.sql import Window
+
+    from ..caching import tracked_persist
+
+    counts = tracked_persist(
+        df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = counts.agg(
+        F.percentile("n", F.lit([i / 10 for i in range(1, 10)])).alias("bs")
+    )
+    decile = F.lit(1) + sum(
+        (F.col("n") > F.element_at(F.col("bs"), i + 1)).cast("int")
+        for i in range(9)
+    )
+    per = (
+        counts.join(F.broadcast(bounds))
+        .select(decile.alias("decile"), "n")
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_keys"), F.sum("n").alias("n_rows"))
+    )
+    totals = per.agg(F.sum("n_rows").cast("double").alias("_total"))
+    w = Window.orderBy(F.desc("decile")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.join(F.broadcast(totals))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows") / F.col("_total"), round_digits).alias(
+                "row_share"
+            ),
+            F.round(
+                F.sum("n_rows").over(w) / F.col("_total"), round_digits
+            ).alias("cum_share_from_top"),
+        )
+        .orderBy(F.desc("decile"))
+    )

@@ -346,3 +346,30 @@ def test_quality_by_dup_status_membership_split(spark):
     assert out["unique"]["avg_tokens"] == 3.0
     for r in out.values():
         assert 0.0 <= r["avg_quality"] <= 1.0
+
+
+def test_lexical_diversity_exact_ratios(spark):
+    """Hand-computable slices: en has tokens [the, cat, the] (2 types,
+    1 hapax, 9 chars); fr has [a, b] (all hapax, avg length 1)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        lexical_diversity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat... THE!", "en"),
+            (2, "a b", "fr"),
+            (3, "", "fr"),  # degenerate: tokenizes to nothing
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.lang: r for r in lexical_diversity(docs).collect()}
+    assert set(out) == {"en", "fr"}
+    en = out["en"]
+    assert (en.n_tokens, en.n_types, en.n_hapax) == (3, 2, 1)
+    assert en.ttr == round(2 / 3, 6)
+    assert en.hapax_share == 0.5
+    assert en.avg_token_len == 3.0
+    fr = out["fr"]
+    assert (fr.n_tokens, fr.n_types, fr.n_hapax) == (2, 2, 2)
+    assert (fr.ttr, fr.hapax_share, fr.avg_token_len) == (1.0, 1.0, 1.0)

@@ -416,3 +416,51 @@ def test_r5_sixth_batch_jvm_side_and_exchange_budget(spark):
         assert 1 <= n <= max_hash, f"{name}: {n} hash exchanges (budget {max_hash})"
         assert "CartesianProduct" not in plan_text(df), name
     assert_broadcast_join(qs["event_type_lift"](spark, SF_SMOKE), expected=2)
+
+
+def test_r5_seventh_batch_jvm_side_and_exchange_budget(spark):
+    """Seventh-batch plan claims: top_event_paths is one user_id window
+    shuffle + the path agg (the 1-row total broadcasts; <=3 with the
+    persisted count table's internals visible pre-execution);
+    lexical_diversity is exactly the two hash aggs (vocab then group;
+    fan_out's round-robin repartition is not a hash exchange);
+    ship_latency_audit is the fact-fact orderkey join + the priority agg
+    (<=3 — at sf0.001 the static planner may broadcast orders instead,
+    hence >=1, and its scans must prune to the 2-3 needed columns)."""
+    from tests.conftest import SF_SMOKE
+
+    qs = entrymod.queries()
+    for name, max_hash in (
+        ("top_event_paths", 3),
+        ("lexical_diversity", 2),
+        ("ship_latency_audit", 3),
+    ):
+        df = qs[name](spark, SF_SMOKE)
+        assert_no_python_udf(df)
+        n = count_hash_exchanges(spark, df)
+        assert 1 <= n <= max_hash, f"{name}: {n} hash exchanges (budget {max_hash})"
+        assert "CartesianProduct" not in plan_text(df), name
+    # column pruning on both fact scans of the audit join
+    plan = plan_text(qs["ship_latency_audit"](spark, SF_SMOKE))
+    for scan_schema in [seg.split("\n")[0] for seg in plan.split("ReadSchema: ")[1:]]:
+        assert "l_quantity" not in scan_schema and "o_totalprice" not in scan_schema
+
+
+def test_r5_eighth_batch_jvm_side_and_exchange_budget(spark):
+    """Eighth-batch plan claims, each measured at 3 hash exchanges when
+    pinned: daily_new_vs_returning = (user,day) dedup + first-day agg +
+    day rollup; user_concentration = key counts + decile agg (+ the
+    percentile fit's 1-row aggregate; the cumulative window orders <= 10
+    rows so its single partition is benign); supplier_diversity = combo
+    dedup + the two-level distinct pair over combos (part side broadcast,
+    never shuffled)."""
+    from tests.conftest import SF_SMOKE
+
+    qs = entrymod.queries()
+    for name in ("daily_new_vs_returning", "user_concentration", "supplier_diversity"):
+        df = qs[name](spark, SF_SMOKE)
+        assert_no_python_udf(df)
+        n = count_hash_exchanges(spark, df)
+        assert 1 <= n <= 3, f"{name}: {n} hash exchanges (budget 3)"
+        assert "CartesianProduct" not in plan_text(df), name
+    assert_broadcast_join(qs["supplier_diversity"](spark, SF_SMOKE), expected=1)

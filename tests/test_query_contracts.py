@@ -239,3 +239,28 @@ def test_ann_index_memo_revives_after_trim(spark):
     lvl = assigned2.storageLevel
     assert lvl.useMemory or lvl.useDisk, "memo hit must re-persist evicted index"
     caching.release_all()
+
+
+def test_cc_table_memo_shared_and_revives_after_trim(spark):
+    """The canonical components table must build once per (session, corpus)
+    and survive trim eviction the same way the ANN indexes do: a memo hit
+    after release re-persists the table, so the four cluster consumers
+    (dedup_clusters, cluster_sizes, clean_corpus_clustered,
+    quality_by_dup_status) never silently re-run the simjoin + CC chain."""
+    import __spark_entry__ as entrymod
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark import caching
+    from tests.conftest import SF_SMOKE
+
+    entrymod._CC_CACHE.clear()
+    cc = entrymod._cc_table(spark, SF_SMOKE)
+    lvl = cc.storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    assert entrymod._cc_table(spark, SF_SMOKE) is cc, "memo must return one table"
+    caching.release_all()
+    lvl = cc.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "release_all should evict"
+    cc2 = entrymod._cc_table(spark, SF_SMOKE)
+    lvl = cc2.storageLevel
+    assert lvl.useMemory or lvl.useDisk, "memo hit must re-persist evicted table"
+    caching.release_all()
+    entrymod._CC_CACHE.clear()

@@ -40,3 +40,57 @@ def test_bracket_revenue_hand_computed(spark):
     assert (out["bracket_small"]["n_items"], out["bracket_small"]["revenue"]) == (1, 90.0)
     assert (out["bracket_medium"]["n_items"], out["bracket_medium"]["revenue"]) == (1, 150.0)
     assert (out["bracket_large"]["n_items"], out["bracket_large"]["revenue"]) == (2, 55.0)
+
+
+def test_ship_latency_audit_violations_and_latency(spark):
+    """One ship-before-order row among three for priority A: the audit
+    reports its share, the exact-integer mean, and the max day diff."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.relational import (
+        ship_latency_audit,
+    )
+    import datetime as dt
+
+    orders = spark.createDataFrame(
+        [
+            (1, "1-URGENT", dt.datetime(2024, 1, 10)),
+            (2, "1-URGENT", dt.datetime(2024, 1, 20)),
+            (3, "5-LOW", dt.datetime(2024, 1, 1)),
+        ],
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp_ntz",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 15)),   # +5
+            (1, dt.datetime(2024, 1, 5)),    # -5: violation
+            (2, dt.datetime(2024, 2, 19)),   # +30
+            (3, dt.datetime(2024, 1, 1)),    # 0 — same day is NOT a violation
+        ],
+        "l_orderkey long, l_shipdate timestamp_ntz",
+    )
+    out = {r.o_orderpriority: r for r in ship_latency_audit(li, orders).collect()}
+    urgent = out["1-URGENT"]
+    assert urgent.n_items == 3
+    assert urgent.violation_share == round(1 / 3, 6)
+    assert urgent.avg_latency_days == 10.0
+    assert urgent.max_latency_days == 30
+    low = out["5-LOW"]
+    assert (low.n_items, low.violation_share, low.max_latency_days) == (1, 0.0, 0)
+
+
+def test_supplier_diversity_distincts_per_brand(spark):
+    """Brand A: 2 suppliers x 2 parts over 3 lines (one repeated combo);
+    brand B single-sourced."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.relational import (
+        supplier_diversity,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B")], "p_partkey long, p_brand string"
+    )
+    li = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 20), (3, 10)],
+        "l_partkey long, l_suppkey long",
+    )
+    out = {r.p_brand: r for r in supplier_diversity(li, part).collect()}
+    assert (out["A"].n_suppliers, out["A"].n_parts, out["A"].n_lines) == (2, 2, 3)
+    assert (out["B"].n_suppliers, out["B"].n_parts, out["B"].n_lines) == (1, 1, 1)

@@ -320,3 +320,59 @@ def test_event_type_lift_baskets_and_independence(spark):
     assert r.n_both == 2
     assert r.support == 0.5            # 2 of 4 baskets
     assert r.lift == round(2 * 4 / (2 * 3), 6)
+
+
+def test_top_event_paths_counts_share_and_tiebreak(spark):
+    """u1 contributes (view,click,purchase) and (click,purchase,view);
+    u2 repeats (view,click,purchase) — so vcp counts 2 of 3 windows and
+    the tie-free ordering puts it first; k cuts deterministically."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sessionize import (
+        top_event_paths,
+    )
+
+    rows = [
+        ("u1", "view", _ts(1, 1)), ("u1", "click", _ts(1, 2)),
+        ("u1", "purchase", _ts(1, 3)), ("u1", "view", _ts(1, 4)),
+        ("u2", "view", _ts(1, 1)), ("u2", "click", _ts(1, 2)),
+        ("u2", "purchase", _ts(1, 3)),
+        ("u3", "view", _ts(1, 1)), ("u3", "click", _ts(1, 2)),  # < 3 events
+    ]
+    out = top_event_paths(_events(spark, rows)).collect()
+    assert [(r.step1, r.step2, r.step3, r.n_paths, r.share) for r in out] == [
+        ("view", "click", "purchase", 2, round(2 / 3, 6)),
+        ("click", "purchase", "view", 1, round(1 / 3, 6)),
+    ]
+    top1 = top_event_paths(_events(spark, rows), k=1).collect()
+    assert len(top1) == 1 and top1[0].n_paths == 2
+
+
+def test_top_event_paths_orders_by_event_id_on_ts_ties(spark):
+    """Three same-instant events: the event_id tiebreak fixes the path."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sessionize import (
+        top_event_paths,
+    )
+
+    rows = [("u1", "view", _ts(1, 1)), ("u1", "click", _ts(1, 1)),
+            ("u1", "error", _ts(1, 1))]
+    out = top_event_paths(_events(spark, rows)).collect()
+    assert [(r.step1, r.step2, r.step3) for r in out] == [("view", "click", "error")]
+
+
+def test_daily_new_vs_returning_decomposition(spark):
+    """u1 active day1+day2, u2 first seen day2: day2 splits 1 new / 1
+    returning; multiple same-day events dedup to one active row."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sessionize import (
+        daily_new_vs_returning,
+    )
+
+    rows = [
+        ("u1", "view", _ts(1, 1)), ("u1", "click", _ts(1, 2)),  # day1, dedups
+        ("u1", "view", _ts(2, 1)),
+        ("u2", "view", _ts(2, 5)),
+    ]
+    out = {r.day.day: r for r in daily_new_vs_returning(_events(spark, rows)).collect()}
+    d1, d2 = out[1], out[2]
+    assert (d1.n_active_users, d1.n_new_users, d1.n_returning_users) == (1, 1, 0)
+    assert d1.new_share == 1.0
+    assert (d2.n_active_users, d2.n_new_users, d2.n_returning_users) == (2, 1, 1)
+    assert d2.new_share == 0.5
