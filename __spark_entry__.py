@@ -1134,6 +1134,30 @@ def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-separation audit: pairwise cosine between label centroids
+    (label_cosine_report's between-label complement — pairs near 1.0 are
+    confusable labels). Rounded-centroid arrays reduce per-row (both
+    engines fold arrays left-to-right), |labels|-sized tables throughout
+    after one |labels|*|dims| agg."""
+    return similarity.centroid_separation(_t(spark, sf_dir, "embeddings"))
+
+
+def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch purchase attribution — last_touch's symmetric twin
+    (acquisition vs closing channels). Same single user_id window pass,
+    first(..., ignorenulls) instead of last."""
+    return sessionize.first_touch_attribution(_t(spark, sf_dir, "events"))
+
+
+def q_repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence histogram: exact NTZ microsecond gaps
+    between consecutive purchases per user, bucketed on exact integer
+    edges (0-6h/6-24h/1-3d/3-7d/7d+). Purchase filter pushes to the scan;
+    one window shuffle over the reduced subset; |buckets|-row agg."""
+    return sessionize.repeat_purchase_intervals(_t(spark, sf_dir, "events"))
+
+
 def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 cross-table hygiene audit: which (lang, source) corpus slices
     lack embeddings — the check a pipeline runs before trusting
@@ -2140,6 +2164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_new_vs_returning": q_daily_new_vs_returning,
         "user_concentration": q_user_concentration,
         "supplier_diversity": q_supplier_diversity,
+        "centroid_separation": q_centroid_separation,
+        "first_touch_attribution": q_first_touch_attribution,
+        "repeat_purchase_intervals": q_repeat_purchase_intervals,
         # -- tier 3 (r5): r3-green queries rotated in for fresh rows ----
         "user_sessions": q_user_sessions,
         "daily_distinct_users": q_daily_distinct_users,
@@ -2149,10 +2176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "hash_split": q_hash_split,
         "token_budget_mix": q_token_budget_mix,
+        # ---- driver window boundary (first 50 above) ------------------
         "quality_percentile_filter": q_quality_percentile_filter,
         "priority_source_dedup": q_priority_source_dedup,
         "unigram_logprob": q_unigram_logprob,
-        # ---- driver window boundary (first 50 above) ------------------
         "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
         "streaming_dedup_daily": q_streaming_dedup_daily,
         "customer_order_distribution": q_customer_order_distribution,
@@ -3928,6 +3955,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_lines
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY p_brand
+        """,
+        # Pairwise centroid cosine from the SAME rounded-centroid identity
+        # as label_centroids; list_dot_product folds left-to-right exactly
+        # like Spark's aggregate HOF, so no accumulation-order drift.
+        "centroid_separation": """
+            WITH c AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       unnest(CAST(embedding AS DOUBLE[])) AS v
+                FROM embeddings
+            ), cent AS (
+                SELECT label, dim, ROUND(AVG(v), 6) AS cv
+                FROM c GROUP BY label, dim
+            ), carr AS (
+                SELECT label, list(cv ORDER BY dim) AS cvec FROM cent GROUP BY label
+            )
+            SELECT a.label AS label_a, b.label AS label_b,
+                   ROUND(CASE WHEN sqrt(list_dot_product(a.cvec, a.cvec))
+                                   * sqrt(list_dot_product(b.cvec, b.cvec)) > 0
+                         THEN list_dot_product(a.cvec, b.cvec)
+                              / (sqrt(list_dot_product(a.cvec, a.cvec))
+                                 * sqrt(list_dot_product(b.cvec, b.cvec)))
+                         ELSE 0.0 END, 6) AS cosine
+            FROM carr a JOIN carr b ON a.label < b.label
+            ORDER BY label_a, label_b
+        """,
+        # First-touch twin of the last_touch oracle: FIRST_VALUE of the
+        # non-purchase stream over the same (ts, event_id) ordering.
+        "first_touch_attribution": """
+            WITH g AS (
+                SELECT event_type,
+                       FIRST_VALUE(CASE WHEN event_type <> 'purchase'
+                                        THEN event_type END IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS src
+                FROM events
+            ), counts AS (
+                SELECT COALESCE(src, 'none') AS attributed_type,
+                       COUNT(*) AS n_purchases
+                FROM g WHERE event_type = 'purchase'
+                GROUP BY COALESCE(src, 'none')
+            )
+            SELECT attributed_type,
+                   CAST(n_purchases AS BIGINT) AS n_purchases,
+                   ROUND(n_purchases / CAST((SELECT SUM(n_purchases) FROM counts)
+                                            AS DOUBLE), 6) AS share
+            FROM counts ORDER BY n_purchases DESC, attributed_type
+        """,
+        # Exact integer microsecond gaps vs exact integer bucket edges —
+        # bucket membership cannot drift between engines.
+        "repeat_purchase_intervals": """
+            WITH p AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'purchase'
+            ), g AS (
+                SELECT epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+                FROM p
+            ), b AS (
+                SELECT CASE
+                         WHEN gap_us < 21600000000 THEN 0
+                         WHEN gap_us < 86400000000 THEN 1
+                         WHEN gap_us < 259200000000 THEN 2
+                         WHEN gap_us < 604800000000 THEN 3
+                         ELSE 4 END AS bucket_order,
+                       CASE
+                         WHEN gap_us < 21600000000 THEN '0-6h'
+                         WHEN gap_us < 86400000000 THEN '6-24h'
+                         WHEN gap_us < 259200000000 THEN '1-3d'
+                         WHEN gap_us < 604800000000 THEN '3-7d'
+                         ELSE '7d+' END AS bucket
+                FROM g WHERE gap_us IS NOT NULL
+            ), counts AS (
+                SELECT bucket_order, bucket, COUNT(*) AS n_intervals
+                FROM b GROUP BY bucket_order, bucket
+            )
+            SELECT CAST(bucket_order AS INT) AS bucket_order, bucket,
+                   CAST(n_intervals AS BIGINT) AS n_intervals,
+                   ROUND(n_intervals / CAST((SELECT SUM(n_intervals) FROM counts)
+                                            AS DOUBLE), 6) AS share
+            FROM counts ORDER BY bucket_order
         """,
         # Streaming stateful dedup twin: the stream plants one duplicate per
         # event and dropDuplicatesWithinWatermark must remove exactly those,

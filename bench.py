@@ -156,6 +156,9 @@ HEADLINE = [
     "daily_new_vs_returning",
     "user_concentration",
     "supplier_diversity",
+    "centroid_separation",
+    "first_touch_attribution",
+    "repeat_purchase_intervals",
 ]
 
 

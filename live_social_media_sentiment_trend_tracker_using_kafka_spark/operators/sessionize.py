@@ -398,6 +398,102 @@ def last_touch_attribution(events: DataFrame) -> DataFrame:
     ).orderBy(F.desc("n_purchases"), "attributed_type")
 
 
+def first_touch_attribution(events: DataFrame) -> DataFrame:
+    """First-touch purchase attribution — last_touch_attribution's
+    symmetric twin (marketing stacks report both; a large gap between the
+    two reveals whether acquisition or closing channels drive purchases):
+    each purchase is credited to the user's EARLIEST non-purchase event
+    type at or before the purchase ('none' when no touch precedes it).
+
+    Output and determinism match last_touch_attribution: per attributed
+    type, purchase count + share of all purchases; one user_id window
+    pass with ``first(..., ignorenulls=True)`` over (ts, event_id) on the
+    default unbounded-preceding frame; the share denominator windows over
+    the ≤ |event_types| aggregate rows only.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    src = F.first(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    counts = (
+        events.withColumn("src", src)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("src", F.lit("none")).alias("attributed_type"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return counts.select(
+        "attributed_type",
+        "n_purchases",
+        F.round(
+            F.col("n_purchases") / F.sum("n_purchases").over(Window.partitionBy()), 6
+        ).alias("share"),
+    ).orderBy(F.desc("n_purchases"), "attributed_type")
+
+
+# Repeat-purchase gap buckets: (label, exclusive upper bound in EXACT
+# microseconds; None = open-ended). Integer comparisons on exact NTZ
+# microsecond deltas — no float arithmetic anywhere near the bucket edges.
+_PURCHASE_GAP_BUCKETS = [
+    ("0-6h", 6 * 3_600_000_000),
+    ("6-24h", 24 * 3_600_000_000),
+    ("1-3d", 3 * 86_400_000_000),
+    ("3-7d", 7 * 86_400_000_000),
+    ("7d+", None),
+]
+
+
+def repeat_purchase_intervals(events: DataFrame) -> DataFrame:
+    """Repeat-purchase cadence histogram: the gap between each user's
+    consecutive purchases, bucketed into fixed horizons — the
+    replenishment-cycle panel behind "how often do buyers come back?"
+    (time_to_conversion measures first view -> first purchase; this
+    measures purchase -> next purchase).
+
+    Returns (bucket_order, bucket, n_intervals, share) ordered by
+    bucket_order (buckets with zero intervals are absent). Gaps are exact
+    NTZ microsecond integers compared against exact integer bucket edges,
+    so bucket assignment is engine-identical by construction.
+
+    Scale shape: the purchase filter pushes to the scan (purchases are a
+    fraction of the stream), ONE user_id window shuffle over that reduced
+    subset for the lag, then a <= |buckets|-row map-side agg; the share
+    window runs over those few rows.
+    """
+    from pyspark.sql import Window
+
+    p = events.filter(F.col("event_type") == "purchase")
+    # timestampdiff(MICROSECOND) on NTZ timestamps: exact integer,
+    # wall-clock pure — the interarrival_stats house pattern (a
+    # cast-to-timestamp epoch diff would shift across DST boundaries on
+    # zoned sessions).
+    gaps = p.select(
+        F.expr(
+            "timestampdiff(MICROSECOND, lag(ts) over "
+            "(partition by user_id order by ts, event_id), ts)"
+        ).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    bucket = F.lit(None).cast("string")
+    order = F.lit(None).cast("int")
+    for i, (label, hi) in reversed(list(enumerate(_PURCHASE_GAP_BUCKETS))):
+        cond = F.lit(True) if hi is None else (F.col("gap_us") < F.lit(hi))
+        bucket = F.when(cond, F.lit(label)).otherwise(bucket)
+        order = F.when(cond, F.lit(i)).otherwise(order)
+    counts = gaps.select(order.alias("bucket_order"), bucket.alias("bucket")).groupBy(
+        "bucket_order", "bucket"
+    ).agg(F.count(F.lit(1)).alias("n_intervals"))
+    return counts.select(
+        "bucket_order",
+        "bucket",
+        "n_intervals",
+        F.round(
+            F.col("n_intervals") / F.sum("n_intervals").over(Window.partitionBy()), 6
+        ).alias("share"),
+    ).orderBy("bucket_order")
+
+
 def session_bounce_rate(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Per-day bounce rate: of the sessions STARTING each day, how many
     consist of a single event. Rides :func:`user_sessions` (native

@@ -273,6 +273,64 @@ def label_centroids(
     )
 
 
+def centroid_separation(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise cosine between label centroids — the cluster-separation
+    audit next to label_cosine_report (that one measures within-label
+    cohesion; this one measures BETWEEN-label confusability: a pair near
+    1.0 means two labels occupy the same embedding region and any
+    label-conditioned dedup/mixture logic can't tell them apart).
+
+    Returns (label_a, label_b, cosine) for label_a < label_b, ordered by
+    the pair.
+
+    Cross-engine determinism: centroids are label_centroids' rounded
+    6-dp components (the proven identity), zipped back to per-label
+    arrays ordered by dim; the cosine then reduces each ARRAY row
+    sequentially (Spark ``aggregate`` HOF and DuckDB list_dot_product
+    both fold left-to-right), so no accumulation-order drift exists
+    anywhere.
+
+    Scale shape: one |labels|·|dims| hash agg (label_centroids' shuffle)
+    + a |labels|-row zip agg; the pair join crosses only the tiny
+    centroid-array table (broadcast, C(|labels|,2) output rows).
+    """
+    from ..caching import tracked_persist
+    from ..functions.vectors import cosine_similarity_col
+
+    cent = label_centroids(embeddings, label_col, vec_col, round_digits)
+    # Persisted: BOTH sides of the pair join read this table — without the
+    # pin each branch would re-run the corpus-sized centroid agg (the
+    # formatted explain still prints the cached subplan under each branch,
+    # which is why the plan test budgets 4 printed hash exchanges for what
+    # executes as 2).
+    carr = tracked_persist(
+        cent.groupBy(label_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid_v"))),
+                lambda s: s.centroid_v,
+            ).alias("cvec")
+        )
+    )
+    a = carr.select(F.col(label_col).alias("label_a"), F.col("cvec").alias("va"))
+    b = carr.select(F.col(label_col).alias("label_b"), F.col("cvec").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                cosine_similarity_col(F.col("va"), F.col("vb")), round_digits
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
 def cosine_pairs_exact(
     embeddings: DataFrame,
     threshold: float,

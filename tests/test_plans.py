@@ -464,3 +464,25 @@ def test_r5_eighth_batch_jvm_side_and_exchange_budget(spark):
         assert 1 <= n <= 3, f"{name}: {n} hash exchanges (budget 3)"
         assert "CartesianProduct" not in plan_text(df), name
     assert_broadcast_join(qs["supplier_diversity"](spark, SF_SMOKE), expected=1)
+
+
+def test_r5_ninth_batch_jvm_side_and_exchange_budget(spark):
+    """Ninth-batch plan claims: centroid_separation EXECUTES the
+    |labels|*|dims| centroid agg + the |labels|-row zip agg once (the
+    persisted centroid-array table feeds both join branches, so the
+    formatted explain PRINTS that 2-exchange subplan under each branch —
+    budget 4 printed, 2 executed); first_touch_attribution and
+    repeat_purchase_intervals are ONE user_id window shuffle + a tiny
+    agg each (<=2; the share window orders <= |types|/|buckets| rows)."""
+    from tests.conftest import SF_SMOKE
+
+    qs = entrymod.queries()
+    for name, max_hash in (
+        ("centroid_separation", 4),
+        ("first_touch_attribution", 2),
+        ("repeat_purchase_intervals", 2),
+    ):
+        df = qs[name](spark, SF_SMOKE)
+        assert_no_python_udf(df)
+        n = count_hash_exchanges(spark, df)
+        assert 1 <= n <= max_hash, f"{name}: {n} hash exchanges (budget {max_hash})"

@@ -376,3 +376,55 @@ def test_daily_new_vs_returning_decomposition(spark):
     assert d1.new_share == 1.0
     assert (d2.n_active_users, d2.n_new_users, d2.n_returning_users) == (2, 1, 1)
     assert d2.new_share == 0.5
+
+
+def test_first_touch_vs_last_touch_attribution(spark):
+    """u1: view -> click -> purchase. First-touch credits view; last-touch
+    credits click; a first-purchase-only user credits 'none' in both."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sessionize import (
+        first_touch_attribution,
+        last_touch_attribution,
+    )
+
+    rows = [
+        ("u1", "view", _ts(1, 1)), ("u1", "click", _ts(1, 2)),
+        ("u1", "purchase", _ts(1, 3)),
+        ("u2", "purchase", _ts(1, 1)),
+    ]
+    first = {r.attributed_type: r.n_purchases
+             for r in first_touch_attribution(_events(spark, rows)).collect()}
+    last = {r.attributed_type: r.n_purchases
+            for r in last_touch_attribution(_events(spark, rows)).collect()}
+    assert first == {"view": 1, "none": 1}
+    assert last == {"click": 1, "none": 1}
+
+
+def test_repeat_purchase_intervals_bucket_edges(spark):
+    """Gaps of exactly 5h59m59s, 6h, and 26h land in 0-6h, 6-24h, 6-24h:
+    the 6h edge is exclusive-upper on the exact microsecond value."""
+    import datetime as dt
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sessionize import (
+        repeat_purchase_intervals,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", "purchase", base),
+        ("u1", "purchase", base + dt.timedelta(hours=5, minutes=59, seconds=59)),
+        ("u2", "purchase", base),
+        ("u2", "purchase", base + dt.timedelta(hours=6)),
+        ("u3", "purchase", base),
+        ("u3", "purchase", base + dt.timedelta(hours=26)),
+        ("u3", "view", base + dt.timedelta(hours=27)),  # non-purchase ignored
+    ]
+    df = spark.createDataFrame(
+        [(i, t, u, et, 1.0) for i, (u, et, t) in enumerate(rows)],
+        "event_id long, ts timestamp_ntz, user_id string, event_type string, value double",
+    )
+    out = {r.bucket: r for r in repeat_purchase_intervals(df).collect()}
+    assert out["0-6h"].n_intervals == 1
+    assert out["6-24h"].n_intervals == 1
+    assert out["1-3d"].n_intervals == 1
+    assert [r.bucket_order for r in repeat_purchase_intervals(df).collect()] == [0, 1, 2]
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-5

@@ -200,3 +200,23 @@ def test_label_cosine_report_flags_planted_mislabel(spark):
     assert out[0].n_neg == 1, out[0]
     assert out[1].n_neg == 0, out[1]
     assert out[0].min_cos < 0 < out[0].mean_cos
+
+
+def test_centroid_separation_orthogonal_and_identical_labels(spark):
+    """Label 0 and 1 share a direction (cosine 1); label 2 is orthogonal
+    to both (cosine 0); pairs are emitted once with label_a < label_b."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.similarity import (
+        centroid_separation,
+    )
+
+    rows = [
+        (1, [2.0, 0.0], 0), (2, [4.0, 0.0], 0),
+        (3, [1.0, 0.0], 1),
+        (4, [0.0, 5.0], 2), (5, [0.0, 1.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r.label_a, r.label_b): r.cosine for r in centroid_separation(df).collect()}
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 2)] == 0.0
+    assert out[(1, 2)] == 0.0
