@@ -90,6 +90,13 @@ def test_day_bucket_queries_invariant_across_timezones(spark):
         "daily_distinct_users",
         "event_type_pivot",
         "rolling_active_users",
+        # r5 day/interval-sensitive additions: (user, day) baskets, the
+        # day-bucketed activity split, exact-microsecond gap buckets, and
+        # the first-view -> first-purchase hour histogram
+        "event_type_lift",
+        "daily_new_vs_returning",
+        "repeat_purchase_intervals",
+        "time_to_conversion",
     ]
     qs = entrymod.queries()
     results: dict[str, dict[str, list]] = {}
