@@ -1158,6 +1158,26 @@ def q_repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize.repeat_purchase_intervals(_t(spark, sf_dir, "events"))
 
 
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-profiling report over events (rows/nulls/distincts/
+    fill rate) — the schema-health pass before trusting columns. ONE scan
+    melts to (column, value) pairs; map-side combine collapses the blow-up
+    before the single dedup exchange (no corpus-level multi-countDistinct
+    Expand)."""
+    return analytics.profile_columns(
+        _t(spark, sf_dir, "events"),
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+
+
+def q_weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week discounted revenue with relative deltas. Pure DATE
+    arithmetic lands Monday weeks TZ-free; decimal-accumulated revenue
+    rounds before the ratio; one hash agg to |weeks| rows + a tiny lag
+    window."""
+    return timeseries.weekly_revenue_growth(_t(spark, sf_dir, "lineitem"))
+
+
 def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 cross-table hygiene audit: which (lang, source) corpus slices
     lack embeddings — the check a pipeline runs before trusting
@@ -2167,6 +2187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_separation": q_centroid_separation,
         "first_touch_attribution": q_first_touch_attribution,
         "repeat_purchase_intervals": q_repeat_purchase_intervals,
+        "events_profile": q_events_profile,
+        "weekly_revenue_growth": q_weekly_revenue_growth,
         # -- tier 3 (r5): r3-green queries rotated in for fresh rows ----
         "user_sessions": q_user_sessions,
         "daily_distinct_users": q_daily_distinct_users,
@@ -2174,9 +2196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_events_display": q_latest_events_display,
         "value_percentiles": q_value_percentiles,
         "media_features": q_media_features,
+        # ---- driver window boundary (first 50 above) ------------------
         "hash_split": q_hash_split,
         "token_budget_mix": q_token_budget_mix,
-        # ---- driver window boundary (first 50 above) ------------------
         "quality_percentile_filter": q_quality_percentile_filter,
         "priority_source_dedup": q_priority_source_dedup,
         "unigram_logprob": q_unigram_logprob,
@@ -3955,6 +3977,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_lines
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY p_brand
+        """,
+        # Column profile: string casts are injective per engine, so the
+        # null/distinct COUNTS are engine-independent even where the two
+        # engines format a value differently.
+        "events_profile": """
+            WITH p AS (
+                SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS val FROM events
+                UNION ALL SELECT 'ts', CAST(ts AS VARCHAR) FROM events
+                UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+                UNION ALL SELECT 'event_type', CAST(event_type AS VARCHAR) FROM events
+                UNION ALL SELECT 'value', CAST(value AS VARCHAR) FROM events
+                UNION ALL SELECT 'props', CAST(props AS VARCHAR) FROM events
+            )
+            SELECT col_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_null,
+                   CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+                   ROUND((COUNT(*) - SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END))
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS fill_rate
+            FROM p GROUP BY col_name ORDER BY col_name
+        """,
+        # Monday-start weeks via pure DATE arithmetic on both engines;
+        # decimal-accumulated revenue rounds to 2 dp BEFORE the ratio.
+        "weekly_revenue_growth": """
+            WITH w AS (
+                SELECT CAST(date_trunc('week', CAST(l_shipdate AS DATE)) AS DATE)
+                           AS wk,
+                       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                           AS DECIMAL(18,6))) AS DOUBLE), 2)
+                           AS revenue
+                FROM lineitem GROUP BY wk
+            )
+            SELECT CAST(wk AS TIMESTAMP) AS week_start, revenue,
+                   ROUND((revenue - LAG(revenue) OVER (ORDER BY wk))
+                         / LAG(revenue) OVER (ORDER BY wk), 6) AS pct_change
+            FROM w ORDER BY week_start
         """,
         # Pairwise centroid cosine from the SAME rounded-centroid identity
         # as label_centroids; list_dot_product folds left-to-right exactly

@@ -159,6 +159,8 @@ HEADLINE = [
     "centroid_separation",
     "first_touch_attribution",
     "repeat_purchase_intervals",
+    "events_profile",
+    "weekly_revenue_growth",
 ]
 
 

@@ -177,3 +177,60 @@ def users_with_only_first_type(
     a = events.filter(F.col("event_type") == type_a).select(user_col)
     b = events.filter(F.col("event_type") == type_b).select(user_col)
     return a.subtract(b).orderBy(user_col)
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column data-profiling report: row count, null count, distinct
+    non-null values, and fill rate — the schema-health pass a pipeline
+    runs on an unfamiliar table before trusting any column for filtering
+    or joining (the engine-side replacement for the reference dashboard's
+    ad-hoc ``df.info()``-style inspection).
+
+    Returns (col_name, n_rows, n_null, n_distinct, fill_rate) ordered by
+    column name. ``n_distinct`` counts distinct NON-null values (both
+    engines' COUNT(DISTINCT) semantics); every ratio divides exact
+    integers.
+
+    Scale shape: ONE corpus scan — ``stack`` melts the row into
+    (column, value-as-string) pairs (a |cols|x row blow-up that map-side
+    partial aggregation collapses immediately), then a single
+    (column, value) dedup-count exchange and a |cols|-row rollup. The
+    alternative — one multi-countDistinct agg — would Expand-replicate
+    every row |cols| times THROUGH the exchange (the Q21 lesson); melting
+    first keeps the exchange at |cols| x |distinct-values| rows. A
+    per-column loop of separate aggs would instead scan the corpus
+    |cols| times.
+    """
+    stack_args = ", ".join(
+        f"'{c}', cast(`{c}` as string)" for c in cols
+    )
+    pairs = df.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) as (col_name, val)")
+    )
+    per_value = pairs.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_value.groupBy("col_name")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("val").isNull(), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.count(F.when(F.col("val").isNotNull(), F.lit(1)))
+            .cast("long")
+            .alias("n_distinct"),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_null",
+            "n_distinct",
+            F.round(
+                (F.col("n_rows") - F.col("n_null"))
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("fill_rate"),
+        )
+        .orderBy("col_name")
+    )

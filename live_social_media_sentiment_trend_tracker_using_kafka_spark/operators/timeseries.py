@@ -276,3 +276,45 @@ def interarrival_stats(events: DataFrame, round_digits: int = 4) -> DataFrame:
         F.round(std, round_digits).alias("stddev_gap_s"),
         F.round(std / mean, round_digits).alias("burstiness_cv"),
     ).orderBy("event_type")
+
+
+def weekly_revenue_growth(lineitem: DataFrame, round_digits: int = 6) -> DataFrame:
+    """Week-over-week revenue trend: per ISO week (Monday start), the
+    discounted revenue and its relative change vs the previous week — the
+    growth panel behind "is this quarter accelerating?" (value_trend_slope
+    fits one line; this reports the raw week series with deltas).
+
+    Returns (week_start, revenue, pct_change) ordered by week;
+    ``pct_change`` is NULL for the first week.
+
+    Timezone note: the week start is pure DATE arithmetic on the NTZ ship
+    date — ``date_sub(day, (dayofweek(day) + 5) % 7)`` lands on Monday
+    exactly like DuckDB's date_trunc('week') — because Spark's own
+    ``date_trunc('week', ntz)`` returns a session-tz TIMESTAMP (the
+    documented pitfall every day-bucket operator here avoids).
+
+    Cross-engine determinism: revenue accumulates DECIMAL(18,6) per-row
+    products (exact, order-independent — the returned_items pattern) and
+    rounds to 2 dp BEFORE the ratio, so both engines difference identical
+    doubles. Scale shape: one map-side-combinable hash agg to |weeks|
+    rows; the lag window orders that tiny series only.
+    """
+    day = F.to_date("l_shipdate")
+    week = F.date_sub(day, (F.dayofweek(day) + F.lit(5)) % 7)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    weekly = (
+        lineitem.select(week.alias("wk"), rev.alias("rev"))
+        .groupBy("wk")
+        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy("wk")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        F.col("wk").cast("timestamp_ntz").alias("week_start"),
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, round_digits).alias(
+            "pct_change"
+        ),
+    ).orderBy("week_start")

@@ -486,3 +486,20 @@ def test_r5_ninth_batch_jvm_side_and_exchange_budget(spark):
         assert_no_python_udf(df)
         n = count_hash_exchanges(spark, df)
         assert 1 <= n <= max_hash, f"{name}: {n} hash exchanges (budget {max_hash})"
+
+
+def test_r5_tenth_batch_jvm_side_and_exchange_budget(spark):
+    """Tenth-batch plan claims: events_profile is the melt + ONE
+    (col, value) dedup exchange + the |cols|-row rollup (<=2 hash
+    exchanges, NO Expand node — the melt replaces the corpus-level
+    multi-countDistinct); weekly_revenue_growth is one |weeks|-row hash
+    agg (<=2 with partial/final; the lag window orders the tiny series)."""
+    from tests.conftest import SF_SMOKE
+
+    qs = entrymod.queries()
+    for name in ("events_profile", "weekly_revenue_growth"):
+        df = qs[name](spark, SF_SMOKE)
+        assert_no_python_udf(df)
+        n = count_hash_exchanges(spark, df)
+        assert 1 <= n <= 2, f"{name}: {n} hash exchanges (budget 2)"
+    assert "Expand" not in plan_text(qs["events_profile"](spark, SF_SMOKE))

@@ -212,3 +212,47 @@ def test_interarrival_stats_exact_moments(spark):
     assert r.mean_gap_s == 120.0
     assert r.stddev_gap_s == 60.0
     assert r.burstiness_cv == 0.5
+
+
+def test_weekly_revenue_growth_monday_weeks_and_deltas(spark):
+    """Ship dates on a Sunday and the following Monday land in different
+    Monday-start weeks; pct_change is the exact relative delta and NULL
+    for the first week."""
+    import datetime as dt
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.timeseries import (
+        weekly_revenue_growth,
+    )
+
+    li = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 7), 100.0, 0.0),   # Sunday -> week of Jan 1
+            (dt.datetime(2024, 1, 8), 150.0, 0.0),   # Monday -> week of Jan 8
+            (dt.datetime(2024, 1, 10), 50.0, 0.5),   # same week, 25.0 net
+        ],
+        "l_shipdate timestamp_ntz, l_extendedprice double, l_discount double",
+    )
+    out = weekly_revenue_growth(li).collect()
+    assert [r.week_start.date().isoformat() for r in out] == ["2024-01-01", "2024-01-08"]
+    assert [r.revenue for r in out] == [100.0, 175.0]
+    assert out[0].pct_change is None
+    assert out[1].pct_change == 0.75
+
+
+def test_profile_columns_nulls_distincts_fill_rate(spark):
+    """Crafted nulls (the sf tables are dense, so the driver row alone
+    would leave the null branch untested): 1 of 4 a-values null, all b
+    null, c constant."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.analytics import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, None, "x"), (None, None, "x"), (2, None, "x")],
+        "a int, b string, c string",
+    )
+    out = {r.col_name: r for r in profile_columns(df, ["a", "b", "c"]).collect()}
+    assert (out["a"].n_rows, out["a"].n_null, out["a"].n_distinct) == (4, 1, 2)
+    assert out["a"].fill_rate == 0.75
+    assert (out["b"].n_null, out["b"].n_distinct, out["b"].fill_rate) == (4, 0, 0.0)
+    assert (out["c"].n_null, out["c"].n_distinct, out["c"].fill_rate) == (0, 1, 1.0)
