@@ -642,6 +642,36 @@ def q_streaming_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("bucket_ts")
 
 
+def q_streaming_props_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's two core streaming semantics COMPOSED and
+    oracle-checked: in-stream JSON value decode (S3/P6,
+    consumer/spark_streaming_job.py:121-124 shape) feeding a watermarked
+    hourly windowed count per decoded bucket, drained AvailableNow — the
+    'trending topics per hour' panel shape with props.k standing in for
+    the hashtag. Same UTC-pin + NTZ-restore discipline as
+    q_streaming_time_series; the oracle is the plain batch SQL twin, so
+    the driver hash-checks decode + window + drain end-to-end."""
+    raw = _stream_events(spark, sf_dir)
+    with _session_tz(spark, "UTC"), _stateful_stream_partitions(spark):
+        ev = normalize_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
+        k = F.get_json_object("props", "$.k").cast("int")
+        agg = (
+            ev.withColumn("k_bucket", k % 10)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "k_bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.col("window.start").cast("timestamp_ntz").alias("bucket_ts"),
+                "k_bucket",
+                "cnt",
+            )
+        )
+        _STREAM_SEQ[0] += 1
+        name = f"stream_props_buckets_{_STREAM_SEQ[0]}"
+        out = run_available_now_to_memory(agg, spark, name, output_mode="complete")
+    return out.orderBy("bucket_ts", "k_bucket")
+
+
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 text analysis: heuristic language-ID over documents.text, counted
     per detected language (compare with the stored ``lang`` label offline)."""
@@ -2189,14 +2219,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_purchase_intervals": q_repeat_purchase_intervals,
         "events_profile": q_events_profile,
         "weekly_revenue_growth": q_weekly_revenue_growth,
+        "streaming_props_buckets": q_streaming_props_buckets,
         # -- tier 3 (r5): r3-green queries rotated in for fresh rows ----
         "user_sessions": q_user_sessions,
         "daily_distinct_users": q_daily_distinct_users,
         "event_type_pivot": q_event_type_pivot,
         "latest_events_display": q_latest_events_display,
         "value_percentiles": q_value_percentiles,
-        "media_features": q_media_features,
         # ---- driver window boundary (first 50 above) ------------------
+        "media_features": q_media_features,
         "hash_split": q_hash_split,
         "token_budget_mix": q_token_budget_mix,
         "quality_percentile_filter": q_quality_percentile_filter,
@@ -3977,6 +4008,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_lines
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY p_brand
+        """,
+        # Streaming decode+window twin: the drained stream must equal the
+        # plain batch hourly bucket counts (naive hour truncation — the
+        # UTC-pinned window + NTZ restore is the proven identity).
+        "streaming_props_buckets": """
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+                   CAST(json_extract_string(props, '$.k') AS INT) % 10
+                       AS k_bucket,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY bucket_ts, k_bucket
+            ORDER BY bucket_ts, k_bucket
         """,
         # Column profile: string casts are injective per engine, so the
         # null/distinct COUNTS are engine-independent even where the two

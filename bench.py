@@ -161,6 +161,7 @@ HEADLINE = [
     "repeat_purchase_intervals",
     "events_profile",
     "weekly_revenue_growth",
+    "streaming_props_buckets",
 ]
 
 

@@ -73,6 +73,9 @@ def test_streaming_queries_do_not_leak_session_timezone(spark):
     out = entrymod.q_streaming_dedup_daily(foreign, SF_SMOKE)
     assert out.count() > 0
     assert foreign.conf.get("spark.sql.session.timeZone") == "Asia/Kolkata"
+    out = entrymod.q_streaming_props_buckets(foreign, SF_SMOKE)
+    assert out.count() > 0
+    assert foreign.conf.get("spark.sql.session.timeZone") == "Asia/Kolkata"
     # the stateful-drain shuffle-partition pin must restore too
     assert foreign.conf.get("spark.sql.shuffle.partitions") == "17"
 
