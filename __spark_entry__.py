@@ -672,6 +672,21 @@ def q_streaming_props_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("bucket_ts", "k_bucket")
 
 
+def q_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — rides the SHARED (user, day) activity
+    table for both series (DAU agg + the lag+explode rolling WAU, no
+    sliding COUNT(DISTINCT) frame); the final join matches two day-sized
+    series."""
+    return sessionize.user_stickiness(_t(spark, sf_dir, "events"))
+
+
+def q_monthly_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status mix by month: counts, decimal-accumulated value, and
+    within-month share. trunc(date,'mm') is pure DATE arithmetic (TZ-free);
+    one hash agg to |months| x |statuses| rows + a tiny share window."""
+    return relational.monthly_order_mix(_t(spark, sf_dir, "orders"))
+
+
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 text analysis: heuristic language-ID over documents.text, counted
     per detected language (compare with the stored ``lang`` label offline)."""
@@ -2220,13 +2235,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_profile": q_events_profile,
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "streaming_props_buckets": q_streaming_props_buckets,
+        "user_stickiness": q_user_stickiness,
+        "monthly_order_mix": q_monthly_order_mix,
         # -- tier 3 (r5): r3-green queries rotated in for fresh rows ----
         "user_sessions": q_user_sessions,
         "daily_distinct_users": q_daily_distinct_users,
         "event_type_pivot": q_event_type_pivot,
+        # ---- driver window boundary (first 50 above) ------------------
         "latest_events_display": q_latest_events_display,
         "value_percentiles": q_value_percentiles,
-        # ---- driver window boundary (first 50 above) ------------------
         "media_features": q_media_features,
         "hash_split": q_hash_split,
         "token_budget_mix": q_token_budget_mix,
@@ -4008,6 +4025,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_lines
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY p_brand
+        """,
+        # DAU over the deduped (user, day) table; WAU via the relational
+        # trailing-range self-join (the engine's lag+explode construction is
+        # its semantically identical scale path).
+        "user_stickiness": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ), days AS (SELECT DISTINCT day FROM ud),
+            dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+            wau AS (
+                SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+                FROM days d JOIN ud u
+                  ON u.day >= d.day - 6 AND u.day <= d.day
+                GROUP BY d.day
+            )
+            SELECT CAST(dau.day AS TIMESTAMP) AS day,
+                   CAST(dau.dau AS BIGINT) AS dau,
+                   CAST(wau.wau AS BIGINT) AS wau,
+                   ROUND(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+            FROM dau JOIN wau ON dau.day = wau.day
+            ORDER BY day
+        """,
+        # Month truncation is pure DATE arithmetic on both engines; value
+        # accumulates DECIMAL(18,2) casts (exact, order-independent).
+        "monthly_order_mix": """
+            WITH per AS (
+                SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                            AS DATE) AS m,
+                       o_orderstatus,
+                       COUNT(*) AS n_orders,
+                       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                  AS DOUBLE), 2) AS total_value
+                FROM orders GROUP BY m, o_orderstatus
+            )
+            SELECT CAST(m AS TIMESTAMP) AS month_start, o_orderstatus,
+                   CAST(n_orders AS BIGINT) AS n_orders, total_value,
+                   ROUND(n_orders / CAST(SUM(n_orders) OVER (PARTITION BY m)
+                                         AS DOUBLE), 6) AS share_of_month
+            FROM per ORDER BY month_start, o_orderstatus
         """,
         # Streaming decode+window twin: the drained stream must equal the
         # plain batch hourly bucket counts (naive hour truncation — the

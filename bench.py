@@ -162,6 +162,8 @@ HEADLINE = [
     "events_profile",
     "weekly_revenue_growth",
     "streaming_props_buckets",
+    "user_stickiness",
+    "monthly_order_mix",
 ]
 
 

@@ -760,3 +760,52 @@ def supplier_diversity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+def monthly_order_mix(orders: DataFrame) -> DataFrame:
+    """Order-status mix by calendar month: per (month, status), the order
+    count, total order value, and the status's share of that month's
+    orders — the order-health trend panel ("are open orders piling up?").
+
+    Returns (month_start, o_orderstatus, n_orders, total_value,
+    share_of_month) ordered by (month, status).
+
+    Timezone note: ``trunc(date, 'mm')`` is pure DATE arithmetic on the
+    NTZ order date (Spark's date_trunc('month', ntz) would return a
+    session-tz TIMESTAMP — the weekly_revenue_growth pitfall).
+
+    Cross-engine determinism: counts are exact; total_value accumulates
+    DECIMAL(18,2) casts of o_totalprice (exact, order-independent);
+    share divides exact integers. Scale shape: ONE map-side-combinable
+    hash agg to |months| x |statuses| rows; the share window partitions
+    that tiny matrix by month.
+    """
+    from pyspark.sql import Window
+
+    month = F.trunc(F.to_date("o_orderdate"), "mm")
+    per = (
+        orders.select(
+            month.alias("month_start"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("px"),
+        )
+        .groupBy("month_start", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("px"), 2).cast("double").alias("total_value"),
+        )
+    )
+    per_month = Window.partitionBy("month_start")
+    return (
+        per.select(
+            F.col("month_start").cast("timestamp_ntz").alias("month_start"),
+            "o_orderstatus",
+            "n_orders",
+            "total_value",
+            F.round(
+                F.col("n_orders") / F.sum("n_orders").over(per_month).cast("double"),
+                6,
+            ).alias("share_of_month"),
+        )
+        .orderBy("month_start", "o_orderstatus")
+    )

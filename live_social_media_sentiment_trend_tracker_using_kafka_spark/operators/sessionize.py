@@ -775,3 +775,39 @@ def top_event_paths(events: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
         .limit(k)
     )
+
+
+def user_stickiness(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """DAU/WAU stickiness ratio per day — the engagement-frequency
+    headline ("of the users active this week, what share came back
+    today?"). A ratio near 1 means the weekly audience shows up daily;
+    a falling ratio with stable WAU means the same audience visits less
+    often — the distinction raw actives hide.
+
+    Returns (day, dau, wau, stickiness) ordered by day, one row per day
+    with at least one event; stickiness = dau / trailing-7-day active
+    users, 6 dp.
+
+    Scale shape: DAU is a |days|-row agg over the SHARED persisted
+    (user, day) activity table; WAU is :func:`rolling_active_users`
+    (the lag+explode construction — no sliding COUNT(DISTINCT) frame),
+    which rides the SAME cached table. The final join matches two
+    day-sized series (broadcast at any horizon).
+    """
+    ud = user_day_activity(events)
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = rolling_active_users(events, window_days).withColumnsRenamed(
+        {"active_users": "wau"}
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -503,3 +503,21 @@ def test_r5_tenth_batch_jvm_side_and_exchange_budget(spark):
         n = count_hash_exchanges(spark, df)
         assert 1 <= n <= 2, f"{name}: {n} hash exchanges (budget 2)"
     assert "Expand" not in plan_text(qs["events_profile"](spark, SF_SMOKE))
+
+
+def test_r5_twelfth_batch_jvm_side_and_exchange_budget(spark):
+    """Twelfth-batch plan claims: monthly_order_mix is one hash agg to
+    |months| x |statuses| rows + the tiny share window (<=2 exchanges);
+    user_stickiness rides the shared activity table for BOTH series
+    (dedup + DAU agg + the WAU lag window + day agg + the day join —
+    <=5 printed; the persisted activity subplan prints under both
+    branches), with no cartesian anywhere."""
+    from tests.conftest import SF_SMOKE
+
+    qs = entrymod.queries()
+    for name, max_hash in (("monthly_order_mix", 2), ("user_stickiness", 5)):
+        df = qs[name](spark, SF_SMOKE)
+        assert_no_python_udf(df)
+        n = count_hash_exchanges(spark, df)
+        assert 1 <= n <= max_hash, f"{name}: {n} hash exchanges (budget {max_hash})"
+        assert "CartesianProduct" not in plan_text(df), name

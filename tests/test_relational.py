@@ -94,3 +94,31 @@ def test_supplier_diversity_distincts_per_brand(spark):
     out = {r.p_brand: r for r in supplier_diversity(li, part).collect()}
     assert (out["A"].n_suppliers, out["A"].n_parts, out["A"].n_lines) == (2, 2, 3)
     assert (out["B"].n_suppliers, out["B"].n_parts, out["B"].n_lines) == (1, 1, 1)
+
+
+def test_monthly_order_mix_shares_and_month_boundary(spark):
+    """Orders on Jan 31 and Feb 1 land in different months; shares sum to
+    1 within each month and values accumulate exactly."""
+    import datetime as dt
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.relational import (
+        monthly_order_mix,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, "O", 10.0, dt.datetime(2024, 1, 31)),
+            (2, "F", 20.0, dt.datetime(2024, 1, 15)),
+            (3, "O", 30.0, dt.datetime(2024, 1, 1)),
+            (4, "O", 40.0, dt.datetime(2024, 2, 1)),
+        ],
+        "o_orderkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp_ntz",
+    )
+    out = {(r.month_start.month, r.o_orderstatus): r
+           for r in monthly_order_mix(orders).collect()}
+    assert set(out) == {(1, "O"), (1, "F"), (2, "O")}
+    jan_o = out[(1, "O")]
+    assert (jan_o.n_orders, jan_o.total_value) == (2, 40.0)
+    assert jan_o.share_of_month == round(2 / 3, 6)
+    assert out[(1, "F")].share_of_month == round(1 / 3, 6)
+    assert out[(2, "O")].share_of_month == 1.0

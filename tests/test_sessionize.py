@@ -428,3 +428,19 @@ def test_repeat_purchase_intervals_bucket_edges(spark):
     assert out["1-3d"].n_intervals == 1
     assert [r.bucket_order for r in repeat_purchase_intervals(df).collect()] == [0, 1, 2]
     assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-5
+
+
+def test_user_stickiness_dau_over_wau(spark):
+    """Days 1-2: u1 active both, u2 only day 1. Day1 dau=2 wau=2; day2
+    dau=1 but wau still 2 (u2 inside the trailing week) -> 0.5."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sessionize import (
+        user_stickiness,
+    )
+
+    rows = [
+        ("u1", "view", _ts(1, 1)), ("u2", "view", _ts(1, 2)),
+        ("u1", "view", _ts(2, 1)),
+    ]
+    out = {r.day.day: r for r in user_stickiness(_events(spark, rows)).collect()}
+    assert (out[1].dau, out[1].wau, out[1].stickiness) == (2, 2, 1.0)
+    assert (out[2].dau, out[2].wau, out[2].stickiness) == (1, 2, 0.5)
