@@ -42,3 +42,20 @@ def test_coverage_never_regresses():
         if row["red"] and (row["last_green"] is None or row["last_green"] < max(row["red"]))
     ]
     assert not open_red, open_red
+
+
+def test_driver_window_boundary_is_exactly_50():
+    """The external driver hash-checks only the FIRST 50 entries of
+    queries() per round; the registry's boundary comment documents which
+    queries are in this round's window. Pin the comment to the actual
+    50th entry so a rotation edit that forgets to re-balance the tiers
+    fails here instead of silently shrinking driver coverage."""
+    import re
+
+    src = open("/root/repo/__spark_entry__.py").read()
+    body = src[src.index("def queries()"):src.index("def oracle_sql()")]
+    entries = re.findall(r'^\s{8}"([a-z0-9_]+)":', body, re.M)
+    boundary = body.index("driver window boundary")
+    above = [e for e in entries if body.index(f'"{e}":') < boundary]
+    assert len(above) == 50, f"window holds {len(above)} entries, expected 50"
+    assert len(set(entries)) == len(entries), "duplicate registry keys"
