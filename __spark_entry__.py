@@ -672,6 +672,31 @@ def q_streaming_props_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("bucket_ts", "k_bucket")
 
 
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: orphan counts/rates for
+    all four child->parent key relationships (inner joins silently drop
+    orphans; this makes the loss visible). The sf tables are FK-intact,
+    which would make every rate a vacuous 0.0 — so each PARENT keeps only
+    keys whose md5 starts with hex 0-7 (~50%, engine-identical, the
+    embedding_coverage planted-gap pattern) so fractional orphan rates
+    actually exercise the arithmetic. Dim parents broadcast; the one
+    fact-fact check (lineitem->orders) is a single orderkey SMJ; each
+    check is one left join + a 1-row agg."""
+
+    def planted(df: DataFrame, key: str) -> DataFrame:
+        return df.filter(
+            F.substring(F.md5(F.col(key).cast("string")), 1, 1) < "8"
+        )
+
+    return relational.fk_integrity_audit(
+        _t(spark, sf_dir, "lineitem"),
+        planted(_t(spark, sf_dir, "orders"), "o_orderkey"),
+        planted(_t(spark, sf_dir, "customer"), "c_custkey"),
+        planted(_t(spark, sf_dir, "part"), "p_partkey"),
+        planted(_t(spark, sf_dir, "supplier"), "s_suppkey"),
+    )
+
+
 def q_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU stickiness per day — rides the SHARED (user, day) activity
     table for both series (DAU agg + the lag+explode rolling WAU, no
@@ -2237,11 +2262,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_props_buckets": q_streaming_props_buckets,
         "user_stickiness": q_user_stickiness,
         "monthly_order_mix": q_monthly_order_mix,
+        "fk_integrity_audit": q_fk_integrity_audit,
         # -- tier 3 (r5): r3-green queries rotated in for fresh rows ----
         "user_sessions": q_user_sessions,
         "daily_distinct_users": q_daily_distinct_users,
-        "event_type_pivot": q_event_type_pivot,
         # ---- driver window boundary (first 50 above) ------------------
+        "event_type_pivot": q_event_type_pivot,
         "latest_events_display": q_latest_events_display,
         "value_percentiles": q_value_percentiles,
         "media_features": q_media_features,
@@ -4025,6 +4051,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_lines
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY p_brand
+        """,
+        # FK audit over md5-planted parent subsets (the embedding_coverage
+        # pattern — the sf tables are FK-intact, so unplanted rates are a
+        # vacuous 0.0). Planted orders serves as BOTH the lineitem check's
+        # parent and the custkey check's child, exactly like the engine.
+        "fk_integrity_audit": """
+            WITH o AS (SELECT * FROM orders
+                       WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '8'),
+            c AS (SELECT c_custkey FROM customer
+                  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '8'),
+            p AS (SELECT p_partkey FROM part
+                  WHERE substr(md5(CAST(p_partkey AS VARCHAR)), 1, 1) < '8'),
+            s AS (SELECT s_suppkey FROM supplier
+                  WHERE substr(md5(CAST(s_suppkey AS VARCHAR)), 1, 1) < '8'),
+            u AS (
+                SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+                       COUNT(*) AS n_child_rows,
+                       SUM(CASE WHEN po.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                           AS n_orphans
+                FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM o) po
+                  ON l_orderkey = po.o_orderkey
+                UNION ALL
+                SELECT 'lineitem.l_partkey -> part', COUNT(*),
+                       SUM(CASE WHEN pp.p_partkey IS NULL THEN 1 ELSE 0 END)
+                FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM p) pp
+                  ON l_partkey = pp.p_partkey
+                UNION ALL
+                SELECT 'lineitem.l_suppkey -> supplier', COUNT(*),
+                       SUM(CASE WHEN ps.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey FROM s) ps
+                  ON l_suppkey = ps.s_suppkey
+                UNION ALL
+                SELECT 'orders.o_custkey -> customer', COUNT(*),
+                       SUM(CASE WHEN pc.c_custkey IS NULL THEN 1 ELSE 0 END)
+                FROM o LEFT JOIN (SELECT DISTINCT c_custkey FROM c) pc
+                  ON o_custkey = pc.c_custkey
+            )
+            SELECT relationship,
+                   CAST(n_child_rows AS BIGINT) AS n_child_rows,
+                   CAST(n_orphans AS BIGINT) AS n_orphans,
+                   ROUND(n_orphans / CAST(n_child_rows AS DOUBLE), 6)
+                       AS orphan_rate
+            FROM u ORDER BY relationship
         """,
         # DAU over the deduped (user, day) table; WAU via the relational
         # trailing-range self-join (the engine's lag+explode construction is

@@ -164,6 +164,7 @@ HEADLINE = [
     "streaming_props_buckets",
     "user_stickiness",
     "monthly_order_mix",
+    "fk_integrity_audit",
 ]
 
 

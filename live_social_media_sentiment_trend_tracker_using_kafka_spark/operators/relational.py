@@ -809,3 +809,80 @@ def monthly_order_mix(orders: DataFrame) -> DataFrame:
         )
         .orderBy("month_start", "o_orderstatus")
     )
+
+
+def fk_integrity_audit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Referential-integrity audit across the star schema: for every
+    child->parent key relationship, the child row count, the orphan count
+    (child keys with no parent row), and the orphan rate — the conformance
+    pass a pipeline runs before trusting joins to be lossless (an inner
+    join silently DROPS orphans; this query makes that loss visible).
+
+    Returns (relationship, n_child_rows, n_orphans, orphan_rate) — one
+    row per relationship, ordered by name.
+
+    Scale shape: each parent prunes to its key column and dedups;
+    customer/part/supplier parents BROADCAST into their child scans
+    (dim-sized), so three of the four checks add zero shuffles beyond the
+    child scan's agg; lineitem->orders is the one fact-fact check and
+    plans as a single orderkey SMJ. Each check is ONE left join + a 1-row
+    aggregate (no separate count pass); the four 1-row results union.
+    """
+    checks = [
+        (
+            "lineitem.l_orderkey -> orders",
+            lineitem.select(F.col("l_orderkey").alias("k")),
+            orders.select(F.col("o_orderkey").alias("k")),
+            False,
+        ),
+        (
+            "lineitem.l_partkey -> part",
+            lineitem.select(F.col("l_partkey").alias("k")),
+            part.select(F.col("p_partkey").alias("k")),
+            True,
+        ),
+        (
+            "lineitem.l_suppkey -> supplier",
+            lineitem.select(F.col("l_suppkey").alias("k")),
+            supplier.select(F.col("s_suppkey").alias("k")),
+            True,
+        ),
+        (
+            "orders.o_custkey -> customer",
+            orders.select(F.col("o_custkey").alias("k")),
+            customer.select(F.col("c_custkey").alias("k")),
+            True,
+        ),
+    ]
+    rows = []
+    for name, child, parent, is_dim in checks:
+        p = parent.distinct().withColumn("_hit", F.lit(1))
+        if is_dim:
+            p = F.broadcast(p)
+        rows.append(
+            child.join(p, "k", "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+            .select(
+                F.lit(name).alias("relationship"),
+                "n_child_rows",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans") / F.col("n_child_rows").cast("double"), 6
+                ).alias("orphan_rate"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("relationship")

@@ -521,3 +521,15 @@ def test_r5_twelfth_batch_jvm_side_and_exchange_budget(spark):
         n = count_hash_exchanges(spark, df)
         assert 1 <= n <= max_hash, f"{name}: {n} hash exchanges (budget {max_hash})"
         assert "CartesianProduct" not in plan_text(df), name
+
+
+def test_fk_integrity_audit_broadcasts_dims_no_cartesian(spark):
+    """The three dim-parent checks must broadcast (3 broadcast joins);
+    the lineitem->orders fact check shuffles on the orderkey; nothing
+    plans a cartesian."""
+    from tests.conftest import SF_SMOKE
+
+    df = entrymod.queries()["fk_integrity_audit"](spark, SF_SMOKE)
+    assert_no_python_udf(df)
+    assert_broadcast_join(df, expected=3)
+    assert "CartesianProduct" not in plan_text(df)

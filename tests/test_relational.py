@@ -122,3 +122,29 @@ def test_monthly_order_mix_shares_and_month_boundary(spark):
     assert jan_o.share_of_month == round(2 / 3, 6)
     assert out[(1, "F")].share_of_month == round(1 / 3, 6)
     assert out[(2, "O")].share_of_month == 1.0
+
+
+def test_fk_integrity_audit_counts_true_orphans(spark):
+    """Crafted orphans (the planted-gap query exercises fractions; this
+    pins the raw operator): lineitem row 3 references order 99 (absent),
+    order 2 references customer 9 (absent)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.relational import (
+        fk_integrity_audit,
+    )
+
+    li = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 100), (99, 10, 100)],
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+    orders = spark.createDataFrame([(1, 5), (2, 9)], "o_orderkey long, o_custkey long")
+    customer = spark.createDataFrame([(5,)], "c_custkey long")
+    part = spark.createDataFrame([(10,), (11,)], "p_partkey long")
+    supplier = spark.createDataFrame([(100,)], "s_suppkey long")
+    out = {r.relationship: r
+           for r in fk_integrity_audit(li, orders, customer, part, supplier).collect()}
+    r = out["lineitem.l_orderkey -> orders"]
+    assert (r.n_child_rows, r.n_orphans, r.orphan_rate) == (3, 1, round(1 / 3, 6))
+    assert out["lineitem.l_partkey -> part"].n_orphans == 0
+    assert out["lineitem.l_suppkey -> supplier"].n_orphans == 0
+    rc = out["orders.o_custkey -> customer"]
+    assert (rc.n_child_rows, rc.n_orphans, rc.orphan_rate) == (2, 1, 0.5)
