@@ -497,14 +497,22 @@ def cheapest_supplier_per_part(
             F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_price"),
         )
     )
-    best = unit.groupBy("p_partkey").agg(F.min("unit_price").alias("min_price"))
+    # Rename the agg key so the equality join back onto `unit` is
+    # lexically unambiguous — unit["p_partkey"] == best["p_partkey"] is a
+    # same-lineage self-join reference that Spark only rescues via plan-id
+    # metadata (with a "trivially true predicate" WARN); a distinct name
+    # needs no rescue.
+    best = (
+        unit.groupBy(F.col("p_partkey").alias("best_partkey"))
+        .agg(F.min("unit_price").alias("min_price"))
+    )
     return (
         unit.join(
             F.broadcast(best),
-            (unit["p_partkey"] == best["p_partkey"])
-            & (unit["unit_price"] == best["min_price"]),
+            (F.col("p_partkey") == F.col("best_partkey"))
+            & (F.col("unit_price") == F.col("min_price")),
         )
-        .drop(best["p_partkey"])
+        .drop("best_partkey")
         .groupBy("p_partkey", "p_name", "unit_price")
         .agg(F.min("l_suppkey").alias("s_suppkey"))
         .join(supplier, "s_suppkey")

@@ -617,11 +617,18 @@ def semantic_near_duplicate_pairs(
     # Vector-carrying self-join sides: pin sort-merge (stale cached-size
     # estimates must never broadcast a corpus-sized side — see
     # cosine_near_duplicate_pairs).
+    # Distinct join-key names per side: a.cluster == b.cluster is a
+    # same-lineage self-join reference Spark only rescues via plan-id
+    # metadata (with a "trivially true predicate" WARN).
     a = sides.select("cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = sides.select("cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")).hint("merge")
+    b = sides.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+    ).hint("merge")
     sim = pair_cosine_udf()(F.col("v_a"), F.col("v_b"))
     return (
-        a.join(b, (a.cluster == b.cluster) & (F.col("id_a") < F.col("id_b")))
+        a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")

@@ -148,3 +148,30 @@ def test_fk_integrity_audit_counts_true_orphans(spark):
     assert out["lineitem.l_suppkey -> supplier"].n_orphans == 0
     rc = out["orders.o_custkey -> customer"]
     assert (rc.n_child_rows, rc.n_orphans, rc.orphan_rate) == (2, 1, 0.5)
+
+
+def test_cheapest_supplier_ignores_cross_part_price_collisions(spark):
+    """Part 1's non-min row (7.0) equals part 2's min price (7.0). If the
+    best-price join back ever degenerates to price-only matching (the
+    same-lineage self-join trap this formulation avoids by renaming the
+    agg key), a bogus (part 1, 7.0) group appears."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.relational import (
+        cheapest_supplier_per_part,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "pa", 5), (2, "pb", 5)], "p_partkey long, p_name string, p_size long"
+    )
+    supplier = spark.createDataFrame(
+        [(100, "s100"), (200, "s200"), (300, "s300")],
+        "s_suppkey long, s_name string",
+    )
+    li = spark.createDataFrame(
+        [(1, 100, 1.0, 5.0), (1, 300, 1.0, 7.0), (2, 200, 1.0, 7.0)],
+        "l_partkey long, l_suppkey long, l_quantity double, l_extendedprice double",
+    )
+    out = cheapest_supplier_per_part(part, supplier, li).collect()
+    assert {(r.p_partkey, r.s_suppkey, r.min_unit_price) for r in out} == {
+        (1, 100, 5.0),
+        (2, 200, 7.0),
+    }
