@@ -697,6 +697,68 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between md5-split corpus halves: top-25
+    tokens by exact-integer cross-multiplied frequency difference, with
+    smoothed per-half probabilities and JS-divergence contributions. One
+    (token) hash agg + broadcast totals + TakeOrderedAndProject."""
+    return corpus.corpus_drift(_t(spark, sf_dir, "documents"))
+
+
+def q_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: pairwise trigram-shingle
+    Jaccard between sources (zero-overlap pairs included). Rides the
+    shared shingle_table; one (source, gram) dedup shuffle; gram →
+    source-set agg bounded by |sources|; no all-pairs row join."""
+    return corpus.source_shingle_overlap(_t(spark, sf_dir, "documents"))
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 farthest-from-global-centroid embeddings with distance
+    z-scores. Centroid + distance moments are 1-row broadcast aggs;
+    distances expand to three sequential-fold dot products so both
+    engines compute bit-identical values; top-k is
+    TakeOrderedAndProject."""
+    return similarity.embedding_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+def q_nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation x order year for widget
+    parts. Filtered part + supplier->nation map broadcast into lineitem;
+    the ONE wide shuffle is the orderkey SMJ; per-row profit quantizes to
+    DECIMAL(18,4) pre-sum so accumulation is exact in both engines."""
+    return relational.nation_profit_by_year(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, size decade) with a
+    broadcast anti-join denylist (md5-planted ~25% subset, the engine's
+    non-vacuous-exclusion pattern). One composite-key dedup shuffle."""
+    return relational.part_supplier_counts(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+def q_excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers shipping > 1.2x a part's average
+    per-supplier quantity (widget parts, 1997). Year filter pushed to the
+    scan, part filter broadcast, ONE (part,supp) hash agg; per-part
+    averages re-agg and come back as a broadcast join."""
+    return relational.excess_shipment_suppliers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
 def q_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU stickiness per day — rides the SHARED (user, day) activity
     table for both series (DAU agg + the lag+explode rolling WAU, no
@@ -2263,10 +2325,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_stickiness": q_user_stickiness,
         "monthly_order_mix": q_monthly_order_mix,
         "fk_integrity_audit": q_fk_integrity_audit,
-        # -- tier 3 (r5): r3-green queries rotated in for fresh rows ----
+        # -- tier 3 (r6): new this round — first driver contact ---------
+        "nation_profit_by_year": q_nation_profit_by_year,
+        "part_supplier_counts": q_part_supplier_counts,
+        # ---- driver window boundary (first 50 above) ------------------
+        # r6 additions below the boundary queue for the r7 rotation; the
+        # two r3-green refreshes (user_sessions, daily_distinct_users)
+        # yielded their slots to the new queries' first driver contact.
+        "excess_shipment_suppliers": q_excess_shipment_suppliers,
+        "corpus_drift": q_corpus_drift,
+        "source_shingle_overlap": q_source_shingle_overlap,
+        "embedding_outliers": q_embedding_outliers,
         "user_sessions": q_user_sessions,
         "daily_distinct_users": q_daily_distinct_users,
-        # ---- driver window boundary (first 50 above) ------------------
         "event_type_pivot": q_event_type_pivot,
         "latest_events_display": q_latest_events_display,
         "value_percentiles": q_value_percentiles,
@@ -4094,6 +4165,178 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(n_orphans / CAST(n_child_rows AS DOUBLE), 6)
                        AS orphan_rate
             FROM u ORDER BY relationship
+        """,
+        # Q9 shape: per-row profit quantized to DECIMAL(18,4) BEFORE the
+        # sum so accumulation is exact integer arithmetic in both engines.
+        "nation_profit_by_year": """
+            SELECT n_name AS nation_name,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+                   CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+                   CAST(ROUND(SUM(CAST(
+                       l_extendedprice * (1 - l_discount)
+                       - 0.6 * p_retailprice * l_quantity
+                       AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY nation_name, order_year
+            ORDER BY nation_name, order_year
+        """,
+        # Q16 shape: denylist is the md5-planted ~25% supplier subset
+        # (fk_integrity_audit pattern) expressed as NOT IN.
+        "part_supplier_counts": """
+            WITH pairs AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                WHERE l_suppkey NOT IN (
+                    SELECT s_suppkey FROM supplier
+                    WHERE substr(md5(CAST(s_suppkey AS VARCHAR)), 1, 1) < '4'
+                )
+            )
+            SELECT p_brand,
+                   CAST(FLOOR(p_size / 10) * 10 AS INT) AS size_decade,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt,
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS part_cnt
+            FROM pairs JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand, size_decade
+            ORDER BY supplier_cnt DESC, p_brand, size_decade
+        """,
+        # Q20 shape: the over-average filter cross-multiplies so neither
+        # engine performs a decimal division (result scale differs across
+        # engines); ratio is pure IEEE-double on decimal-exact inputs.
+        "excess_shipment_suppliers": """
+            WITH shipped AS (
+                SELECT l_partkey, l_suppkey,
+                       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                         AND p_name LIKE '%widget%'
+                WHERE EXTRACT(year FROM l_shipdate) = 1997
+                GROUP BY l_partkey, l_suppkey
+            ),
+            per_part AS (
+                SELECT l_partkey AS pk, SUM(qty) AS part_qty,
+                       COUNT(*) AS n_supps
+                FROM shipped GROUP BY l_partkey
+            ),
+            excess AS (
+                SELECT l_suppkey,
+                       ROUND(CAST(qty AS DOUBLE) * n_supps
+                             / CAST(part_qty AS DOUBLE), 6) AS ratio
+                FROM shipped JOIN per_part ON l_partkey = pk
+                WHERE CAST(qty AS DOUBLE) * n_supps
+                      > 1.2 * CAST(part_qty AS DOUBLE)
+            )
+            SELECT s_suppkey, s_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_excess_parts,
+                   MAX(ratio) AS max_over_ratio
+            FROM excess JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_suppkey, s_name
+            ORDER BY n_excess_parts DESC, s_suppkey
+        """,
+        # Drift: the top-k cutoff ranks on the exact integer
+        # |cnt_a*tot_b - cnt_b*tot_a| with a token tiebreak — no float in
+        # the ordering; reported floats are identically-written arithmetic
+        # over integers, ln-ulp absorbed by rounding.
+        "corpus_drift": """
+            WITH toks AS (
+              SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                          THEN 'a' ELSE 'b' END AS half,
+                     unnest(list_filter(
+                       string_split_regex(lower(regexp_replace(text, '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+                       t -> t <> '')) AS token
+              FROM documents
+            ), per AS (
+              SELECT token,
+                     CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+                     CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+              FROM toks GROUP BY token
+            ), tot AS (
+              SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
+                     CAST(SUM(cnt_b) AS BIGINT) AS tot_b,
+                     CAST(COUNT(*) AS BIGINT) AS vocab
+              FROM per
+            ), sc AS (
+              SELECT token, cnt_a, cnt_b,
+                     (cnt_a + 0.5) / (tot_a + 0.5 * vocab) AS pa,
+                     (cnt_b + 0.5) / (tot_b + 0.5 * vocab) AS pb,
+                     abs(cnt_a * tot_b - cnt_b * tot_a) AS dn
+              FROM per CROSS JOIN tot
+            )
+            SELECT token, cnt_a, cnt_b,
+                   ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+                   ROUND(0.5 * (pa * ln(pa / ((pa + pb) / 2.0))
+                                + pb * ln(pb / ((pa + pb) / 2.0))), 8) AS js_contrib
+            FROM sc ORDER BY dn DESC, token LIMIT 25
+        """,
+        # Source overlap: same trigram construction as ngram_novelty's
+        # oracle; zero-overlap pairs kept via the sizes-pair left join.
+        "source_shingle_overlap": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(regexp_replace(text, '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+                       t -> t <> '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       list_transform(range(1, greatest(len(t) - 3, 0) + 2),
+                                      i -> array_to_string(t[i:i+2], ' ')),
+                       g -> g <> '')) AS s
+              FROM toks
+            ), ps AS (
+              SELECT DISTINCT d.source AS src, unnest(sh.s) AS gram
+              FROM sh JOIN documents d USING (doc_id)
+            ), sizes AS (
+              SELECT src, CAST(COUNT(*) AS BIGINT) AS sz FROM ps GROUP BY src
+            ), inter AS (
+              SELECT a.src AS sa, b.src AS sb, CAST(COUNT(*) AS BIGINT) AS ic
+              FROM ps a JOIN ps b ON a.gram = b.gram AND a.src < b.src
+              GROUP BY a.src, b.src
+            )
+            SELECT s1.src AS source_a, s2.src AS source_b,
+                   s1.sz AS shingles_a, s2.sz AS shingles_b,
+                   CAST(COALESCE(ic, 0) AS BIGINT) AS inter_cnt,
+                   ROUND(COALESCE(ic, 0)
+                         / CAST(s1.sz + s2.sz - COALESCE(ic, 0) AS DOUBLE), 6)
+                       AS jaccard
+            FROM sizes s1 JOIN sizes s2 ON s1.src < s2.src
+            LEFT JOIN inter ON sa = s1.src AND sb = s2.src
+            ORDER BY source_a, source_b
+        """,
+        # Outliers: distance = sqrt(max(vv - 2*vc + cc, 0)) over the 6-dp
+        # rounded centroid — three left-to-right dot folds, bit-identical
+        # across engines; cutoff orders on the ROUNDED distance + id.
+        "embedding_outliers": """
+            WITH e AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), c AS (
+              SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(CAST(embedding AS DOUBLE[])) AS val
+              FROM embeddings
+            ), cent AS (
+              SELECT dim, ROUND(AVG(val), 6) AS cv FROM c GROUP BY dim
+            ), carr AS (
+              SELECT list(cv ORDER BY dim) AS cvec FROM cent
+            ), d AS (
+              SELECT vec_id, label,
+                     ROUND(sqrt(greatest(
+                         list_dot_product(v, v)
+                         - 2.0 * list_dot_product(v, cvec)
+                         + list_dot_product(cvec, cvec), 0.0)), 6) AS dist
+              FROM e CROSS JOIN carr
+            ), mo AS (
+              SELECT ROUND(AVG(dist), 6) AS mu,
+                     ROUND(STDDEV_SAMP(dist), 6) AS sigma
+              FROM d
+            )
+            SELECT vec_id, label, dist,
+                   ROUND((dist - mu) / sigma, 6) AS z_score
+            FROM d CROSS JOIN mo
+            ORDER BY dist DESC, vec_id LIMIT 25
         """,
         # DAU over the deduped (user, day) table; WAU via the relational
         # trailing-range self-join (the engine's lag+explode construction is

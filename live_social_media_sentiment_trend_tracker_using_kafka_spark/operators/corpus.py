@@ -854,3 +854,147 @@ def quality_by_dup_status(
         )
         .orderBy("dup_status")
     )
+
+
+def corpus_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 25,
+    smoothing: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Token-distribution drift between two deterministic corpus halves
+    (md5(doc_id) first hex < '8' → half "a"): the top-k tokens by
+    normalized-frequency difference, each with its smoothed per-half
+    probability and its contribution to the Jensen-Shannon divergence —
+    the "did the crawl/mix shift under us" monitoring panel a training
+    pipeline runs between snapshots.
+
+    Returns (token, cnt_a, cnt_b, p_a, p_b, js_contrib) — k rows ordered
+    by drift. Probabilities are add-λ smoothed over the union vocab.
+
+    Cross-engine determinism: the top-k CUTOFF ranks on the exact
+    integer cross-multiplication |cnt_a·tot_b − cnt_b·tot_a| (the
+    unsmoothed prob-difference numerator) with a token tiebreak — no
+    float enters the ordering. The reported floats derive from integers
+    through identically-written arithmetic; ln() ulp drift is absorbed
+    by rounding. (The cross-product is exact in int64 up to ~1e9-token
+    halves; quantize to DECIMAL(38,0) beyond that.)
+
+    Scale shape: one tokenize pass, ONE map-side-combinable (token) hash
+    agg; totals re-agg that table to 1 row and come back as a broadcast
+    cross-join; top-k is TakeOrderedAndProject.
+    """
+    from .dedup import word_tokens_col
+
+    half = F.when(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1) < "8", "a"
+    ).otherwise("b")
+    toks = df.select(
+        half.alias("half"),
+        F.explode(word_tokens_col(F.col(text_col))).alias("token"),
+    )
+    per = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).cast("long").alias("cnt_a"),
+        F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).cast("long").alias("cnt_b"),
+    )
+    tot = per.agg(
+        F.sum("cnt_a").cast("long").alias("tot_a"),
+        F.sum("cnt_b").cast("long").alias("tot_b"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    lam = F.lit(smoothing)
+    pa = (F.col("cnt_a") + lam) / (F.col("tot_a") + lam * F.col("vocab"))
+    pb = (F.col("cnt_b") + lam) / (F.col("tot_b") + lam * F.col("vocab"))
+    m = (pa + pb) / F.lit(2.0)
+    js = F.lit(0.5) * (pa * F.log(pa / m) + pb * F.log(pb / m))
+    dn = F.abs(
+        F.col("cnt_a") * F.col("tot_b") - F.col("cnt_b") * F.col("tot_a")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "cnt_a",
+            "cnt_b",
+            F.round(pa, round_digits).alias("p_a"),
+            F.round(pb, round_digits).alias("p_b"),
+            F.round(js, 8).alias("js_contrib"),
+            dn.alias("_dn"),
+        )
+        .orderBy(F.desc("_dn"), "token")
+        .limit(k)
+        .drop("_dn")
+    )
+
+
+def source_shingle_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard overlap between SOURCES — the
+    cross-source contamination matrix ("is source X republishing source
+    Y?") a curation pipeline checks before assigning dedup priorities or
+    mixture weights. Complements the doc-level near-dup family: this is
+    corpus-level set overlap, not pair discovery.
+
+    Returns (source_a, source_b, shingles_a, shingles_b, inter_cnt,
+    jaccard) for every source_a < source_b (zero-overlap pairs included),
+    ordered by the pair.
+
+    Scale shape: rides the canonical shared shingle_table (one tokenize
+    pass per corpus per session); the (source, gram) projection dedups in
+    ONE hash shuffle; intersections aggregate gram → source-set (bounded
+    by |sources|, map-side combinable) and explode to C(|sources|,2)
+    pairs at most per gram; set sizes re-agg the deduped table. No
+    all-pairs row join ever forms — the widest intermediate is the
+    deduped (source, gram) table itself.
+    """
+    from .dedup import shingle_table
+
+    sh = shingle_table(df, text_col, id_col, n)
+    pairs = (
+        sh.join(df.select(id_col, source_col), id_col)
+        .select(F.col(source_col).alias("src"), F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    sizes = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.groupBy("gram")
+        .agg(F.collect_set("src").alias("srcs"))
+        .filter(F.size("srcs") > 1)
+        .select(F.explode("srcs").alias("sa"), F.col("srcs"))
+        .select("sa", F.explode("srcs").alias("sb"))
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    a = sizes.select(F.col("src").alias("source_a"), F.col("sz").alias("shingles_a"))
+    b = sizes.select(F.col("src").alias("source_b"), F.col("sz").alias("shingles_b"))
+    ic = F.coalesce(F.col("inter_cnt"), F.lit(0)).cast("long")
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .join(
+            F.broadcast(inter),
+            (F.col("source_a") == F.col("sa")) & (F.col("source_b") == F.col("sb")),
+            "left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shingles_a",
+            "shingles_b",
+            ic.alias("inter_cnt"),
+            F.round(
+                ic
+                / (F.col("shingles_a") + F.col("shingles_b") - ic).cast("double"),
+                round_digits,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -894,3 +894,189 @@ def fk_integrity_audit(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("relationship")
+
+
+def nation_profit_by_year(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    pattern: str = "%widget%",
+    cost_factor: float = 0.6,
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    matching a name pattern (the driver schema has no partsupp, so unit
+    cost is modeled as ``cost_factor * p_retailprice`` — the shape of the
+    query, a 5-way star join feeding a two-key rollup, is what matters).
+
+    Returns (nation_name, order_year, n_lineitems, profit) ordered by
+    (nation_name, order_year).
+
+    Scale shape: the part filter prunes at its scan and the surviving
+    (partkey, retailprice) projection BROADCASTS into lineitem, cutting
+    the fact stream to matching parts before anything shuffles; the
+    supplier->nation name map is dim-sized and broadcasts likewise. The
+    ONE real shuffle is lineitem⋈orders on orderkey (fact-fact SMJ);
+    the rollup after it is map-side combinable into |nations| x |years|
+    rows. Cross-engine determinism: per-row profit quantizes to
+    DECIMAL(18,4) BEFORE the sum, so accumulation is exact integer
+    arithmetic in both engines regardless of partial-agg order.
+    """
+    parts = F.broadcast(
+        part.filter(F.col("p_name").like(pattern)).select(
+            "p_partkey", "p_retailprice"
+        )
+    )
+    supp_nation = F.broadcast(
+        supplier.join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+        ).select("s_suppkey", F.col("n_name").alias("nation_name"))
+    )
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(cost_factor) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        lineitem.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "nation_name", profit.alias("px"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation_name", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("px"), 2).cast("double").alias("profit"),
+        )
+        .orderBy("nation_name", "order_year")
+    )
+
+
+def part_supplier_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """TPC-H Q16 shape: per (brand, size decade), how many DISTINCT
+    suppliers have shipped such parts — excluding a denylisted supplier
+    set (Q16's NOT IN subquery, expressed as a broadcast anti-join).
+    The sf suppliers all have healthy balances, so the denylist uses the
+    engine's planted-subset pattern (md5 first hex < '4', ~25%) to keep
+    the exclusion non-vacuous, mirroring fk_integrity_audit.
+
+    Returns (p_brand, size_decade, supplier_cnt, part_cnt) ordered by
+    (supplier_cnt desc, p_brand, size_decade).
+
+    Scale shape: the fact stream projects to (partkey, suppkey) and
+    dedups — ONE shuffle on the composite key that also co-locates the
+    later countDistinct; the denylist and the part attributes both
+    broadcast (dim-sized), so no further fact-wide exchange beyond the
+    final |brands| x |decades| rollup.
+    """
+    denied = F.broadcast(
+        supplier.filter(
+            F.substring(F.md5(F.col("s_suppkey").cast("string")), 1, 1) < "4"
+        ).select("s_suppkey")
+    )
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(denied, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    dims = F.broadcast(
+        part.select(
+            "p_partkey",
+            "p_brand",
+            (F.floor(F.col("p_size") / 10) * 10).cast("int").alias("size_decade"),
+        )
+    )
+    return (
+        pairs.join(dims, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "size_decade")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.countDistinct("l_partkey").alias("part_cnt"),
+        )
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "size_decade")
+    )
+
+
+def excess_shipment_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    pattern: str = "%widget%",
+    year: int = 1997,
+    factor: float = 1.2,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped MORE than ``factor`` x the
+    part's average per-supplier quantity for pattern-matching parts in
+    one calendar year — the "who is over-supplying which part" semijoin
+    chain (partsupp's availqty threshold re-expressed over shipments).
+
+    Returns (s_suppkey, s_name, n_excess_parts, max_over_ratio) ordered
+    by (n_excess_parts desc, s_suppkey).
+
+    Scale shape: the year filter pushes to the lineitem scan and the
+    pattern-filtered part broadcasts into it, so the fact stream is cut
+    twice before the ONE wide shuffle — the (partkey, suppkey) hash agg.
+    The per-part average is a re-agg of that (part-key-combinable) and
+    comes back as a BROADCAST join (per-part stats are dim-sized); the
+    final per-supplier rollup and the supplier-name join are tiny.
+    Determinism: quantities quantize to DECIMAL(18,2) pre-sum, and the
+    "over average" filter cross-multiplies (qty * n_supps vs factor *
+    part_qty) so no engine ever performs a decimal division whose result
+    scale could differ; the reported ratio is pure IEEE-double
+    arithmetic on exactly-convertible decimal inputs, rounded to 6 dp.
+    """
+    parts = F.broadcast(
+        part.filter(F.col("p_name").like(pattern)).select("p_partkey")
+    )
+    # explicit NTZ range, not year(l_shipdate)==year: the range form is a
+    # min/max-prunable parquet PushedFilter; the year() form stays a
+    # post-scan DataFilter and would read every year at 100 TB
+    lo = F.lit(f"{year}-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit(f"{year + 1}-01-01 00:00:00").cast("timestamp_ntz")
+    shipped = (
+        lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    per_part = F.broadcast(
+        shipped.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum("qty").alias("part_qty"),
+            F.count(F.lit(1)).alias("n_supps"),
+        )
+    )
+    excess = (
+        shipped.join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(
+            F.col("qty").cast("double") * F.col("n_supps")
+            > F.lit(factor) * F.col("part_qty").cast("double")
+        )
+        .select(
+            "l_suppkey",
+            F.round(
+                F.col("qty").cast("double")
+                * F.col("n_supps")
+                / F.col("part_qty").cast("double"),
+                6,
+            ).alias("ratio"),
+        )
+    )
+    return (
+        excess.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_excess_parts"),
+            F.max("ratio").alias("max_over_ratio"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "n_excess_parts", "max_over_ratio")
+        .orderBy(F.desc("n_excess_parts"), "s_suppkey")
+    )

@@ -700,3 +700,88 @@ def label_cosine_report(
         )
         .orderBy(label_col)
     )
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 25,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k embedding-space outliers: the vectors farthest from the
+    GLOBAL centroid, each with its distance z-score — the "weird inputs"
+    screen a curation pipeline runs before trusting embedding-based
+    dedup or clustering (a far outlier is usually a corrupt row, an
+    out-of-domain doc, or an encoder failure).
+
+    Returns (vec_id, label, dist, z_score) — k rows, farthest first.
+
+    Cross-engine determinism: the centroid is the per-dim 6-dp-rounded
+    mean (label_centroids' proven identity); the squared distance
+    expands to dot(v,v) − 2·dot(v,c) + dot(c,c), all three dots
+    sequential left-to-right folds over double-cast arrays (Spark
+    ``aggregate`` HOF ≡ DuckDB list_dot_product), so every distance is
+    bit-identical. The z-score's mean/stddev round to 6 dp before the
+    per-row arithmetic, and the top-k cutoff orders on the ROUNDED
+    distance with an id tiebreak.
+
+    Scale shape: centroid = one |dims|-row hash agg (map-side partials),
+    broadcast back as a 1-row array; distances are a narrow map; the
+    distance moments are a second 1-row agg broadcast the same way;
+    top-k is TakeOrderedAndProject. Nothing wide ever shuffles.
+    """
+    from ..caching import tracked_persist
+    from ..functions.vectors import dot_col
+
+    cent = (
+        embeddings.select(F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), round_digits).alias("cv"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s.cv,
+            ).alias("cvec")
+        )
+    )
+    vecs = embeddings.select(
+        id_col,
+        label_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    with_d = tracked_persist(
+        vecs.crossJoin(F.broadcast(cent)).select(
+            id_col,
+            label_col,
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        dot_col(F.col("v"), F.col("v"))
+                        - F.lit(2.0) * dot_col(F.col("v"), F.col("cvec"))
+                        + dot_col(F.col("cvec"), F.col("cvec")),
+                        F.lit(0.0),
+                    )
+                ),
+                round_digits,
+            ).alias("dist"),
+        )
+    )
+    moments = with_d.agg(
+        F.round(F.avg("dist"), round_digits).alias("mu"),
+        F.round(F.stddev_samp("dist"), round_digits).alias("sigma"),
+    )
+    return (
+        with_d.crossJoin(F.broadcast(moments))
+        .select(
+            id_col,
+            label_col,
+            "dist",
+            F.round(
+                (F.col("dist") - F.col("mu")) / F.col("sigma"), round_digits
+            ).alias("z_score"),
+        )
+        .orderBy(F.desc("dist"), id_col)
+        .limit(k)
+    )

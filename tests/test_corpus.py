@@ -373,3 +373,55 @@ def test_lexical_diversity_exact_ratios(spark):
     fr = out["fr"]
     assert (fr.n_tokens, fr.n_types, fr.n_hapax) == (2, 2, 2)
     assert (fr.ttr, fr.hapax_share, fr.avg_token_len) == (1.0, 1.0, 1.0)
+
+
+def test_corpus_drift_counts_and_order(spark):
+    """Tokens are counted into the md5-determined half; the top-k ranks on
+    the exact integer cross-multiplied frequency difference."""
+    import hashlib
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import corpus_drift
+
+    a_ids = [i for i in range(1, 200) if hashlib.md5(str(i).encode()).hexdigest()[0] < "8"]
+    b_ids = [i for i in range(1, 200) if hashlib.md5(str(i).encode()).hexdigest()[0] >= "8"]
+    docs = spark.createDataFrame(
+        [
+            (a_ids[0], "alpha alpha beta"),
+            (a_ids[1], "alpha gamma"),
+            (b_ids[0], "beta beta beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["token"]: r for r in corpus_drift(docs, k=10).collect()}
+    # tot_a = 5, tot_b = 4; alpha: (3,0); beta: (1,3); gamma: (1,1)
+    assert (rows["alpha"]["cnt_a"], rows["alpha"]["cnt_b"]) == (3, 0)
+    assert (rows["beta"]["cnt_a"], rows["beta"]["cnt_b"]) == (1, 3)
+    # smoothed p_a for alpha: (3+.5)/(5+.5*3) = 3.5/6.5
+    assert rows["alpha"]["p_a"] == round(3.5 / 6.5, 6)
+    # ordering: dn(alpha)=|3*4-0*5|=12 > dn(beta)=|1*4-3*5|=11 > dn(gamma)=1
+    toks = [r["token"] for r in corpus_drift(docs, k=10).collect()]
+    assert toks == ["alpha", "beta", "gamma"]
+
+
+def test_source_shingle_overlap_exact_jaccard(spark):
+    """Two sources sharing exactly one trigram out of (2+2-1) distinct ones;
+    a third zero-overlap source still appears in the matrix."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        source_shingle_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),     # trigrams: "a b c", "b c d"
+            (2, "a b c x", "s2"),     # trigrams: "a b c", "b c x"
+            (3, "q r s t", "s3"),     # trigrams: "q r s", "r s t"
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r["source_a"], r["source_b"]): r for r in source_shingle_overlap(docs).collect()}
+    assert set(rows) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    r = rows[("s1", "s2")]
+    assert (r["shingles_a"], r["shingles_b"], r["inter_cnt"]) == (2, 2, 1)
+    assert r["jaccard"] == round(1 / 3, 6)
+    assert rows[("s1", "s3")]["inter_cnt"] == 0
+    assert rows[("s1", "s3")]["jaccard"] == 0.0

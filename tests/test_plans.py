@@ -533,3 +533,36 @@ def test_fk_integrity_audit_broadcasts_dims_no_cartesian(spark):
     assert_no_python_udf(df)
     assert_broadcast_join(df, expected=3)
     assert "CartesianProduct" not in plan_text(df)
+
+
+def test_q9_shape_broadcasts_part_and_suppnation(spark):
+    """nation_profit_by_year: the filtered part projection and the
+    supplier->nation map must BROADCAST into the fact stream (plus the
+    nation dim inside the map itself); lineitem x orders is the one
+    shuffled join. Pure-SQL path — no Python boundary."""
+    df = entrymod.q_nation_profit_by_year(spark, SF)
+    assert_broadcast_join(df, expected=3)
+    assert_no_python_udf(df)
+
+
+def test_q16_shape_anti_join_broadcasts(spark):
+    """part_supplier_counts: the denylist anti-join and the part-attribute
+    join both broadcast; the only wide exchange is the composite-key dedup
+    (plus the final tiny rollup)."""
+    df = entrymod.q_part_supplier_counts(spark, SF)
+    plan = plan_text(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert_no_python_udf(df)
+
+
+def test_q20_shape_year_filter_pushes_to_scan(spark):
+    """excess_shipment_suppliers: the calendar-year filter is written as
+    an explicit NTZ range so it reaches the lineitem parquet scan as
+    min/max-prunable PushedFilters (the year(ts)==k form would stay a
+    post-scan DataFilter and read every year at 100 TB); dim joins
+    broadcast."""
+    df = entrymod.q_excess_shipment_suppliers(spark, SF)
+    plan = plan_text(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan and "LessThan(l_shipdate" in plan, plan
+    assert_no_python_udf(df)

@@ -175,3 +175,119 @@ def test_cheapest_supplier_ignores_cross_part_price_collisions(spark):
         (1, 100, 5.0),
         (2, 200, 7.0),
     }
+
+
+def test_nation_profit_by_year_hand_computed(spark):
+    """Only pattern-matching parts contribute; profit is
+    extprice*(1-disc) - 0.6*retail*qty per row, grouped by supplier
+    nation x order year."""
+    from datetime import datetime
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.relational import (
+        nation_profit_by_year,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "red widget", 10.0), (2, "blue bolt", 99.0)],
+        "p_partkey long, p_name string, p_retailprice double",
+    )
+    supplier = spark.createDataFrame(
+        [(1, 0), (2, 1)], "s_suppkey long, s_nationkey int"
+    )
+    nation = spark.createDataFrame(
+        [(0, "N0"), (1, "N1")], "n_nationkey int, n_name string"
+    )
+    orders = spark.createDataFrame(
+        [(100, datetime(1997, 3, 1)), (101, datetime(1998, 7, 1))],
+        "o_orderkey long, o_orderdate timestamp_ntz",
+    )
+    li = spark.createDataFrame(
+        [
+            # widget via supp 1 (N0), order 1997: 100*(1-0.1) - 0.6*10*2 = 78.00
+            (100, 1, 1, 2.0, 100.0, 0.1),
+            # widget via supp 2 (N1), order 1998: 50*1 - 0.6*10*1 = 44.00
+            (101, 2, 1, 1.0, 50.0, 0.0),
+            # non-widget part -> dropped
+            (100, 1, 2, 1.0, 999.0, 0.0),
+        ],
+        "l_orderkey long, l_suppkey long, l_partkey long, "
+        "l_quantity double, l_extendedprice double, l_discount double",
+    )
+    rows = {
+        (r["nation_name"], r["order_year"]): r
+        for r in nation_profit_by_year(li, orders, part, supplier, nation).collect()
+    }
+    assert set(rows) == {("N0", 1997), ("N1", 1998)}
+    assert rows[("N0", 1997)]["profit"] == 78.0
+    assert rows[("N0", 1997)]["n_lineitems"] == 1
+    assert rows[("N1", 1998)]["profit"] == 44.0
+
+
+def test_part_supplier_counts_excludes_denylist_and_dedups(spark):
+    """Denylisted suppliers (md5 first hex < '4') never count; repeated
+    shipments of the same (part, supplier) pair count once."""
+    from pyspark.sql import functions as F
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.relational import (
+        part_supplier_counts,
+    )
+
+    # pick one denied + two allowed suppkeys by evaluating the same md5 rule
+    import hashlib
+
+    denied = [k for k in range(1, 50) if hashlib.md5(str(k).encode()).hexdigest()[0] < "4"]
+    allowed = [k for k in range(1, 50) if hashlib.md5(str(k).encode()).hexdigest()[0] >= "4"]
+    d, a1, a2 = denied[0], allowed[0], allowed[1]
+
+    part = spark.createDataFrame(
+        [(1, "Brand#1", 12), (2, "Brand#1", 17)],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    supplier = spark.createDataFrame(
+        [(d, 1.0), (a1, 1.0), (a2, 1.0)], "s_suppkey long, s_acctbal double"
+    )
+    li = spark.createDataFrame(
+        [(1, a1), (1, a1), (1, a2), (1, d), (2, a1)],
+        "l_partkey long, l_suppkey long",
+    )
+    rows = {(r["p_brand"], r["size_decade"]): r
+            for r in part_supplier_counts(li, part, supplier).collect()}
+    # size 12 -> decade 10; size 17 -> decade 10 too: one group, both parts
+    assert set(rows) == {("Brand#1", 10)}
+    assert rows[("Brand#1", 10)]["supplier_cnt"] == 2  # a1, a2; d excluded
+    assert rows[("Brand#1", 10)]["part_cnt"] == 2
+
+
+def test_excess_shipment_suppliers_boundary_and_year_filter(spark):
+    """Strictly-over-1.2x-the-part-average suppliers only; shipments
+    outside the target year and non-matching parts are invisible."""
+    from datetime import datetime
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.relational import (
+        excess_shipment_suppliers,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "green widget"), (2, "steel bolt")], "p_partkey long, p_name string"
+    )
+    supplier = spark.createDataFrame(
+        [(1, "S1"), (2, "S2")], "s_suppkey long, s_name string"
+    )
+    li = spark.createDataFrame(
+        [
+            # part 1 in 1997: supp1 ships 30, supp2 ships 10 -> avg 20;
+            # supp1 ratio 1.5 > 1.2 (excess), supp2 0.5 (not)
+            (1, 1, 30.0, datetime(1997, 5, 1)),
+            (1, 2, 10.0, datetime(1997, 6, 1)),
+            # 1996 shipment of part 1 must not shift the 1997 average
+            (1, 2, 500.0, datetime(1996, 6, 1)),
+            # non-widget part: huge skew, still invisible
+            (2, 1, 1000.0, datetime(1997, 1, 1)),
+            (2, 2, 1.0, datetime(1997, 1, 2)),
+        ],
+        "l_partkey long, l_suppkey long, l_quantity double, l_shipdate timestamp_ntz",
+    )
+    rows = excess_shipment_suppliers(li, part, supplier).collect()
+    assert [(r["s_suppkey"], r["n_excess_parts"], r["max_over_ratio"]) for r in rows] == [
+        (1, 1, 1.5)
+    ]

@@ -220,3 +220,21 @@ def test_centroid_separation_orthogonal_and_identical_labels(spark):
     assert out[(0, 1)] == 1.0
     assert out[(0, 2)] == 0.0
     assert out[(1, 2)] == 0.0
+
+
+def test_embedding_outliers_planted_far_vector(spark):
+    """A planted far-away vector ranks first with a large positive
+    z-score; distances are against the global centroid."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    base = [(i, [0.0, float(i % 2)], 0) for i in range(1, 9)]
+    rows_in = base + [(99, [100.0, 100.0], 1)]
+    df = spark.createDataFrame(
+        rows_in, "vec_id long, embedding array<float>, label int"
+    )
+    out = embedding_outliers(df, k=3).collect()
+    assert out[0]["vec_id"] == 99
+    assert out[0]["z_score"] > 2.0
+    assert out[0]["dist"] > out[1]["dist"]
