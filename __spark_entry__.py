@@ -77,7 +77,9 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers
 )
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.streaming import (
     interval_join_streams,
+    interval_left_join_streams,
     run_available_now_to_memory,
+    stream_static_enrich,
 )
 
 # Fixed query vector for similarity queries: embeddings row vec_id=0 is the
@@ -2194,6 +2196,116 @@ def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFram
     return out.orderBy("user_id", "view_event", "purchase_event")
 
 
+def q_streaming_view_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 stream-stream LEFT OUTER interval join, oracle-checked: views
+    keep flowing even with no purchase within 30 min — the unmatched rows
+    are the "abandoned view" signal an attribution pipeline needs, and
+    they only become FINAL (and are only emitted) once the watermark
+    passes their join window.
+
+    Parity clip: an AvailableNow drain leaves the last watermark+delay of
+    views OPEN (their no-match verdict isn't final), so BOTH the streamed
+    result and the batch-twin oracle restrict to views with
+    ``ts <= LEAST(max view ts, max purchase ts) - 91 minutes`` (1h
+    watermark + 30min delay + 1min margin) — the closed region, where
+    streaming must equal batch row for row. The GLOBAL watermark is the
+    MIN across the two watermarked inputs, and each input only sees its
+    own post-filter rows — so the clip anchors on the smaller of the two
+    per-type maxima, not on max(ts) overall. Derived from the data on
+    both sides, no baked-in timestamp literals."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = (
+        ev.agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                )
+                - F.expr("INTERVAL 91 MINUTES")
+            ).alias("c")
+        )
+        .collect()[0]["c"]
+    )
+
+    def _stream():
+        return _stream_events(spark, sf_dir)
+
+    with _session_tz(spark, "UTC"), _stateful_stream_partitions(spark):
+        views = (
+            normalize_ts(_stream())
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("event_type") == "view")
+            .select("user_id", "event_id", "ts")
+        )
+        purchases = (
+            normalize_ts(_stream())
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", "event_id", "ts")
+        )
+        joined = interval_left_join_streams(
+            views,
+            purchases,
+            key_col="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            max_delay="30 minutes",
+            watermark="1 hour",
+        ).select(
+            "user_id",
+            F.col("event_id").alias("view_event"),
+            F.col("ts").cast("timestamp_ntz").alias("view_ts"),
+            F.col("r_event_id").alias("purchase_event"),
+        )
+        _STREAM_SEQ[0] += 1
+        name = f"stream_ivlj_{_STREAM_SEQ[0]}"
+        out = run_available_now_to_memory(joined, spark, name, output_mode="append")
+    return (
+        out.filter(F.col("view_ts") <= F.lit(cutoff))
+        .orderBy("user_id", "view_event", "purchase_event")
+    )
+
+
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join, oracle-checked: the events stream joins a
+    static per-type robust-stats dim (median + MAD computed in batch from
+    the same table) via a BROADCAST join — no watermark, no streaming
+    state, the stream never shuffles — and flags in-flight the rows more
+    than 5 MADs from their type median. The streamed flags must equal the
+    batch value_outliers_mad computation row for row."""
+    ev_batch = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev_batch.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        ev_batch.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
+        )
+    )
+    with _session_tz(spark, "UTC"), _stateful_stream_partitions(spark):
+        stream = (
+            normalize_ts(_stream_events(spark, sf_dir))
+            .filter(F.col("value").isNotNull())
+            .select("event_id", "event_type", "value")
+        )
+        flagged = (
+            stream_static_enrich(stream, mad, on="event_type")
+            .filter(F.abs(F.col("value") - F.col("med")) > 5 * F.col("mad"))
+            .select(
+                "event_id",
+                "event_type",
+                F.round("value", 6).alias("value"),
+                F.round("med", 6).alias("med"),
+                F.round("mad", 6).alias("mad"),
+            )
+        )
+        _STREAM_SEQ[0] += 1
+        name = f"stream_static_{_STREAM_SEQ[0]}"
+        out = run_available_now_to_memory(flagged, spark, name, output_mode="append")
+    return out.orderBy("event_id")
+
+
 def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 Bloom-filter decontamination — the zero-shuffle 100 TB probe
     (operators/contamination.py bloom tier): the benchmark's 3-gram set is
@@ -2362,6 +2474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_series_gapfill": q_time_series_gapfill,
         "bloom_decontamination": q_bloom_decontamination,
         "streaming_view_purchase_join": q_streaming_view_purchase_join,
+        "streaming_view_purchase_left_join": q_streaming_view_purchase_left_join,
+        "streaming_static_enrich": q_streaming_static_enrich,
         "value_histogram": q_value_histogram,
         "value_outliers_mad": q_value_outliers_mad,
         "chunk_documents": q_chunk_documents,
@@ -4810,6 +4924,58 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts > v.ts
              AND p.ts <= v.ts + INTERVAL 30 MINUTE
             ORDER BY v.user_id, view_event, purchase_event
+        """,
+        # LEFT OUTER twin: both sides clip to the watermark-CLOSED region.
+        # The global stream watermark is the MIN across the two inputs
+        # (each sees only its own post-filter rows), so the clip anchors
+        # on least(max view ts, max purchase ts) - 91 min (1h watermark +
+        # 30min delay + 1min margin); inside it, streaming unmatched
+        # emission must equal batch left join row for row.
+        "streaming_view_purchase_left_join": """
+            WITH m AS (
+                SELECT LEAST(
+                    MAX(CASE WHEN event_type = 'view' THEN ts END),
+                    MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                ) - INTERVAL 91 MINUTE AS cutoff
+                FROM events
+            ),
+            v AS (
+                SELECT user_id, event_id AS view_event, ts AS view_ts
+                FROM events, m
+                WHERE event_type = 'view' AND ts <= cutoff
+            ),
+            p AS (
+                SELECT user_id, event_id AS purchase_event, ts AS p_ts
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT v.user_id, v.view_event, v.view_ts, p.purchase_event
+            FROM v LEFT JOIN p
+              ON p.user_id = v.user_id
+             AND p.p_ts > v.view_ts
+             AND p.p_ts <= v.view_ts + INTERVAL 30 MINUTE
+            ORDER BY v.user_id, v.view_event, p.purchase_event
+        """,
+        # Stream-static twin of value_outliers_mad: identical batch SQL —
+        # the streamed broadcast-join flags must equal the batch screen.
+        "streaming_static_enrich": """
+            WITH med AS (
+                SELECT event_type, median(value) AS med
+                FROM events WHERE value IS NOT NULL GROUP BY event_type
+            ), mad AS (
+                SELECT e.event_type, any_value(m.med) AS med,
+                       median(abs(e.value - m.med)) AS mad
+                FROM events e JOIN med m USING (event_type)
+                WHERE e.value IS NOT NULL
+                GROUP BY e.event_type
+            )
+            SELECT e.event_id, e.event_type,
+                   ROUND(e.value, 6) AS value,
+                   ROUND(s.med, 6) AS med,
+                   ROUND(s.mad, 6) AS mad
+            FROM events e JOIN mad s USING (event_type)
+            WHERE e.value IS NOT NULL
+              AND abs(e.value - s.med) > 5 * s.mad
+            ORDER BY e.event_id
         """,
         # Bucketized range join: the oracle is the naive containment join —
         # fine at sf0.01, the thing the bucketed plan avoids at scale.

@@ -6,6 +6,7 @@ from .pipeline import (
     enriched_kafka_stream,
     fan_out_sinks,
     interval_join_streams,
+    interval_left_join_streams,
     run_available_now_to_memory,
     run_update_sink_to_parquet,
     session_window_stats,
@@ -13,6 +14,7 @@ from .pipeline import (
     start_file_sink,
     windowed_hashtag_counts,
     windowed_platform_stats,
+    stream_static_enrich,
     windowed_sentiment_counts,
 )
 from .monitor import monitor_streams, stop_all_streams
@@ -25,6 +27,7 @@ __all__ = [
     "enriched_kafka_stream",
     "fan_out_sinks",
     "interval_join_streams",
+    "interval_left_join_streams",
     "run_available_now_to_memory",
     "run_update_sink_to_parquet",
     "session_window_stats",
@@ -32,6 +35,7 @@ __all__ = [
     "start_file_sink",
     "windowed_hashtag_counts",
     "windowed_platform_stats",
+    "stream_static_enrich",
     "windowed_sentiment_counts",
     "monitor_streams",
     "stop_all_streams",

@@ -402,3 +402,68 @@ def run_update_sink_to_parquet(
     elif trigger:
         writer = writer.trigger(processingTime=trigger)
     return writer.start()
+
+
+def interval_left_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "event_ts",
+    right_ts: str = "event_ts",
+    max_delay: str = "10 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every left row survives;
+    right rows within ``(left_ts, left_ts + max_delay]`` per key attach,
+    and a left row with no match emits null-padded ONCE its join window
+    falls behind the watermark (Spark buffers it until then — unmatched
+    output is inherently watermark-delayed; matched rows emit as they
+    join).
+
+    State stays bounded exactly as in the inner variant: watermark + the
+    explicit time-range constraint let Spark evict both buffers. The last
+    ``watermark + max_delay`` of left rows at stream end remain open
+    (their no-match verdict isn't final), so an AvailableNow drain emits
+    unmatched rows only for the CLOSED region — batch-parity checks must
+    clip both sides to it (see q_streaming_view_purchase_left_join).
+    """
+    r = right.select(
+        F.col(key_col).alias(f"{prefix}{key_col}"),
+        F.col(right_ts).alias(f"{prefix}{right_ts}"),
+        *[
+            F.col(c).alias(f"{prefix}{c}")
+            for c in right.columns
+            if c not in (key_col, right_ts)
+        ],
+    )
+    lw = left.withWatermark(left_ts, watermark)
+    rw = r.withWatermark(f"{prefix}{right_ts}", watermark)
+    cond = (
+        (F.col(key_col) == F.col(f"{prefix}{key_col}"))
+        & (F.col(f"{prefix}{right_ts}") > F.col(left_ts))
+        & (
+            F.col(f"{prefix}{right_ts}")
+            <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return lw.join(rw, cond, "left_outer").drop(f"{prefix}{key_col}")
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    static_dim: DataFrame,
+    on: str | list[str],
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static join: each micro-batch joins against a STATIC batch
+    DataFrame (reference data, model thresholds, dimension attributes).
+    No watermark is needed — the static side is re-read per batch and
+    holds no streaming state. With ``broadcast_dim`` the static side
+    ships to every executor once per batch and the join never shuffles
+    the stream; leave it False only when the static side is too big to
+    broadcast (then Spark shuffle-joins each micro-batch, which is still
+    correct but pays |batch| + |dim| exchanges every trigger).
+    """
+    dim = F.broadcast(static_dim) if broadcast_dim else static_dim
+    return stream.join(dim, on=on, how="inner")

@@ -424,3 +424,80 @@ def test_stream_events_reads_directory_layout(spark, tmp_path):
     batch = entrymod.queries()["time_series"](spark, d)
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
     assert streamed.count() > 0
+
+
+def test_interval_left_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a view with no purchase in its window
+    emits null-padded once the watermark passes its window; matched views
+    emit joined; a view still inside the open tail is withheld."""
+    import datetime as dt
+
+    d = tmp_path / "ilj"
+    d.mkdir(exist_ok=True)
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # matched view: purchase 5 min later
+        (1, 10, "view", t0),
+        (1, 11, "purchase", t0 + dt.timedelta(minutes=5)),
+        # unmatched view, long before stream end -> closed, emits null
+        (2, 20, "view", t0 + dt.timedelta(minutes=1)),
+        # clock row: pushes the final watermark far past both windows
+        (3, 30, "purchase", t0 + dt.timedelta(hours=6)),
+        # unmatched view inside the open tail -> withheld
+        (4, 40, "view", t0 + dt.timedelta(hours=6, minutes=-2)),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "ev"))
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.streaming import (
+        interval_left_join_streams,
+    )
+
+    schema = spark.read.parquet(str(d / "ev")).schema
+    mk = lambda: spark.readStream.schema(schema).parquet(str(d / "ev"))
+    views = mk().filter(F.col("event_type") == "view").select("user_id", "event_id", "ts")
+    purch = mk().filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    joined = interval_left_join_streams(
+        views, purch, key_col="user_id", left_ts="ts", right_ts="ts",
+        max_delay="30 minutes", watermark="10 minutes",
+    ).select("user_id", F.col("event_id").alias("view_event"),
+             F.col("r_event_id").alias("purchase_event"))
+    got = {r["view_event"]: r["purchase_event"]
+           for r in run_available_now_to_memory(joined, spark, "t_ilj").collect()}
+    assert got[10] == 11          # matched pair emitted
+    assert got[20] is None        # closed unmatched view emitted null-padded
+    assert 40 not in got          # open-tail view withheld (verdict not final)
+
+
+def test_stream_static_enrich_matches_batch_and_broadcasts(spark, tmp_path):
+    """Stream-static join: streamed enrichment equals the identical batch
+    join, and the static side is a broadcast (no stream shuffle)."""
+    d = tmp_path / "sse"
+    d.mkdir(exist_ok=True)
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)],
+        "event_id long, event_type string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "ev"))
+    dim = spark.createDataFrame(
+        [("a", 10.0), ("b", 20.0)], "event_type string, boost double"
+    )
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.streaming import (
+        stream_static_enrich,
+    )
+
+    schema = spark.read.parquet(str(d / "ev")).schema
+    stream = spark.readStream.schema(schema).parquet(str(d / "ev"))
+    enriched = stream_static_enrich(stream, dim, on="event_type").select(
+        "event_id", (F.col("value") + F.col("boost")).alias("v")
+    )
+    got = sorted(
+        (r["event_id"], r["v"])
+        for r in run_available_now_to_memory(enriched, spark, "t_sse").collect()
+    )
+    assert got == [(1, 11.0), (2, 22.0), (3, 13.0)]
+    # static side must plan as a broadcast join in the streaming plan
+    batch = spark.read.parquet(str(d / "ev"))
+    plan = stream_static_enrich(batch, dim, on="event_type")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
