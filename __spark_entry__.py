@@ -724,6 +724,33 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_outliers(_t(spark, sf_dir, "embeddings"))
 
 
+def q_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pearson corr(discount, quantity) — the co-moment
+    aggregate, map-side combinable; part's (key, brand) projection
+    broadcasts; ONE hash agg to |brands| rows."""
+    return relational.discount_quantity_corr(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_order_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value decile bands per market segment via tie-stable
+    cume_dist (row_number/ntile tie assignment is engine-dependent;
+    cume_dist is not). Broadcast segment dim; one per-segment window
+    exchange; |segments|x|bands| rollup."""
+    return relational.order_value_percentile_bands(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    )
+
+
+def q_span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning: per doc, deterministic md5
+    position masks -> n_tokens / n_masked / n_spans / mask_rate. Pure
+    per-row array arithmetic (transform + zip_with + aggregate) — no
+    shuffle, no window, no Python."""
+    return corpus.span_corruption_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier nation x order year for widget
     parts. Filtered part + supplier->nation map broadcast into lineitem;
@@ -2445,6 +2472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two r3-green refreshes (user_sessions, daily_distinct_users)
         # yielded their slots to the new queries' first driver contact.
         "excess_shipment_suppliers": q_excess_shipment_suppliers,
+        "discount_quantity_corr": q_discount_quantity_corr,
+        "order_value_bands": q_order_value_bands,
+        "span_corruption_stats": q_span_corruption_stats,
         "corpus_drift": q_corpus_drift,
         "source_shingle_overlap": q_source_shingle_overlap,
         "embedding_outliers": q_embedding_outliers,
@@ -4348,6 +4378,58 @@ def oracle_sql() -> dict[str, str]:
             FROM excess JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_suppkey, s_name
             ORDER BY n_excess_parts DESC, s_suppkey
+        """,
+        # corr() merges co-moment partials in both engines; 6-dp rounding
+        # absorbs the ~1e-12 partial-order drift (the avg() precedent).
+        "discount_quantity_corr": """
+            SELECT p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+                   ROUND(AVG(l_discount), 6) AS avg_discount,
+                   ROUND(corr(l_discount, l_quantity), 6) AS corr_disc_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        # cume_dist is the tie-stable percentile: equal prices share a
+        # band on every engine (ntile/row_number tie order is not).
+        "order_value_bands": """
+            WITH banded AS (
+                SELECT c_mktsegment, o_totalprice,
+                       LEAST(CAST(FLOOR(cume_dist() OVER (
+                           PARTITION BY c_mktsegment ORDER BY o_totalprice
+                       ) * 10) AS INT), 9) AS band
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            )
+            SELECT c_mktsegment, band,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(MIN(o_totalprice), 2) AS band_lo,
+                   ROUND(MAX(o_totalprice), 2) AS band_hi
+            FROM banded GROUP BY c_mktsegment, band
+            ORDER BY c_mktsegment, band
+        """,
+        # Span corruption: md5(doc_id:pos) masks (positions 0-based in
+        # both engines); spans counted as mask-starts (flag AND NOT prev).
+        "span_corruption_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(regexp_replace(text, '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+                       t -> t <> '') AS t
+              FROM documents
+            ), fl AS (
+              SELECT doc_id, len(t) AS n,
+                     list_transform(range(0, len(t)),
+                        i -> substr(md5(doc_id || ':' || i), 1, 1) < '2') AS f
+              FROM toks WHERE len(t) > 0
+            )
+            SELECT doc_id,
+                   n AS n_tokens,
+                   CAST(len(list_filter(f, b -> b)) AS BIGINT) AS n_masked,
+                   CAST((CASE WHEN f[1] THEN 1 ELSE 0 END)
+                        + len(list_filter(range(2, n + 1),
+                              i -> f[i] AND NOT f[i-1])) AS BIGINT) AS n_spans,
+                   ROUND(len(list_filter(f, b -> b)) / CAST(n AS DOUBLE), 6)
+                       AS mask_rate
+            FROM fl ORDER BY doc_id
         """,
         # Drift: the top-k cutoff ranks on the exact integer
         # |cnt_a*tot_b - cnt_b*tot_a| with a token tiebreak — no float in

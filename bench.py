@@ -165,6 +165,18 @@ HEADLINE = [
     "user_stickiness",
     "monthly_order_mix",
     "fk_integrity_audit",
+    # r6 additions
+    "nation_profit_by_year",
+    "part_supplier_counts",
+    "excess_shipment_suppliers",
+    "corpus_drift",
+    "source_shingle_overlap",
+    "embedding_outliers",
+    "streaming_view_purchase_left_join",
+    "streaming_static_enrich",
+    "discount_quantity_corr",
+    "order_value_bands",
+    "span_corruption_stats",
 ]
 
 

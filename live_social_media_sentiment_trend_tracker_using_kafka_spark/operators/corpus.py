@@ -883,9 +883,13 @@ def corpus_drift(
     halves; quantize to DECIMAL(38,0) beyond that.)
 
     Scale shape: one tokenize pass, ONE map-side-combinable (token) hash
-    agg; totals re-agg that table to 1 row and come back as a broadcast
-    cross-join; top-k is TakeOrderedAndProject.
+    agg; the resulting vocab-sized table is PERSISTED because both the
+    totals agg and the final projection read it — without the pin each
+    branch re-runs the corpus-sized tokenize+agg (measured 100x at a 20x
+    probe; with it, ~6x). Totals come back as a broadcast cross-join;
+    top-k is TakeOrderedAndProject.
     """
+    from ..caching import tracked_persist
     from .dedup import word_tokens_col
 
     half = F.when(
@@ -895,9 +899,11 @@ def corpus_drift(
         half.alias("half"),
         F.explode(word_tokens_col(F.col(text_col))).alias("token"),
     )
-    per = toks.groupBy("token").agg(
-        F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).cast("long").alias("cnt_a"),
-        F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).cast("long").alias("cnt_b"),
+    per = tracked_persist(
+        toks.groupBy("token").agg(
+            F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).cast("long").alias("cnt_a"),
+            F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).cast("long").alias("cnt_b"),
+        )
     )
     tot = per.agg(
         F.sum("cnt_a").cast("long").alias("tot_a"),
@@ -949,16 +955,19 @@ def source_shingle_overlap(
 
     Scale shape: rides the canonical shared shingle_table (one tokenize
     pass per corpus per session); the (source, gram) projection dedups in
-    ONE hash shuffle; intersections aggregate gram → source-set (bounded
-    by |sources|, map-side combinable) and explode to C(|sources|,2)
-    pairs at most per gram; set sizes re-agg the deduped table. No
-    all-pairs row join ever forms — the widest intermediate is the
-    deduped (source, gram) table itself.
+    ONE hash shuffle and is PERSISTED — both the set-size agg and the
+    intersection agg read it, and without the pin each branch would
+    re-run the corpus-sized explode+dedup. Intersections aggregate
+    gram → source-set (bounded by |sources|, map-side combinable) and
+    explode to C(|sources|,2) pairs at most per gram. No all-pairs row
+    join ever forms — the widest intermediate is the deduped
+    (source, gram) table itself.
     """
+    from ..caching import tracked_persist
     from .dedup import shingle_table
 
     sh = shingle_table(df, text_col, id_col, n)
-    pairs = (
+    pairs = tracked_persist(
         sh.join(df.select(id_col, source_col), id_col)
         .select(F.col(source_col).alias("src"), F.explode("shingles").alias("gram"))
         .distinct()
@@ -998,3 +1007,80 @@ def source_shingle_overlap(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def span_corruption_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_hex_lt: str = "2",
+    round_digits: int = 6,
+) -> DataFrame:
+    """T5-style span-corruption planning, per document: deterministically
+    mask ~``mask_hex_lt``/16 of token positions (md5(doc_id:pos) first hex
+    below the threshold — the engine's planted-subset pattern, so the
+    "noise" is reproducible on any engine with md5) and report the token
+    count, masked count, number of contiguous masked SPANS (each span
+    becomes one sentinel in the corrupted input), and the realized mask
+    rate — the stats a masked-LM data pipeline needs to size sentinel
+    vocabulary and target lengths BEFORE materializing corrupted text.
+
+    Returns (doc_id, n_tokens, n_masked, n_spans, mask_rate) for docs
+    with at least one token, ordered by doc_id.
+
+    Scale shape: entirely per-row array arithmetic — tokenize, build the
+    mask-flag array with one ``transform``, count spans with one
+    ``zip_with`` against the shifted flags. NO shuffle, NO window, NO
+    Python: the whole operator is a narrow map that rides whatever
+    partitioning the corpus already has.
+    """
+    toks = word_tokens_col(F.col(text_col))
+
+    def flags(t: Column) -> Column:
+        return F.transform(
+            t,
+            lambda x, i: F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), i.cast("string"))),
+                1,
+                1,
+            )
+            < mask_hex_lt,
+        )
+
+    # let-bind the token array (the word_grams_col trick) so the tokenizer
+    # runs once per row, not once per downstream reference
+    out = (
+        df.select(F.col(id_col), F.transform(F.array(toks), lambda t: t)[0].alias("t"))
+        .filter(F.size("t") > 0)
+        .select(id_col, flags(F.col("t")).alias("fl"), F.size("t").alias("n_tokens"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.size(F.filter("fl", lambda b: b)).alias("n_masked"),
+            # span starts: flag[i] AND NOT flag[i-1]; position 0 starts a
+            # span iff masked
+            (
+                F.col("fl")[0].cast("int")
+                + F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("fl"), 2, F.greatest(F.size("fl") - 1, F.lit(1))),
+                        F.slice(F.col("fl"), 1, F.greatest(F.size("fl") - 1, F.lit(1))),
+                        lambda cur, prev: (cur & ~prev).cast("int"),
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("n_spans"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.col("n_masked").cast("long").alias("n_masked"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.round(F.col("n_masked") / F.col("n_tokens").cast("double"), round_digits).alias(
+                "mask_rate"
+            ),
+        )
+        .orderBy(id_col)
+    )
+    return out

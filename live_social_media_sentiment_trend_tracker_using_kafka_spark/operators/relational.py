@@ -914,26 +914,27 @@ def nation_profit_by_year(
     (nation_name, order_year).
 
     Scale shape: the part filter prunes at its scan and the surviving
-    (partkey, retailprice) projection BROADCASTS into lineitem, cutting
-    the fact stream to matching parts before anything shuffles; the
-    supplier->nation name map is dim-sized and broadcasts likewise. The
-    ONE real shuffle is lineitem⋈orders on orderkey (fact-fact SMJ);
-    the rollup after it is map-side combinable into |nations| x |years|
-    rows. Cross-engine determinism: per-row profit quantizes to
-    DECIMAL(18,4) BEFORE the sum, so accumulation is exact integer
-    arithmetic in both engines regardless of partial-agg order.
+    (partkey, retailprice) projection joins into lineitem, cutting the
+    fact stream to matching parts before the wide join; the
+    supplier->nation name map joins likewise. Only the genuinely BOUNDED
+    dim (nation, 25 rows at any SF) carries a broadcast HINT — part and
+    supplier scale with SF, so their joins are left to AQE: broadcast
+    while small, partkey/suppkey shuffle once they outgrow the executors
+    (a 20x probe of the hinted variant showed forced broadcasts going
+    superlinear). The one unavoidable fact-fact shuffle is
+    lineitem⋈orders on orderkey; the rollup after it is map-side
+    combinable into |nations| x |years| rows. Cross-engine determinism:
+    per-row profit quantizes to DECIMAL(18,4) BEFORE the sum, so
+    accumulation is exact integer arithmetic in both engines regardless
+    of partial-agg order.
     """
-    parts = F.broadcast(
-        part.filter(F.col("p_name").like(pattern)).select(
-            "p_partkey", "p_retailprice"
-        )
+    parts = part.filter(F.col("p_name").like(pattern)).select(
+        "p_partkey", "p_retailprice"
     )
-    supp_nation = F.broadcast(
-        supplier.join(
-            F.broadcast(nation),
-            supplier.s_nationkey == nation.n_nationkey,
-        ).select("s_suppkey", F.col("n_name").alias("nation_name"))
-    )
+    supp_nation = supplier.join(
+        F.broadcast(nation),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", F.col("n_name").alias("nation_name"))
     profit = (
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
         - F.lit(cost_factor) * F.col("p_retailprice") * F.col("l_quantity")
@@ -970,9 +971,11 @@ def part_supplier_counts(
 
     Scale shape: the fact stream projects to (partkey, suppkey) and
     dedups — ONE shuffle on the composite key that also co-locates the
-    later countDistinct; the denylist and the part attributes both
-    broadcast (dim-sized), so no further fact-wide exchange beyond the
-    final |brands| x |decades| rollup.
+    later countDistinct. The denylist (a filtered fraction of supplier)
+    broadcasts by hint; the part-attribute join is left UNHINTED — part
+    scales with SF (a 20x probe showed the forced broadcast going
+    superlinear as the hash table outgrew the executors), so AQE picks
+    broadcast while part is small and a partkey shuffle once it isn't.
     """
     denied = F.broadcast(
         supplier.filter(
@@ -984,12 +987,10 @@ def part_supplier_counts(
         .distinct()
         .join(denied, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
     )
-    dims = F.broadcast(
-        part.select(
-            "p_partkey",
-            "p_brand",
-            (F.floor(F.col("p_size") / 10) * 10).cast("int").alias("size_decade"),
-        )
+    dims = part.select(
+        "p_partkey",
+        "p_brand",
+        (F.floor(F.col("p_size") / 10) * 10).cast("int").alias("size_decade"),
     )
     return (
         pairs.join(dims, F.col("l_partkey") == F.col("p_partkey"))
@@ -1019,37 +1020,36 @@ def excess_shipment_suppliers(
     by (n_excess_parts desc, s_suppkey).
 
     Scale shape: the year filter pushes to the lineitem scan and the
-    pattern-filtered part broadcasts into it, so the fact stream is cut
+    pattern-filtered part joins into it (AQE broadcasts it while small —
+    part scales with SF, so no forced hint), cutting the fact stream
     twice before the ONE wide shuffle — the (partkey, suppkey) hash agg.
-    The per-part average is a re-agg of that (part-key-combinable) and
-    comes back as a BROADCAST join (per-part stats are dim-sized); the
-    final per-supplier rollup and the supplier-name join are tiny.
+    That aggregated table is PERSISTED because both the per-part re-agg
+    and the final join read it (without the pin the corpus-sized agg runs
+    twice); the per-part stats join is likewise left to AQE. The final
+    per-supplier rollup and the supplier-name join are tiny.
     Determinism: quantities quantize to DECIMAL(18,2) pre-sum, and the
     "over average" filter cross-multiplies (qty * n_supps vs factor *
     part_qty) so no engine ever performs a decimal division whose result
     scale could differ; the reported ratio is pure IEEE-double
     arithmetic on exactly-convertible decimal inputs, rounded to 6 dp.
     """
-    parts = F.broadcast(
-        part.filter(F.col("p_name").like(pattern)).select("p_partkey")
-    )
+    from ..caching import tracked_persist
+
+    parts = part.filter(F.col("p_name").like(pattern)).select("p_partkey")
     # explicit NTZ range, not year(l_shipdate)==year: the range form is a
     # min/max-prunable parquet PushedFilter; the year() form stays a
     # post-scan DataFilter and would read every year at 100 TB
     lo = F.lit(f"{year}-01-01 00:00:00").cast("timestamp_ntz")
     hi = F.lit(f"{year + 1}-01-01 00:00:00").cast("timestamp_ntz")
-    shipped = (
+    shipped = tracked_persist(
         lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
         .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
     )
-    per_part = F.broadcast(
-        shipped.groupBy(F.col("l_partkey").alias("pk"))
-        .agg(
-            F.sum("qty").alias("part_qty"),
-            F.count(F.lit(1)).alias("n_supps"),
-        )
+    per_part = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("part_qty"),
+        F.count(F.lit(1)).alias("n_supps"),
     )
     excess = (
         shipped.join(per_part, F.col("l_partkey") == F.col("pk"))
@@ -1079,4 +1079,94 @@ def excess_shipment_suppliers(
         )
         .select("s_suppkey", "s_name", "n_excess_parts", "max_over_ratio")
         .orderBy(F.desc("n_excess_parts"), "s_suppkey")
+    )
+
+
+def discount_quantity_corr(
+    lineitem: DataFrame,
+    part: DataFrame,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-brand Pearson correlation between discount and quantity — the
+    "does discounting actually move volume" elasticity screen, and the
+    engine's co-moment aggregate (corr merges partial (n, Σx, Σy, Σxy,
+    Σx², Σy²) states, so it is map-side combinable like any sum).
+
+    Returns (p_brand, n_lineitems, avg_discount, corr_disc_qty) ordered
+    by brand.
+
+    Scale shape: part's (partkey, brand) projection joins into the
+    lineitem scan UNHINTED — part scales with SF, so AQE broadcasts it
+    while small and shuffle-joins once it outgrows the executors (the
+    forced-broadcast variant measured superlinear at a 20x probe); ONE
+    hash agg to |brands| rows carries all four aggregates in the same
+    pass. Cross-engine determinism: counts exact; the correlation's
+    partial-merge accumulation drift is ~1e-12 relative and rounds away
+    at 6 dp (the avg() precedent).
+    """
+    dims = part.select("p_partkey", "p_brand")
+    return (
+        lineitem.join(dims, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.avg("l_discount"), round_digits).alias("avg_discount"),
+            F.round(F.corr("l_discount", "l_quantity"), round_digits).alias(
+                "corr_disc_qty"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def order_value_percentile_bands(
+    orders: DataFrame,
+    customer: DataFrame,
+    n_bands: int = 10,
+) -> DataFrame:
+    """Order-value decile bands per market segment via ``cume_dist`` —
+    "where does the money sit inside each segment's order-size
+    distribution". cume_dist (share of rows ≤ current) is the SQL-standard
+    tie-stable percentile: equal prices always land in the same band on
+    every engine, unlike row_number-based ntile whose tie assignment is
+    nondeterministic under parallel sort.
+
+    Returns (c_mktsegment, band, n_orders, band_lo, band_hi) ordered by
+    (segment, band); band = floor(cume_dist * n_bands), top row clamped
+    into the last band.
+
+    Scale shape: customer's (custkey, segment) projection joins into
+    orders (unhinted — customer scales with SF, AQE broadcasts while
+    small). The naive ``Window.partitionBy(segment)`` form would sort
+    each WHOLE segment in one task (|segments| cores total — measured
+    76x at a 20x probe); the exact distribution instead comes from
+    distributed_cume_dist (range-repartition + broadcast per-chunk
+    offsets + chunk-local cumsum — n_range_parts-way parallel, still
+    bit-exact cume_dist semantics). Then a |segments|·|bands| hash agg.
+    """
+    from .window_funcs import distributed_cume_dist
+
+    seg = customer.select("c_custkey", "c_mktsegment")
+    banded = distributed_cume_dist(
+        orders.join(seg, F.col("o_custkey") == F.col("c_custkey")).select(
+            "c_mktsegment", "o_totalprice"
+        ),
+        ["c_mktsegment"],
+        "o_totalprice",
+        out_col="_cd",
+    ).withColumn(
+        "band",
+        F.least(
+            F.floor(F.col("_cd") * n_bands).cast("int"),
+            F.lit(n_bands - 1),
+        ),
+    )
+    return (
+        banded.groupBy("c_mktsegment", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("band_lo"),
+            F.round(F.max("o_totalprice"), 2).alias("band_hi"),
+        )
+        .orderBy("c_mktsegment", "band")
     )

@@ -111,3 +111,81 @@ def priority_status_cube(orders: DataFrame) -> DataFrame:
 def priority_status_rollup(orders: DataFrame) -> DataFrame:
     """ROLLUP(priority, status): counts + revenue with subtotals."""
     return _priority_status_totals(orders.rollup("o_orderpriority", "o_orderstatus"))
+
+
+def distributed_cume_dist(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    out_col: str = "cume",
+    n_range_parts: int = 64,
+) -> DataFrame:
+    """EXACT cume_dist that parallelizes beyond |groups| tasks — the scale
+    fix for the classic window trap: ``Window.partitionBy(g).orderBy(x)``
+    sorts each whole group in ONE task, so a 5-segment table uses 5 cores
+    no matter how many executors exist (measured 76x at a 20x probe).
+
+    Three-step distributed exact distribution:
+
+    1. range-repartition on (part_cols..., order_col) and PERSIST — the
+       pinned partitioning is read twice and must not re-sample; equal
+       keys land in one range partition, so ties never straddle a chunk;
+    2. per (chunk, group) row counts → a (n_range_parts x |groups|)-sized
+       driver collect → running offsets per group come back as a
+       BROADCAST join (the bounded-fit pattern);
+    3. per (chunk, group) window cumsum — every chunk sorts only its own
+       slice, n_range_parts-way parallel — plus the chunk's offset =
+       exact global "# rows <= x", divided by the group total.
+
+    Output: input columns + ``out_col`` (the exact cume_dist). Ties
+    share a value because the cumsum is taken over per-VALUE aggregated
+    rows within each chunk.
+    """
+    from ..caching import tracked_persist
+
+    keys = [*part_cols, order_col]
+    chunked = tracked_persist(
+        df.repartitionByRange(n_range_parts, *[F.col(c) for c in keys])
+        .withColumn("_chunk", F.spark_partition_id())
+    )
+    # per-group totals and per-(chunk, group) counts: one tiny driver round
+    per_chunk = (
+        chunked.groupBy("_chunk", *part_cols)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .collect()
+    )
+    totals: dict[tuple, int] = {}
+    for r in per_chunk:
+        g = tuple(r[c] for c in part_cols)
+        totals[g] = totals.get(g, 0) + r["_cnt"]
+    offsets = []
+    running: dict[tuple, int] = {}
+    # chunk ids ascend with the range order, so a group's offset in chunk k
+    # is the sum of its counts in chunks < k
+    for r in sorted(per_chunk, key=lambda r: (tuple(str(r[c]) for c in part_cols), r["_chunk"])):
+        g = tuple(r[c] for c in part_cols)
+        offsets.append((*g, r["_chunk"], running.get(g, 0), totals[g]))
+        running[g] = running.get(g, 0) + r["_cnt"]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            offsets, [*part_cols, "_chunk", "_offset", "_total"]
+        )
+    )
+    w = Window.partitionBy("_chunk", *part_cols).orderBy(order_col)
+    return (
+        chunked.join(off_df, [*part_cols, "_chunk"])
+        # rangeBetween over the ORDER VALUE gives ties an identical count
+        # (# rows in this chunk with value <= mine), exactly like cume_dist
+        .withColumn(
+            "_local",
+            F.count(F.lit(1)).over(
+                w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            out_col,
+            (F.col("_local") + F.col("_offset")) / F.col("_total").cast("double"),
+        )
+        .drop("_chunk", "_local", "_offset", "_total")
+    )

@@ -425,3 +425,43 @@ def test_source_shingle_overlap_exact_jaccard(spark):
     assert r["jaccard"] == round(1 / 3, 6)
     assert rows[("s1", "s3")]["inter_cnt"] == 0
     assert rows[("s1", "s3")]["jaccard"] == 0.0
+
+
+def test_span_corruption_stats_hand_checked(spark):
+    """Mask flags replicate md5(doc_id:pos) in hashlib; span count equals
+    the number of False->True transitions (plus a masked position 0)."""
+    import hashlib
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        span_corruption_stats,
+    )
+
+    doc_id, n = 7, 12
+    text = " ".join(f"w{i}" for i in range(n))
+    flags = [hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[0] < "2" for i in range(n)]
+    exp_masked = sum(flags)
+    exp_spans = sum(
+        1 for i in range(n) if flags[i] and (i == 0 or not flags[i - 1])
+    )
+    df = spark.createDataFrame([(doc_id, text), (8, "   ")], "doc_id long, text string")
+    rows = span_corruption_stats(df).collect()
+    assert len(rows) == 1  # token-less doc dropped
+    r = rows[0]
+    assert (r["n_tokens"], r["n_masked"], r["n_spans"]) == (n, exp_masked, exp_spans)
+    assert r["mask_rate"] == round(exp_masked / n, 6)
+
+
+def test_span_corruption_stats_no_shuffle(spark):
+    """The operator is a narrow map: its physical plan must contain no
+    Exchange (the whole point of the per-row array construction)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        span_corruption_stats,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = span_corruption_stats(df)._jdf.queryExecution().executedPlan().toString()
+    body = plan.split("TakeOrderedAndProject")[-1] if "TakeOrderedAndProject" in plan else plan
+    # orderBy(doc_id) plans as a range-partitioned Sort; everything below it
+    # must be exchange-free. Accept the single rangepartitioning exchange,
+    # reject any hashpartitioning (a shuffle would mean we lost narrowness).
+    assert "hashpartitioning" not in body, body

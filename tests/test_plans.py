@@ -566,3 +566,26 @@ def test_q20_shape_year_filter_pushes_to_scan(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "GreaterThanOrEqual(l_shipdate" in plan and "LessThan(l_shipdate" in plan, plan
     assert_no_python_udf(df)
+
+
+def test_r6_queries_stay_jvm_side(spark):
+    """Every r6 pure-SQL path must plan with no Python boundary."""
+    for name in ("nation_profit_by_year", "part_supplier_counts",
+                 "excess_shipment_suppliers", "corpus_drift",
+                 "source_shingle_overlap", "embedding_outliers",
+                 "discount_quantity_corr", "order_value_bands",
+                 "span_corruption_stats"):
+        df = entrymod.queries()[name](spark, SF)
+        assert_no_python_udf(df)
+
+
+def test_order_value_bands_distributed_not_per_segment_window(spark):
+    """The exact distribution must ride distributed_cume_dist: a RANGE
+    repartition plus chunk-local windows — never a bare
+    Window.partitionBy(segment) whose parallelism is |segments|. The
+    chunk id must appear in the window partition keys."""
+    df = entrymod.q_order_value_bands(spark, SF)
+    plan = plan_text(df)
+    assert "rangepartitioning(c_mktsegment" in plan, plan
+    assert "hashpartitioning(_chunk" in plan, plan
+    assert "cume_dist" not in plan, plan

@@ -291,3 +291,73 @@ def test_excess_shipment_suppliers_boundary_and_year_filter(spark):
     assert [(r["s_suppkey"], r["n_excess_parts"], r["max_over_ratio"]) for r in rows] == [
         (1, 1, 1.5)
     ]
+
+
+def test_discount_quantity_corr_perfect_and_inverse(spark):
+    """corr = +1 for a brand where quantity rises with discount, -1 where
+    it falls; counts and avg discount are exact."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.relational import (
+        discount_quantity_corr,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "B1"), (2, "B2")], "p_partkey long, p_brand string"
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 0.00, 1.0), (1, 0.05, 2.0), (1, 0.10, 3.0),   # B1: +1
+            (2, 0.00, 9.0), (2, 0.05, 6.0), (2, 0.10, 3.0),   # B2: -1
+        ],
+        "l_partkey long, l_discount double, l_quantity double",
+    )
+    rows = {r["p_brand"]: r for r in discount_quantity_corr(li, part).collect()}
+    assert rows["B1"]["corr_disc_qty"] == 1.0
+    assert rows["B2"]["corr_disc_qty"] == -1.0
+    assert rows["B1"]["n_lineitems"] == 3
+    assert rows["B1"]["avg_discount"] == 0.05
+
+
+def test_order_value_bands_ties_share_band_and_top_clamped(spark):
+    """Equal prices land in the same cume_dist band; the max row clamps
+    into the last band instead of spilling to band == n_bands."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.relational import (
+        order_value_percentile_bands,
+    )
+
+    customer = spark.createDataFrame([(1, "SEG")], "c_custkey long, c_mktsegment string")
+    # 4 orders: two tied at 10.0 (cume_dist 0.5 -> band 2 with n_bands=4),
+    # then 20.0 (0.75 -> band 3... floor(0.75*4)=3), and 30.0 (1.0 -> clamp 3)
+    orders = spark.createDataFrame(
+        [(i, 1, p) for i, p in enumerate([10.0, 10.0, 20.0, 30.0])],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    rows = {r["band"]: r for r in
+            order_value_percentile_bands(orders, customer, n_bands=4).collect()}
+    # ties at 10.0: cume_dist 2/4 = 0.5 -> floor(0.5*4) = band 2, together
+    assert rows[2]["n_orders"] == 2 and rows[2]["band_lo"] == 10.0
+    # 20.0 -> cume 0.75 -> band 3; 30.0 -> cume 1.0 -> floor = 4, clamped to 3
+    assert 4 not in rows
+    assert rows[3]["n_orders"] == 2 and rows[3]["band_hi"] == 30.0
+
+
+def test_distributed_cume_dist_equals_window_cume_dist(spark):
+    """The range-chunked exact distribution must equal the classic window
+    cume_dist row for row — including heavy ties and values straddling
+    chunk boundaries (many chunks over few values forces straddle
+    attempts)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.window_funcs import (
+        distributed_cume_dist,
+    )
+
+    rng = random.Random(7)
+    rows = [("g" + str(rng.randint(0, 2)), float(rng.randint(0, 9))) for _ in range(500)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = distributed_cume_dist(df, ["g"], "x", out_col="c", n_range_parts=16)
+    w = Window.partitionBy("g").orderBy("x")
+    want = df.withColumn("c", F.cume_dist().over(w))
+    k = lambda r: (r["g"], r["x"], round(r["c"], 12))
+    assert sorted(map(k, got.collect())) == sorted(map(k, want.collect()))
