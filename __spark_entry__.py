@@ -724,6 +724,21 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_outliers(_t(spark, sf_dir, "embeddings"))
 
 
+def q_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal factor per event_type (avg daily count per
+    weekday / series baseline). One (type, day) hash agg; everything
+    downstream is day-table-sized; pure-calendar dow (NTZ date)."""
+    return timeseries.seasonality_index(_t(spark, sf_dir, "events"))
+
+
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift screen per event_type: the day where cumulative
+    deviation from the series mean peaks. Argmax ranks on an EXACT
+    integer (running*g_days - k*g_total) — no float in the ordering;
+    the cumsum window runs over the day table, not the corpus."""
+    return timeseries.cusum_changepoints(_t(spark, sf_dir, "events"))
+
+
 def q_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand Pearson corr(discount, quantity) — the co-moment
     aggregate, map-side combinable; part's (key, brand) projection
@@ -1820,6 +1835,32 @@ def q_semantic_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 approximate kNN GRAPH (top-3 neighbors of EVERY vector via
+    IVF cells — the all-points counterpart of ivf_topk's single query;
+    rows-only: the k-means fit is iterative, not SQL-expressible).
+
+    Plant-and-flag contract: 8 direction-identical scaled twins land in
+    their original's cell and MUST appear as that original's rank-1
+    neighbor at cosine 1.0 — ``planted_rank1`` flags them;
+    tests/test_query_contracts.py asserts all 8 surface and that
+    cell-local ranking equals exact brute-force ranking on a bounded
+    sample."""
+    emb = _t(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.8)).alias("embedding"),
+    )
+    planted = emb.select("vec_id", "embedding").unionByName(twins)
+    g = similarity.knn_graph(planted, k=3, n_clusters=16)
+    return g.withColumn(
+        "planted_rank1",
+        (F.col("vec_id") < 8)
+        & (F.col("rank") == 1)
+        & (F.col("neighbor_id") - F.col("vec_id") == 1_000_000),
+    )
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 multimodal resize stage: decode → block-mean (area-average)
     downsample via mapInPandas (rows-only: the decode is the stubbed
@@ -2474,6 +2515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_shipment_suppliers": q_excess_shipment_suppliers,
         "discount_quantity_corr": q_discount_quantity_corr,
         "order_value_bands": q_order_value_bands,
+        "seasonality_index": q_seasonality_index,
+        "cusum_changepoints": q_cusum_changepoints,
+        "knn_graph": q_knn_graph,
         "span_corruption_stats": q_span_corruption_stats,
         "corpus_drift": q_corpus_drift,
         "source_shingle_overlap": q_source_shingle_overlap,
@@ -4378,6 +4422,66 @@ def oracle_sql() -> dict[str, str]:
             FROM excess JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_suppkey, s_name
             ORDER BY n_excess_parts DESC, s_suppkey
+        """,
+        # Seasonality: ISO weekday from pure DATE arithmetic (Spark
+        # weekday()+1 == DuckDB isodow); ratios are integer-derived.
+        "seasonality_index": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY event_type, CAST(ts AS DATE)
+            ), per_dow AS (
+                SELECT event_type, isodow(day) AS dow,
+                       CAST(COUNT(*) AS BIGINT) AS n_days,
+                       CAST(SUM(n) AS BIGINT) AS total
+                FROM daily GROUP BY event_type, isodow(day)
+            ), base AS (
+                SELECT event_type, CAST(SUM(n) AS BIGINT) AS g_total,
+                       CAST(COUNT(*) AS BIGINT) AS g_days
+                FROM daily GROUP BY event_type
+            )
+            SELECT p.event_type, CAST(p.dow AS INT) AS dow, p.n_days,
+                   ROUND(p.total / CAST(p.n_days AS DOUBLE), 6) AS avg_daily,
+                   ROUND((p.total / CAST(p.n_days AS DOUBLE))
+                         / (b.g_total / CAST(b.g_days AS DOUBLE)), 6)
+                       AS seasonal_index
+            FROM per_dow p JOIN base b USING (event_type)
+            ORDER BY p.event_type, dow
+        """,
+        # CUSUM: argmax on the exact integer |running*g_days - k*g_total|
+        # with a day tiebreak — no float in the ordering.
+        "cusum_changepoints": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY event_type, CAST(ts AS DATE)
+            ), base AS (
+                SELECT event_type, CAST(SUM(n) AS BIGINT) AS g_total,
+                       CAST(COUNT(*) AS BIGINT) AS g_days
+                FROM daily GROUP BY event_type
+            ), w AS (
+                SELECT event_type, day,
+                       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day)
+                            AS BIGINT) AS running,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                            AS BIGINT) AS k
+                FROM daily
+            ), s AS (
+                SELECT w.event_type, day,
+                       abs(running * g_days - k * g_total) AS dev_int,
+                       g_total, g_days,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY w.event_type
+                           ORDER BY abs(running * g_days - k * g_total) DESC,
+                                    day ASC) AS rn
+                FROM w JOIN base USING (event_type)
+            )
+            SELECT event_type,
+                   CAST(day AS TIMESTAMP) AS change_day,
+                   ROUND(dev_int / CAST(g_days AS DOUBLE), 6) AS max_abs_cusum,
+                   ROUND(g_total / CAST(g_days AS DOUBLE), 6) AS mean_daily,
+                   g_days AS n_days
+            FROM s WHERE rn = 1 ORDER BY event_type
         """,
         # corr() merges co-moment partials in both engines; 6-dp rounding
         # absorbs the ~1e-12 partial-order drift (the avg() precedent).

@@ -177,6 +177,9 @@ HEADLINE = [
     "discount_quantity_corr",
     "order_value_bands",
     "span_corruption_stats",
+    "seasonality_index",
+    "cusum_changepoints",
+    "knn_graph",
 ]
 
 

@@ -785,3 +785,63 @@ def embedding_outliers(
         .orderBy(F.desc("dist"), id_col)
         .limit(k)
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_clusters: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH: for every vector, its top-k
+    most-cosine-similar neighbors — the all-points counterpart of the
+    single-query top-k family (ivf_topk answers "neighbors of THIS
+    query"; this answers "neighbors of EVERY point", the input to graph
+    dedup, label propagation, and diversity sampling).
+
+    IVF-celled: candidates are restricted to each vector's own k-means
+    cell (the SemDeDup partition), so candidate volume is Σ c_i² ≈ n²/C —
+    grow ``n_clusters`` with the corpus for a bounded mean cell. Neighbor
+    ranking is a per-vector window over cell-local candidates ONLY —
+    state is one cell's pairs, never the corpus. Recall loss at cell
+    boundaries is the documented tradeoff (same as
+    semantic_near_duplicate_pairs); the exact twin on a bounded sample is
+    the evidence contract (tests/test_query_contracts.py).
+
+    Returns (vec_id, rank, neighbor_id, cosine), rank 1..k by (cosine
+    desc, neighbor_id asc), ordered by (vec_id, rank). Vectors alone in
+    their cell emit no rows.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.kernels import pair_cosine_udf
+
+    assigned, _ = ivf_index(embeddings, n_clusters, vec_col, seed=seed)
+    sides = assigned.select("cluster", F.col(id_col), F.col(vec_col))
+    a = sides.select("cluster", F.col(id_col).alias("src"), F.col(vec_col).alias("v_a"))
+    b = sides.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v_b"),
+    ).hint("merge")
+    sim = pair_cosine_udf()(F.col("v_a"), F.col("v_b"))
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("cluster_b"))
+            & (F.col("src") != F.col("neighbor_id")),
+        )
+        .select("src", "neighbor_id", F.round(sim, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "cosine",
+        )
+        .orderBy("vec_id", "rank")
+    )

@@ -318,3 +318,131 @@ def weekly_revenue_growth(lineitem: DataFrame, round_digits: int = 6) -> DataFra
             "pct_change"
         ),
     ).orderBy("week_start")
+
+
+def seasonality_index(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Day-of-week seasonality index per series: each weekday's average
+    daily event count divided by the series' overall daily average — the
+    multiplicative seasonal factor a forecasting pipeline divides out
+    before fitting trend (index > 1 = above-baseline weekday).
+
+    Returns (event_type, dow, n_days, avg_daily, seasonal_index) with dow
+    1..7 (ISO, Monday=1), ordered by (event_type, dow).
+
+    Timezone note: the day bucket is the NTZ date double-cast (the _day
+    pattern) and dayofweek derives from that date — pure calendar
+    arithmetic, session-tz-free.
+
+    Scale shape: ONE map-side-combinable (type, day) hash agg over the
+    scan; everything after operates on |types|·|days| rows (the per-dow
+    re-agg and the 1-row-per-type baseline join are day-table-sized).
+    Cross-engine determinism: daily counts are exact integers; both
+    ratios are integer-derived doubles rounded once.
+    """
+    from ..caching import tracked_persist
+
+    day = F.col(ts_col).cast("date")
+    daily = tracked_persist(
+        events.select(F.col(key_col), day.alias("day"))
+        .groupBy(key_col, "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # ISO weekday from pure DATE arithmetic: weekday(date) in both engines
+    per_dow = daily.groupBy(
+        key_col, F.weekday("day").alias("dow0")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").cast("long").alias("total"),
+    )
+    base = daily.groupBy(key_col).agg(
+        F.sum("n").cast("long").alias("g_total"),
+        F.count(F.lit(1)).alias("g_days"),
+    )
+    return (
+        per_dow.join(F.broadcast(base), key_col)
+        .select(
+            key_col,
+            (F.col("dow0") + 1).cast("int").alias("dow"),
+            "n_days",
+            F.round(F.col("total") / F.col("n_days").cast("double"), round_digits).alias(
+                "avg_daily"
+            ),
+            F.round(
+                (F.col("total") / F.col("n_days").cast("double"))
+                / (F.col("g_total") / F.col("g_days").cast("double")),
+                round_digits,
+            ).alias("seasonal_index"),
+        )
+        .orderBy(key_col, "dow")
+    )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """CUSUM changepoint screen per series: the day where the cumulative
+    deviation of daily counts from the series mean peaks in magnitude —
+    the classic "did the level shift, and when" monitor (a pure ramp has
+    its |CUSUM| max in the middle; a level shift pins it at the shift).
+
+    Returns (event_type, change_day, max_abs_cusum, mean_daily, n_days),
+    one row per series, ordered by event_type.
+
+    Cross-engine determinism: CUSUM_k = Σ_{i<=k} n_i − k·mean, computed
+    as (running_int − k·g_total/g_days) with the integer running sum and
+    integer k·g_total cross-multiplied over g_days — the argmax ranks on
+    |cusum·g_days| = |running·g_days − k·g_total|, an EXACT integer, with
+    a day tiebreak; no float enters the ordering.
+
+    Scale shape: one (type, day) hash agg; the cumsum window partitions
+    by series over the |types|·|days| day-table (day-table-sized state,
+    NOT corpus-sized); the argmax is a 1-row-per-series
+    TakeOrdered-style window filter.
+    """
+    from ..caching import tracked_persist
+
+    day = F.col(ts_col).cast("date")
+    daily = tracked_persist(
+        events.select(F.col(key_col), day.alias("day"))
+        .groupBy(key_col, "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    base = daily.groupBy(key_col).agg(
+        F.sum("n").cast("long").alias("g_total"),
+        F.count(F.lit(1)).alias("g_days"),
+    )
+    w = Window.partitionBy(key_col).orderBy("day")
+    scored = (
+        daily.withColumn("running", F.sum("n").over(w).cast("long"))
+        .withColumn("k", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(base), key_col)
+        .withColumn(
+            "dev_int",
+            F.abs(F.col("running") * F.col("g_days") - F.col("k") * F.col("g_total")),
+        )
+    )
+    pick = Window.partitionBy(key_col).orderBy(F.desc("dev_int"), F.asc("day"))
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            key_col,
+            F.col("day").cast("timestamp_ntz").alias("change_day"),
+            F.round(
+                F.col("dev_int") / F.col("g_days").cast("double"), round_digits
+            ).alias("max_abs_cusum"),
+            F.round(
+                F.col("g_total") / F.col("g_days").cast("double"), round_digits
+            ).alias("mean_daily"),
+            F.col("g_days").alias("n_days"),
+        )
+        .orderBy(key_col)
+    )

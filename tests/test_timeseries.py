@@ -256,3 +256,51 @@ def test_profile_columns_nulls_distincts_fill_rate(spark):
     assert out["a"].fill_rate == 0.75
     assert (out["b"].n_null, out["b"].n_distinct, out["b"].fill_rate) == (4, 0, 0.0)
     assert (out["c"].n_null, out["c"].n_distinct, out["c"].fill_rate) == (0, 1, 1.0)
+
+
+def test_seasonality_index_hand_computed(spark):
+    """Two Mondays averaging 3/day vs one Tuesday at 6: overall daily
+    mean is 4, so Monday's index is 0.75 and Tuesday's 1.5."""
+    import datetime as dt
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.timeseries import (
+        seasonality_index,
+    )
+
+    rows = []
+    # Mondays 2024-01-01 (2 events) and 2024-01-08 (4 events)
+    for i in range(2):
+        rows.append(("a", dt.datetime(2024, 1, 1, 10, i)))
+    for i in range(4):
+        rows.append(("a", dt.datetime(2024, 1, 8, 10, i)))
+    # Tuesday 2024-01-02 (6 events)
+    for i in range(6):
+        rows.append(("a", dt.datetime(2024, 1, 2, 10, i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz")
+    out = {r["dow"]: r for r in seasonality_index(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_days"] == 2 and out[1]["avg_daily"] == 3.0
+    assert out[1]["seasonal_index"] == 0.75
+    assert out[2]["seasonal_index"] == 1.5
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    """Daily counts 1,1,1,5,5,5: the CUSUM magnitude peaks at the last
+    low day (2024-01-03), right before the level shift."""
+    import datetime as dt
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    rows = []
+    for d, cnt in enumerate([1, 1, 1, 5, 5, 5]):
+        for i in range(cnt):
+            rows.append(("a", dt.datetime(2024, 1, 1 + d, 9, i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz")
+    r = cusum_changepoints(df).collect()[0]
+    assert r["change_day"] == dt.datetime(2024, 1, 3)
+    assert r["mean_daily"] == 3.0
+    # CUSUM at day 3: running 3 - 3*3 = -6 -> |.| = 6
+    assert r["max_abs_cusum"] == 6.0
+    assert r["n_days"] == 6
