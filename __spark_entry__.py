@@ -724,6 +724,45 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_outliers(_t(spark, sf_dir, "embeddings"))
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-25 docs for the query {spark, join, window}: per-row
+    tf/dl extraction (let-bound tokenizer, narrow map) + ONE 1-row
+    corpus-stats agg broadcast back + TakeOrderedAndProject. All stats
+    exact integers; cutoff orders on the rounded score."""
+    return corpus.bm25_search(
+        _t(spark, sf_dir, "documents"), ["spark", "join", "window"]
+    )
+
+
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with tolerance: every error event annotated with the
+    user's next purchase within 1 day (time-to-recovery shape). Union +
+    one per-key carry-backward window — no interval cross-product; the
+    oracle is DuckDB's native forward ASOF LEFT JOIN with a post-join
+    horizon null-out."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    joined = asof.asof_join_forward(
+        ev.filter(F.col("event_type") == "error").select("event_id", "ts", "user_id"),
+        purchases,
+        key_col="user_id",
+        right_cols=["ts", "pval"],
+        strict=True,
+        tolerance="1 DAY",
+    )
+    return joined.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.col("r_ts").alias("next_purchase_ts"),
+        F.col("r_pval").alias("next_purchase_value"),
+    ).orderBy("event_id")
+
+
 def q_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonal factor per event_type (avg daily count per
     weekday / series baseline). One (type, day) hash agg; everything
@@ -2518,6 +2557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonality_index": q_seasonality_index,
         "cusum_changepoints": q_cusum_changepoints,
         "knn_graph": q_knn_graph,
+        "bm25_search": q_bm25_search,
+        "asof_next_purchase": q_asof_next_purchase,
         "span_corruption_stats": q_span_corruption_stats,
         "corpus_drift": q_corpus_drift,
         "source_shingle_overlap": q_source_shingle_overlap,
@@ -4422,6 +4463,75 @@ def oracle_sql() -> dict[str, str]:
             FROM excess JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_suppkey, s_name
             ORDER BY n_excess_parts DESC, s_suppkey
+        """,
+        # BM25: exact-integer stats; idf and saturation quotient are
+        # identically-written double arithmetic (dl/avgdl as (dl*N)/Σdl);
+        # cutoff orders on ROUND(score, 6) + doc_id.
+        "bm25_search": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(regexp_replace(text, '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+                       t -> t <> '') AS t
+              FROM documents
+            ), r AS (
+              SELECT doc_id, len(t) AS dl,
+                     len(list_filter(t, x -> x = 'spark')) AS tf0,
+                     len(list_filter(t, x -> x = 'join')) AS tf1,
+                     len(list_filter(t, x -> x = 'window')) AS tf2
+              FROM toks WHERE len(t) > 0
+            ), st AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_dl,
+                     CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                     CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                     CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+              FROM r
+            ), sc AS (
+              SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+                     CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+                          + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+                          + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS INT)
+                         AS matched_terms,
+                     (ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                        * (tf0 * 2.2)) / (tf0 + 1.2 * (1.0 - 0.75
+                        + 0.75 * (dl * n_docs) / CAST(total_dl AS DOUBLE)))
+                     + (ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                        * (tf1 * 2.2)) / (tf1 + 1.2 * (1.0 - 0.75
+                        + 0.75 * (dl * n_docs) / CAST(total_dl AS DOUBLE)))
+                     + (ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                        * (tf2 * 2.2)) / (tf2 + 1.2 * (1.0 - 0.75
+                        + 0.75 * (dl * n_docs) / CAST(total_dl AS DOUBLE)))
+                         AS score
+              FROM r CROSS JOIN st
+            )
+            SELECT doc_id, dl, matched_terms, ROUND(score, 6) AS score
+            FROM sc WHERE matched_terms > 0
+            ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 25
+        """,
+        # Forward ASOF with horizon: DuckDB's native ASOF (e.ts < p.ts via
+        # the strict variant's >) then a post-join 1-day null-out — the
+        # match survives, the payload nulls, exactly like the operator.
+        "asof_next_purchase": """
+            WITH p AS (
+              SELECT user_id, ts, max(value) AS pval
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts
+            ), err AS (
+              SELECT event_id, ts, user_id FROM events
+              WHERE event_type = 'error'
+            ), j AS (
+              SELECT err.event_id, err.ts, err.user_id,
+                     p.ts AS m_ts, p.pval AS m_pval
+              FROM err ASOF LEFT JOIN p
+                ON err.user_id = p.user_id AND err.ts < p.ts
+            )
+            SELECT event_id, ts, user_id,
+                   CASE WHEN m_ts <= ts + INTERVAL 1 DAY THEN m_ts END
+                       AS next_purchase_ts,
+                   CASE WHEN m_ts <= ts + INTERVAL 1 DAY THEN m_pval END
+                       AS next_purchase_value
+            FROM j ORDER BY event_id
         """,
         # Seasonality: ISO weekday from pure DATE arithmetic (Spark
         # weekday()+1 == DuckDB isodow); ratios are integer-derived.

@@ -180,6 +180,8 @@ HEADLINE = [
     "seasonality_index",
     "cusum_changepoints",
     "knn_graph",
+    "bm25_search",
+    "asof_next_purchase",
 ]
 
 

@@ -80,3 +80,71 @@ def asof_join(
         .filter(F.col("_side") == 1)
         .select("_l.*", "_m.*")
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "r_",
+    strict: bool = False,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """FORWARD as-of join: every left row + the EARLIEST matching right
+    row at-or-after it (``strict`` = strictly after), nulls if none — the
+    "time to next X" shape (error → next successful purchase, alert →
+    next deploy). ``tolerance`` (an INTERVAL string, e.g. "1 day") nulls
+    out matches farther ahead than the horizon WITHOUT dropping the left
+    row, pandas merge_asof(direction='forward', tolerance=...) semantics.
+
+    Same single-shuffle construction as the backward ``asof_join`` — a
+    union of tagged sides and ONE per-key window doing a carry-BACKWARD
+    ``first(ignorenulls)`` over [current, unbounded following] — so there
+    is no interval cross-product and state per task is one key's rows.
+    At equal timestamps the right row is visible to the left row when
+    inclusive (sorts after left but inside the frame) and hidden when
+    strict (sorts before left, outside the frame).
+    """
+    rc = right_cols if right_cols is not None else [c for c in right.columns if c != key_col]
+    right = right.filter(F.col(key_col).isNotNull() & F.col(right_ts).isNotNull())
+    if right_ts not in rc:
+        rc = [right_ts, *rc]
+    r_tagged = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        # Inclusive: right sorts AFTER left at equal ts (inside the
+        # [current, following] frame). Strict: right sorts BEFORE left at
+        # equal ts (outside it).
+        F.lit(0 if strict else 2).alias("_side"),
+        F.struct(*[F.col(c).alias(prefix + c) for c in rc]).alias("_r"),
+    )
+    l_tagged = left.select(
+        F.col(key_col).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_tagged.schema["_r"].dataType).alias("_r"),
+        F.struct(*left.columns).alias("_l"),
+    )
+    r_tagged = r_tagged.withColumn(
+        "_l", F.lit(None).cast(l_tagged.schema["_l"].dataType)
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("_m", F.first("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance is not None:
+        horizon = F.col("_ts") + F.expr(f"INTERVAL {tolerance}")
+        out = out.withColumn(
+            "_m",
+            F.when(F.col("_m")[prefix + right_ts] <= horizon, F.col("_m")),
+        )
+    return out.select("_l.*", "_m.*")

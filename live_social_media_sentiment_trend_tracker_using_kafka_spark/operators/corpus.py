@@ -1084,3 +1084,90 @@ def span_corruption_stats(
         .orderBy(id_col)
     )
     return out
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 25,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """BM25 retrieval: score every document against a bag of query terms
+    and return the top-k — the classic search/RAG-retrieval primitive
+    (tfidf_top_terms describes documents; this RANKS them for a query,
+    with the saturation (k1) and length-normalization (b) terms tf-idf
+    lacks).
+
+    Returns (doc_id, dl, matched_terms, score), top-k by (rounded score
+    desc, doc_id). Docs matching no term never surface.
+
+    Scale shape: per-row tf/dl extraction is a narrow map (the token
+    array is let-bound through a single-element transform so the
+    tokenizer runs once per row, not once per term); corpus statistics
+    (N, Σdl, per-term df) are ONE 1-row aggregate that comes back as a
+    broadcast cross-join; top-k is TakeOrderedAndProject. No shuffle
+    wider than the 1-row stats agg — two scan passes total.
+
+    Cross-engine determinism: every stat is an exact integer; idf and
+    the saturation quotient are identically-written double arithmetic on
+    them (dl/avgdl computed as (dl·N)/Σdl so no intermediate average is
+    materialized); the cutoff orders on the ROUNDED score + doc_id.
+    """
+
+    def per_row(t: Column) -> Column:
+        return F.struct(
+            F.size(t).alias("dl"),
+            *[
+                F.size(F.filter(t, lambda x: x == F.lit(term))).alias(f"tf{i}")
+                for i, term in enumerate(query_terms)
+            ],
+        )
+
+    rows = (
+        df.select(
+            F.col(id_col),
+            F.transform(F.array(word_tokens_col(F.col(text_col))), per_row)[0].alias("s"),
+        )
+        .filter(F.col("s.dl") > 0)
+        .select(id_col, "s.*")
+    )
+    stats = rows.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("long").alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    norm = F.lit(1.0) - F.lit(b) + F.lit(b) * (
+        F.col("dl") * F.col("n_docs")
+    ) / F.col("total_dl").cast("double")
+    score = None
+    matched = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        part = (idf * (tf * F.lit(k1 + 1.0))) / (tf + F.lit(k1) * norm)
+        hit = (tf > 0).cast("int")
+        score = part if score is None else score + part
+        matched = hit if matched is None else matched + hit
+    return (
+        rows.crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            F.col("dl").cast("long").alias("dl"),
+            matched.cast("int").alias("matched_terms"),
+            F.round(score, round_digits).alias("score"),
+        )
+        .filter(F.col("matched_terms") > 0)
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

@@ -105,3 +105,38 @@ def test_asof_preserves_left_rows_and_columns(spark):
     out = asof_join(left, right, "k")
     assert out.count() == left.count()
     assert out.columns == ["id", "k", "ts", "r_ts", "r_px"]
+
+
+def test_asof_forward_strict_inclusive_and_tolerance(spark):
+    """Forward as-of: inclusive matches an equal-ts right row, strict
+    skips to the next one, and the tolerance nulls the payload without
+    dropping the left row."""
+    import datetime as dt
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 7, t0), (2, 7, t0 + dt.timedelta(hours=5)), (3, 8, t0)],
+        "lid long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, t0, 10.0),                            # equal-ts row for user 7
+            (7, t0 + dt.timedelta(hours=2), 20.0),    # 2h later
+            (8, t0 + dt.timedelta(days=3), 30.0),     # beyond tolerance for user 8
+        ],
+        "user_id long, ts timestamp_ntz, v double",
+    )
+    inc = {r["lid"]: r for r in asof_join_forward(
+        left, right, "user_id", tolerance="1 DAY").collect()}
+    assert inc[1]["r_v"] == 10.0            # inclusive: equal ts matches
+    strict = {r["lid"]: r for r in asof_join_forward(
+        left, right, "user_id", strict=True, tolerance="1 DAY").collect()}
+    assert strict[1]["r_v"] == 20.0         # strict: skips the equal-ts row
+    assert strict[2]["r_v"] is None         # user 7 at +5h: no later purchase... 
+    assert strict[3]["r_v"] is None         # match exists at +3d but horizon nulls it
+    assert strict[3]["r_ts"] is None
+    assert len(strict) == 3                 # every left row survives

@@ -465,3 +465,34 @@ def test_span_corruption_stats_no_shuffle(spark):
     # must be exchange-free. Accept the single rangepartitioning exchange,
     # reject any hashpartitioning (a shuffle would mean we lost narrowness).
     assert "hashpartitioning" not in body, body
+
+
+def test_bm25_search_hand_computed(spark):
+    """Single-term query over a 2-doc corpus: the doc with higher tf but
+    longer length loses to BM25's length normalization exactly as the
+    closed-form computes."""
+    import math
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark other other other other other other"),  # tf 2, dl 8
+            (2, "spark other"),                                       # tf 1, dl 2
+            (3, "nothing here"),                                      # no match
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25_search(docs, ["spark"], k=10).collect()}
+    assert set(out) == {1, 2}
+    n_docs, total_dl, df_t = 3, 12, 2
+    idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+
+    def s(tf, dl):
+        return (idf * (tf * 2.2)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n_docs) / total_dl))
+
+    assert out[1]["score"] == round(s(2, 8), 6)
+    assert out[2]["score"] == round(s(1, 2), 6)
+    # shorter doc with tf=1 outranks dl=8 doc with tf=2 at these params
+    assert out[2]["score"] > out[1]["score"]
+    assert out[1]["matched_terms"] == 1 and out[1]["dl"] == 8
