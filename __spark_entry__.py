@@ -887,31 +887,62 @@ def q_token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 n-gram Jaccard near-dup (recall-oriented banding; rows-only —
-    xxhash64 signatures are not DuckDB-expressible).
+# The recall-contract queries (minhash_near_dups, ngram_jaccard_pairs)
+# full-outer-join the banded-LSH output against an EXACT prefix-filter
+# join twin so the driver row itself proves recall. The exact twin is the
+# right verification harness at sf0.01-0.1, but its candidate set grows
+# superlinearly with corpus size and would dominate at production scale —
+# so it is gated on corpus size. Above the gate the query returns the
+# production LSH pairs alone (in_exact = NULL = "twin skipped", schema
+# unchanged); the production entry points are dedup.minhash_near_duplicates
+# / dedup.ngram_jaccard_pairs by themselves.
+_EXACT_TWIN_MAX_DOCS = 1_000_000
 
-    Recall contract (same shape as minhash_near_dups): exact Jaccard≥0.5
-    prefix-join pairs full-outer-joined with the banded-LSH result;
-    ``found_by_lsh`` exposes misses in the driver's rows-only record."""
-    docs = _t(spark, sf_dir, "documents")
-    lsh = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
-        "id_a", "id_b", F.col("jaccard").alias("jaccard_lsh")
-    )
-    exact = simjoin.jaccard_similarity_join(docs, threshold=0.5).select(
-        "id_a", "id_b", F.lit(True).alias("in_exact")
-    )
-    return (
-        lsh.join(exact, ["id_a", "id_b"], "full_outer")
-        .select(
+
+def _lsh_with_exact_twin(
+    lsh: DataFrame, docs: DataFrame, threshold: float
+) -> DataFrame:
+    """Full-outer recall contract between an LSH pair set and the exact
+    prefix-join twin, size-gated (see _EXACT_TWIN_MAX_DOCS above). The
+    ``docs.count()`` gate is a metadata-cheap control-plane fetch, not a
+    data collect."""
+    if docs.count() <= _EXACT_TWIN_MAX_DOCS:
+        exact = simjoin.jaccard_similarity_join(docs, threshold=threshold).select(
+            "id_a", "id_b", F.lit(True).alias("in_exact")
+        )
+        out = lsh.join(exact, ["id_a", "id_b"], "full_outer").select(
             "id_a",
             "id_b",
             F.col("jaccard_lsh").alias("jaccard"),
             F.coalesce("in_exact", F.lit(False)).alias("in_exact"),
             F.col("jaccard_lsh").isNotNull().alias("found_by_lsh"),
         )
-        .orderBy("id_a", "id_b")
+    else:
+        out = lsh.select(
+            "id_a",
+            "id_b",
+            F.col("jaccard_lsh").alias("jaccard"),
+            F.lit(None).cast("boolean").alias("in_exact"),
+            F.lit(True).alias("found_by_lsh"),
+        )
+    return out.orderBy("id_a", "id_b")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 n-gram Jaccard near-dup (recall-oriented banding; rows-only —
+    xxhash64 signatures are not DuckDB-expressible).
+
+    Recall contract (same shape as minhash_near_dups): exact Jaccard≥0.5
+    prefix-join pairs full-outer-joined with the banded-LSH result;
+    ``found_by_lsh`` exposes misses in the driver's rows-only record.
+    Size-gated (_EXACT_TWIN_MAX_DOCS): at production scale the exact twin
+    is skipped and the production operator dedup.ngram_jaccard_pairs is
+    the entry point."""
+    docs = _t(spark, sf_dir, "documents")
+    lsh = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "id_a", "id_b", F.col("jaccard").alias("jaccard_lsh")
     )
+    return _lsh_with_exact_twin(lsh, docs, threshold=0.5)
 
 
 def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1539,25 +1570,14 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ``in_exact=false`` rows would be precision bugs (impossible while
     the LSH path exact-verifies candidates). The driver's rows-only record
     therefore demonstrates recall, not just "ran"; thresholds asserted in
-    tests/test_dedup.py."""
+    tests/test_dedup.py. Size-gated (_EXACT_TWIN_MAX_DOCS): at production
+    scale the exact twin is skipped and the production operator
+    dedup.minhash_near_duplicates is the entry point."""
     docs = _t(spark, sf_dir, "documents")
     lsh = dedup.minhash_near_duplicates(docs, threshold=0.8).select(
         "id_a", "id_b", F.col("jaccard").alias("jaccard_lsh")
     )
-    exact = simjoin.jaccard_similarity_join(docs, threshold=0.8).select(
-        "id_a", "id_b", F.lit(True).alias("in_exact")
-    )
-    return (
-        lsh.join(exact, ["id_a", "id_b"], "full_outer")
-        .select(
-            "id_a",
-            "id_b",
-            F.col("jaccard_lsh").alias("jaccard"),
-            F.coalesce("in_exact", F.lit(False)).alias("in_exact"),
-            F.col("jaccard_lsh").isNotNull().alias("found_by_lsh"),
-        )
-        .orderBy("id_a", "id_b")
-    )
+    return _lsh_with_exact_twin(lsh, docs, threshold=0.8)
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2368,7 +2388,9 @@ def q_streaming_view_purchase_left_join(spark: SparkSession, sf_dir: str) -> Dat
         name = f"stream_ivlj_{_STREAM_SEQ[0]}"
         out = run_available_now_to_memory(joined, spark, name, output_mode="append")
     return (
-        out.filter(F.col("view_ts") <= F.lit(cutoff))
+        # view_ts is TIMESTAMP_NTZ; cast the literal too, else a non-UTC
+        # session timezone shifts the clip by the tz offset
+        out.filter(F.col("view_ts") <= F.lit(cutoff).cast("timestamp_ntz"))
         .orderBy("user_id", "view_event", "purchase_event")
     )
 
@@ -2493,8 +2515,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # staleness. Tiers below rotate the least-recently-driver-checked
     # queries into the window.
     raw = {
-        # -- tier 1 (r5): the 13 queries whose last driver row is r1/r2 —
-        #    closing the full-registry r3∪r4∪r5 freshness goal ------------
+        # -- tier 1 (r7): the 14 queries that have NEVER had a driver row
+        #    (added late in r6, below that round's boundary) — closes
+        #    full-registry driver coverage: 163/163 ever-checked ---------
+        "excess_shipment_suppliers": q_excess_shipment_suppliers,
+        "discount_quantity_corr": q_discount_quantity_corr,
+        "order_value_bands": q_order_value_bands,
+        "seasonality_index": q_seasonality_index,
+        "cusum_changepoints": q_cusum_changepoints,
+        "knn_graph": q_knn_graph,
+        "bm25_search": q_bm25_search,
+        "asof_next_purchase": q_asof_next_purchase,
+        "span_corruption_stats": q_span_corruption_stats,
+        "corpus_drift": q_corpus_drift,
+        "source_shingle_overlap": q_source_shingle_overlap,
+        "embedding_outliers": q_embedding_outliers,
+        "streaming_view_purchase_left_join": q_streaming_view_purchase_left_join,
+        "streaming_static_enrich": q_streaming_static_enrich,
+        # -- tier 2 (r7): the 36 stalest r3-green queries, including the
+        #    whole rows-only ANN/dedup family (lsh/pq/media/cosine/clean/
+        #    approx-distinct) whose oracle can't hash them — the queries
+        #    where silent regression is most plausible ------------------
+        "approx_distinct_users": q_approx_distinct_users,
+        "bigram_logprob": q_bigram_logprob,
+        "bloom_decontamination": q_bloom_decontamination,
+        "chunk_documents": q_chunk_documents,
+        "clean_corpus": q_clean_corpus,
+        "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
+        "cosine_near_dups": q_cosine_near_dups,
+        "daily_distinct_users": q_daily_distinct_users,
+        "event_type_pivot": q_event_type_pivot,
+        "hash_split": q_hash_split,
+        "incremental_near_dups": q_incremental_near_dups,
+        "latest_events_display": q_latest_events_display,
+        "line_dedup": q_line_dedup,
+        "lsh_similarity_topk": q_lsh_similarity_topk,
+        "media_features": q_media_features,
+        "media_near_dups": q_media_near_dups,
+        "media_resize": q_media_resize,
+        "pq_topk": q_pq_topk,
+        "priority_source_dedup": q_priority_source_dedup,
+        "quality_percentile_filter": q_quality_percentile_filter,
+        "range_join_windows": q_range_join_windows,
+        "rolling_anomalies": q_rolling_anomalies,
+        "semantic_near_dups": q_semantic_near_dups,
+        "streaming_dedup_daily": q_streaming_dedup_daily,
+        "streaming_user_value_stats": q_streaming_user_value_stats,
+        "streaming_view_purchase_join": q_streaming_view_purchase_join,
+        "temperature_mix": q_temperature_mix,
+        "text_normalization": q_text_normalization,
+        "time_series_gapfill": q_time_series_gapfill,
+        "token_budget_mix": q_token_budget_mix,
+        "unigram_logprob": q_unigram_logprob,
+        "user_sessions": q_user_sessions,
+        "value_histogram": q_value_histogram,
+        "value_outliers_mad": q_value_outliers_mad,
+        "value_percentiles": q_value_percentiles,
+        "vocab_coverage": q_vocab_coverage,
+        # ---- driver window boundary (first 50 above) ------------------
+        # -- r3-green relational tier next in line for the r8 rotation
+        #    (several are double-green r1h+r3h; lowest regression risk) --
+        "brand_revenue": q_brand_revenue,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "clean_corpus_exact": q_clean_corpus_exact,
+        "customer_order_distribution": q_customer_order_distribution,
+        "customers_without_orders": q_customers_without_orders,
+        "forecast_revenue": q_forecast_revenue,
+        "large_orders": q_large_orders,
+        "priority_status_rollup": q_priority_status_rollup,
+        "promo_revenue_share": q_promo_revenue_share,
+        "running_revenue": q_running_revenue,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        # -- r4/r6-green queries (freshest driver evidence) -------------
         "stratified_sample": q_stratified_sample,
         "media_metadata_stats": q_media_metadata_stats,
         "cosine_pairs_sample": q_cosine_pairs_sample,
@@ -2508,7 +2602,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counts_by_source": q_counts_by_source,
         "last_events": q_last_events,
         "head_events": q_head_events,
-        # -- tier 2 (r5): new this round --------------------------------
         "cohort_retention_salted": q_cohort_retention_salted,
         "rolling_active_users": q_rolling_active_users,
         "last_touch_attribution": q_last_touch_attribution,
@@ -2544,79 +2637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_stickiness": q_user_stickiness,
         "monthly_order_mix": q_monthly_order_mix,
         "fk_integrity_audit": q_fk_integrity_audit,
-        # -- tier 3 (r6): new this round — first driver contact ---------
         "nation_profit_by_year": q_nation_profit_by_year,
         "part_supplier_counts": q_part_supplier_counts,
-        # ---- driver window boundary (first 50 above) ------------------
-        # r6 additions below the boundary queue for the r7 rotation; the
-        # two r3-green refreshes (user_sessions, daily_distinct_users)
-        # yielded their slots to the new queries' first driver contact.
-        "excess_shipment_suppliers": q_excess_shipment_suppliers,
-        "discount_quantity_corr": q_discount_quantity_corr,
-        "order_value_bands": q_order_value_bands,
-        "seasonality_index": q_seasonality_index,
-        "cusum_changepoints": q_cusum_changepoints,
-        "knn_graph": q_knn_graph,
-        "bm25_search": q_bm25_search,
-        "asof_next_purchase": q_asof_next_purchase,
-        "span_corruption_stats": q_span_corruption_stats,
-        "corpus_drift": q_corpus_drift,
-        "source_shingle_overlap": q_source_shingle_overlap,
-        "embedding_outliers": q_embedding_outliers,
-        "user_sessions": q_user_sessions,
-        "daily_distinct_users": q_daily_distinct_users,
-        "event_type_pivot": q_event_type_pivot,
-        "latest_events_display": q_latest_events_display,
-        "value_percentiles": q_value_percentiles,
-        "media_features": q_media_features,
-        "hash_split": q_hash_split,
-        "token_budget_mix": q_token_budget_mix,
-        "quality_percentile_filter": q_quality_percentile_filter,
-        "priority_source_dedup": q_priority_source_dedup,
-        "unigram_logprob": q_unigram_logprob,
-        "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
-        "streaming_dedup_daily": q_streaming_dedup_daily,
-        "customer_order_distribution": q_customer_order_distribution,
-        "promo_revenue_share": q_promo_revenue_share,
-        "large_orders": q_large_orders,
-        "bigram_logprob": q_bigram_logprob,
-        "semantic_near_dups": q_semantic_near_dups,
-        "media_resize": q_media_resize,
-        "line_dedup": q_line_dedup,
-        # -- r3-green queries next in line for the r6 rotation (those
-        #    displaced by the late r5 additions lead) --------------------
-        "range_join_windows": q_range_join_windows,
-        "time_series_gapfill": q_time_series_gapfill,
-        "bloom_decontamination": q_bloom_decontamination,
-        "streaming_view_purchase_join": q_streaming_view_purchase_join,
-        "streaming_view_purchase_left_join": q_streaming_view_purchase_left_join,
-        "streaming_static_enrich": q_streaming_static_enrich,
-        "value_histogram": q_value_histogram,
-        "value_outliers_mad": q_value_outliers_mad,
-        "chunk_documents": q_chunk_documents,
-        "vocab_coverage": q_vocab_coverage,
-        "incremental_near_dups": q_incremental_near_dups,
-        "streaming_user_value_stats": q_streaming_user_value_stats,
-        "temperature_mix": q_temperature_mix,
-        "text_normalization": q_text_normalization,
-        "rolling_anomalies": q_rolling_anomalies,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "top_supplier_revenue": q_top_supplier_revenue,
-        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
-        "cosine_near_dups": q_cosine_near_dups,
-        "lsh_similarity_topk": q_lsh_similarity_topk,
-        "pq_topk": q_pq_topk,
-        "media_near_dups": q_media_near_dups,
-        "clean_corpus": q_clean_corpus,
-        "approx_distinct_users": q_approx_distinct_users,
-        "top_parts_per_brand": q_top_parts_per_brand,
-        "running_revenue": q_running_revenue,
-        "customers_without_orders": q_customers_without_orders,
-        "priority_status_rollup": q_priority_status_rollup,
-        "forecast_revenue": q_forecast_revenue,
-        "brand_revenue": q_brand_revenue,
-        "clean_corpus_exact": q_clean_corpus_exact,
-        # -- r4-green queries (freshest evidence) -----------------------
         "session_stats": q_session_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
         "event_heatmap": q_event_heatmap,

@@ -17,8 +17,12 @@ ordered by (time, side). Cost model:
 Semantics: ``strict=False`` (default) matches right rows with
 ``right_ts <= left_ts`` (DuckDB/pandas ``>=`` convention); ``strict=True``
 requires ``right_ts < left_ts``. Ties among right rows on the same
-(key, timestamp) are not deterministic — pre-aggregate the right side to one
-row per (key, ts) for reproducible output (the contract query does).
+(key, timestamp) break DETERMINISTICALLY on the right payload struct
+(ascending field-wise: backward keeps the largest payload, forward the
+smallest), so output is stable run-to-run and cross-engine. This requires
+the selected right columns to be orderable types (no map columns) — if a
+map payload must ride along, pre-aggregate the right side to one row per
+(key, ts) instead.
 """
 
 from __future__ import annotations
@@ -69,9 +73,11 @@ def asof_join(
     r_tagged = r_tagged.withColumn(
         "_l", F.lit(None).cast(l_tagged.schema["_l"].dataType)
     )
+    # `_r` in the ordering is the deterministic tie-break among right rows
+    # sharing (key, ts); left rows are untouched (distinct _side, null _r).
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -131,9 +137,11 @@ def asof_join_forward(
     r_tagged = r_tagged.withColumn(
         "_l", F.lit(None).cast(l_tagged.schema["_l"].dataType)
     )
+    # `_r` in the ordering breaks (key, ts) ties deterministically (the
+    # smallest payload struct wins for the forward direction).
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_r")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     out = (

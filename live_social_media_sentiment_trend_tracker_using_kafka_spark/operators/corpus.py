@@ -1065,7 +1065,12 @@ def span_corruption_stats(
                     F.zip_with(
                         F.slice(F.col("fl"), 2, F.greatest(F.size("fl") - 1, F.lit(1))),
                         F.slice(F.col("fl"), 1, F.greatest(F.size("fl") - 1, F.lit(1))),
-                        lambda cur, prev: (cur & ~prev).cast("int"),
+                        # zip_with pads the shorter side with NULL when a
+                        # 1-token doc makes the slice lengths unequal
+                        # (greatest(size-1,1) vs the real size-1=0); the
+                        # padded (null & ~flag) must count as 0, not
+                        # poison the sum to NULL
+                        lambda cur, prev: F.coalesce((cur & ~prev).cast("int"), F.lit(0)),
                     ),
                     F.lit(0),
                     lambda acc, x: acc + x,

@@ -141,6 +141,8 @@ def distributed_cume_dist(
     share a value because the cumsum is taken over per-VALUE aggregated
     rows within each chunk.
     """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
     from ..caching import tracked_persist
 
     keys = [*part_cols, order_col]
@@ -167,14 +169,31 @@ def distributed_cume_dist(
         offsets.append((*g, r["_chunk"], running.get(g, 0), totals[g]))
         running[g] = running.get(g, 0) + r["_cnt"]
     spark = df.sparkSession
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            offsets, [*part_cols, "_chunk", "_offset", "_total"]
-        )
+    # explicit schema: inference would fail on an empty offsets list or on a
+    # partition key whose every value is NULL
+    off_schema = StructType(
+        [StructField(c, df.schema[c].dataType, True) for c in part_cols]
+        + [
+            StructField("_chunk", IntegerType(), False),
+            StructField("_offset", LongType(), False),
+            StructField("_total", LongType(), False),
+        ]
     )
+    if not offsets:
+        # empty input: match window cume_dist (empty result, same schema)
+        return chunked.drop("_chunk").withColumn(out_col, F.lit(None).cast("double"))
+    off_df = F.broadcast(spark.createDataFrame(offsets, off_schema))
     w = Window.partitionBy("_chunk", *part_cols).orderBy(order_col)
+    # null-safe equi-join on the partition keys: window cume_dist keeps
+    # NULL groups (partitionBy groups nulls together), so the offset join
+    # must match them too — a plain equi-join would silently drop them
+    join_cond = chunked["_chunk"] == off_df["_chunk"]
+    for c in part_cols:
+        join_cond = join_cond & chunked[c].eqNullSafe(off_df[c])
     return (
-        chunked.join(off_df, [*part_cols, "_chunk"])
+        chunked.join(off_df, join_cond)
+        .drop(off_df["_chunk"])
+        .drop(*[off_df[c] for c in part_cols])
         # rangeBetween over the ORDER VALUE gives ties an identical count
         # (# rows in this chunk with value <= mine), exactly like cume_dist
         .withColumn(

@@ -140,3 +140,23 @@ def test_asof_forward_strict_inclusive_and_tolerance(spark):
     assert strict[3]["r_v"] is None         # match exists at +3d but horizon nulls it
     assert strict[3]["r_ts"] is None
     assert len(strict) == 3                 # every left row survives
+
+
+def test_asof_tie_break_on_right_payload_is_deterministic(spark):
+    """Multiple right rows sharing (key, ts): the window now orders on the
+    payload struct too, so backward keeps the LARGEST payload and forward
+    the SMALLEST — stable run-to-run instead of partition-order luck."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([("u", t0)], "k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", t0, v) for v in ("b", "c", "a")], "k string, ts timestamp, v string"
+    )
+    for _ in range(3):
+        back = asof_join(left, right, "k").collect()[0]
+        fwd = asof_join_forward(left, right, "k").collect()[0]
+        assert back["r_v"] == "c"  # largest (ts, v) struct wins backward
+        assert fwd["r_v"] == "a"  # smallest wins forward

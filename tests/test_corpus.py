@@ -496,3 +496,20 @@ def test_bm25_search_hand_computed(spark):
     # shorter doc with tf=1 outranks dl=8 doc with tf=2 at these params
     assert out[2]["score"] > out[1]["score"]
     assert out[1]["matched_terms"] == 1 and out[1]["dl"] == 8
+
+
+def test_span_corruption_stats_single_token_docs_never_null(spark):
+    """A 1-token doc makes the shifted-flags slices unequal-length;
+    zip_with's NULL padding must coalesce to 0, not poison n_spans
+    (advisor-reported r6 parity bug)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        span_corruption_stats,
+    )
+
+    # enough doc_ids that both masked and unmasked single-token docs occur
+    df = spark.createDataFrame([(i, "word") for i in range(64)], "doc_id long, text string")
+    rows = span_corruption_stats(df).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["n_spans"] is not None
+        assert r["n_spans"] == r["n_masked"]  # 1 token: span iff masked

@@ -361,3 +361,27 @@ def test_distributed_cume_dist_equals_window_cume_dist(spark):
     want = df.withColumn("c", F.cume_dist().over(w))
     k = lambda r: (r["g"], r["x"], round(r["c"], 12))
     assert sorted(map(k, got.collect())) == sorted(map(k, want.collect()))
+
+
+def test_distributed_cume_dist_empty_and_null_groups(spark):
+    """Empty input returns an empty frame with the output column (no
+    schema-inference crash), and NULL partition keys form a group exactly
+    like window cume_dist (null-safe offset join)."""
+    from pyspark.sql import Window
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.window_funcs import (
+        distributed_cume_dist,
+    )
+
+    empty = spark.createDataFrame([], "g string, x int")
+    out = distributed_cume_dist(empty, ["g"], "x", out_col="c", n_range_parts=4)
+    assert out.count() == 0 and out.columns == ["g", "x", "c"]
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (None, 2), ("a", 5), ("a", 7)], "g string, x int"
+    )
+    got = distributed_cume_dist(df, ["g"], "x", out_col="c", n_range_parts=3)
+    w = Window.partitionBy("g").orderBy("x")
+    want = df.withColumn("c", F.cume_dist().over(w))
+    k = lambda r: (r["g"], r["x"], round(r["c"], 12))
+    assert sorted(map(k, got.collect()), key=str) == sorted(map(k, want.collect()), key=str)
