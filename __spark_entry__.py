@@ -898,15 +898,26 @@ def q_token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # / dedup.ngram_jaccard_pairs by themselves.
 _EXACT_TWIN_MAX_DOCS = 1_000_000
 
+# count() is a real (if small) Spark job — at best a parquet-footer scan —
+# not a free metadata fetch; memoize it per corpus dir so the gate is paid
+# once per session, not once per recall-contract query.
+_DOC_COUNT_MEMO: dict[str, int] = {}
+
+
+def _doc_count(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _DOC_COUNT_MEMO:
+        _DOC_COUNT_MEMO[sf_dir] = _t(spark, sf_dir, "documents").count()
+    return _DOC_COUNT_MEMO[sf_dir]
+
 
 def _lsh_with_exact_twin(
-    lsh: DataFrame, docs: DataFrame, threshold: float
+    lsh: DataFrame, docs: DataFrame, threshold: float, n_docs: int
 ) -> DataFrame:
     """Full-outer recall contract between an LSH pair set and the exact
-    prefix-join twin, size-gated (see _EXACT_TWIN_MAX_DOCS above). The
-    ``docs.count()`` gate is a metadata-cheap control-plane fetch, not a
-    data collect."""
-    if docs.count() <= _EXACT_TWIN_MAX_DOCS:
+    prefix-join twin, size-gated (see _EXACT_TWIN_MAX_DOCS above).
+    ``n_docs`` is the memoized corpus row count (_doc_count) — the gate
+    itself never launches a job."""
+    if n_docs <= _EXACT_TWIN_MAX_DOCS:
         exact = simjoin.jaccard_similarity_join(docs, threshold=threshold).select(
             "id_a", "id_b", F.lit(True).alias("in_exact")
         )
@@ -942,7 +953,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
         "id_a", "id_b", F.col("jaccard").alias("jaccard_lsh")
     )
-    return _lsh_with_exact_twin(lsh, docs, threshold=0.5)
+    return _lsh_with_exact_twin(lsh, docs, threshold=0.5, n_docs=_doc_count(spark, sf_dir))
 
 
 def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1577,7 +1588,7 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = dedup.minhash_near_duplicates(docs, threshold=0.8).select(
         "id_a", "id_b", F.col("jaccard").alias("jaccard_lsh")
     )
-    return _lsh_with_exact_twin(lsh, docs, threshold=0.8)
+    return _lsh_with_exact_twin(lsh, docs, threshold=0.8, n_docs=_doc_count(spark, sf_dir))
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2341,23 +2352,29 @@ def q_streaming_view_purchase_left_join(spark: SparkSession, sf_dir: str) -> Dat
     per-type maxima, not on max(ts) overall. Derived from the data on
     both sides, no baked-in timestamp literals."""
     ev = _t(spark, sf_dir, "events")
-    cutoff = (
-        ev.agg(
-            (
-                F.least(
-                    F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
-                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
-                )
-                - F.expr("INTERVAL 91 MINUTES")
-            ).alias("c")
-        )
-        .collect()[0]["c"]
-    )
 
     def _stream():
         return _stream_events(spark, sf_dir)
 
     with _session_tz(spark, "UTC"), _stateful_stream_partitions(spark):
+        # Cutoff is derived ntz-to-ntz INSIDE the forced-UTC context: ts is
+        # cast to timestamp_ntz here, so the collected value is the UTC
+        # wall-clock — the same wall-clock view_ts carries below. (A plain
+        # timestamp max collected outside this block would come back in the
+        # default session tz and shift the clip by the tz offset.)
+        ntz = F.col("ts").cast("timestamp_ntz")
+        cutoff = (
+            ev.agg(
+                (
+                    F.least(
+                        F.max(F.when(F.col("event_type") == "view", ntz)),
+                        F.max(F.when(F.col("event_type") == "purchase", ntz)),
+                    )
+                    - F.expr("INTERVAL 91 MINUTES")
+                ).alias("c")
+            )
+            .collect()[0]["c"]
+        )
         views = (
             normalize_ts(_stream())
             .withColumn("ts", F.col("ts").cast("timestamp"))
@@ -2388,9 +2405,16 @@ def q_streaming_view_purchase_left_join(spark: SparkSession, sf_dir: str) -> Dat
         name = f"stream_ivlj_{_STREAM_SEQ[0]}"
         out = run_available_now_to_memory(joined, spark, name, output_mode="append")
     return (
-        # view_ts is TIMESTAMP_NTZ; cast the literal too, else a non-UTC
-        # session timezone shifts the clip by the tz offset
-        out.filter(F.col("view_ts") <= F.lit(cutoff).cast("timestamp_ntz"))
+        # ntz-to-ntz, with the literal built from a STRING: F.lit(naive
+        # datetime) round-trips through TimestampType, interpreting the
+        # value in the PYTHON PROCESS tz while the ntz cast renders in the
+        # SESSION tz — under TZ=Asia/Kolkata that shifted the clip by
+        # -5:30 and dropped the last hours of unmatched views. A string →
+        # timestamp_ntz cast parses the wall-clock tz-free on any session.
+        out.filter(
+            F.col("view_ts")
+            <= F.lit(cutoff.isoformat(sep=" ")).cast("timestamp_ntz")
+        )
         .orderBy("user_id", "view_event", "purchase_event")
     )
 
@@ -2487,6 +2511,34 @@ def q_time_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 span-level dedup signal (r8): per-doc fraction of distinct
+    8-word spans that repeat verbatim in another document — the
+    passage/boilerplate contamination view that document-level near-dup
+    misses (Lee et al. 2022). Hash-green: grams are compared verbatim
+    (no engine-specific hashing), so the DuckDB twin reproduces the exact
+    counts with the same tokenize → n-gram → distinct construction the
+    shingle family already locks cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.duplicate_span_stats(docs, n=8)
+
+
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 domain balancing (r8): keep at most 15 docs per source,
+    chosen by the engine-neutral (md5(id), id) rank — the per-domain
+    quota downsample (CCNet/Gopher) that stops one crawl domain drowning
+    the training mixture. Hash-green: the oracle is a plain ROW_NUMBER
+    window; the Spark side is the DISTRIBUTED chunked-rank construction
+    (sampling.capped_group_sample) that stays parallel inside hot
+    domains, asserted plan-equal in tests."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling.capped_group_sample(docs, "source", cap=15, id_col="doc_id")
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("source", "doc_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_event_summary(spark, "/root/testdata/sf0.001")
@@ -2515,9 +2567,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # staleness. Tiers below rotate the least-recently-driver-checked
     # queries into the window.
     raw = {
-        # -- tier 1 (r7): the 14 queries that have NEVER had a driver row
-        #    (added late in r6, below that round's boundary) — closes
-        #    full-registry driver coverage: 163/163 ever-checked ---------
+        # -- r8 rotation window (first 50 = driver-checked this round):
+        #    the 2 never-checked r8 additions, the 13 r3-green relational
+        #    queries, and the 35 stalest r4-green rows from COVERAGE.md
+        #    (ledger stalest-first order) — keeps max staleness bounded --
+        "duplicate_span_stats": q_duplicate_span_stats,
+        "domain_cap_sample": q_domain_cap_sample,
+        "brand_revenue": q_brand_revenue,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "clean_corpus_exact": q_clean_corpus_exact,
+        "customer_order_distribution": q_customer_order_distribution,
+        "customers_without_orders": q_customers_without_orders,
+        "forecast_revenue": q_forecast_revenue,
+        "large_orders": q_large_orders,
+        "priority_status_rollup": q_priority_status_rollup,
+        "promo_revenue_share": q_promo_revenue_share,
+        "running_revenue": q_running_revenue,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "approx_value_percentiles": q_approx_value_percentiles,
+        "benchmark_contamination": q_benchmark_contamination,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        "brand_market_share": q_brand_market_share,
+        "clean_corpus_clustered": q_clean_corpus_clustered,
+        "cohort_retention": q_cohort_retention,
+        "counts_by_lang_topk": q_counts_by_lang_topk,
+        "decontaminated_corpus": q_decontaminated_corpus,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "dedup_clusters": q_dedup_clusters,
+        "doc_quality": q_doc_quality,
+        "dormant_customers": q_dormant_customers,
+        "embedding_coverage": q_embedding_coverage,
+        "embedding_norm_stats": q_embedding_norm_stats,
+        "event_heatmap": q_event_heatmap,
+        "exact_dedup_groups": q_exact_dedup_groups,
+        "fingerprint_containment": q_fingerprint_containment,
+        "funnel_conversion": q_funnel_conversion,
+        "heavy_tokens": q_heavy_tokens,
+        "ivf_topk": q_ivf_topk,
+        "json_props_buckets": q_hashtag_extract,
+        "lang_id_counts": q_lang_id_counts,
+        "local_supplier_volume": q_local_supplier_volume,
+        "lone_problem_suppliers": q_lone_problem_suppliers,
+        "minhash_near_dups": q_minhash_near_dups,
+        "nation_trade_volume": q_nation_trade_volume,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_novelty": q_ngram_novelty,
+        "order_priority_counts": q_order_priority_counts,
+        "packed_sequences": q_packed_sequences,
+        "pii_redaction": q_pii_redaction,
+        "pricing_summary": q_pricing_summary,
+        "repetition_stats": q_repetition_stats,
+        "rfm_segments": q_rfm_segments,
+        "sentiment_label_counts": q_sentiment_label_counts,
+        # ---- driver window boundary (first 50 above) ------------------
+        # session_stats / shipping_priority yield their r8 slots to the
+        # two new never-checked queries; first in line for r9
+        "session_stats": q_session_stats,
+        "shipping_priority": q_shipping_priority,
+        # -- remaining r4-green tail (13 rows; next in line for r9),
+        #    then the r6/r7-green tiers (freshest evidence last) ------
         "excess_shipment_suppliers": q_excess_shipment_suppliers,
         "discount_quantity_corr": q_discount_quantity_corr,
         "order_value_bands": q_order_value_bands,
@@ -2532,10 +2642,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "streaming_view_purchase_left_join": q_streaming_view_purchase_left_join,
         "streaming_static_enrich": q_streaming_static_enrich,
-        # -- tier 2 (r7): the 36 stalest r3-green queries, including the
-        #    whole rows-only ANN/dedup family (lsh/pq/media/cosine/clean/
-        #    approx-distinct) whose oracle can't hash them — the queries
-        #    where silent regression is most plausible ------------------
         "approx_distinct_users": q_approx_distinct_users,
         "bigram_logprob": q_bigram_logprob,
         "bloom_decontamination": q_bloom_decontamination,
@@ -2572,23 +2678,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers_mad": q_value_outliers_mad,
         "value_percentiles": q_value_percentiles,
         "vocab_coverage": q_vocab_coverage,
-        # ---- driver window boundary (first 50 above) ------------------
-        # -- r3-green relational tier next in line for the r8 rotation
-        #    (several are double-green r1h+r3h; lowest regression risk) --
-        "brand_revenue": q_brand_revenue,
-        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
-        "clean_corpus_exact": q_clean_corpus_exact,
-        "customer_order_distribution": q_customer_order_distribution,
-        "customers_without_orders": q_customers_without_orders,
-        "forecast_revenue": q_forecast_revenue,
-        "large_orders": q_large_orders,
-        "priority_status_rollup": q_priority_status_rollup,
-        "promo_revenue_share": q_promo_revenue_share,
-        "running_revenue": q_running_revenue,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "top_parts_per_brand": q_top_parts_per_brand,
-        "top_supplier_revenue": q_top_supplier_revenue,
-        # -- r4/r6-green queries (freshest driver evidence) -------------
         "stratified_sample": q_stratified_sample,
         "media_metadata_stats": q_media_metadata_stats,
         "cosine_pairs_sample": q_cosine_pairs_sample,
@@ -2639,56 +2728,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_integrity_audit": q_fk_integrity_audit,
         "nation_profit_by_year": q_nation_profit_by_year,
         "part_supplier_counts": q_part_supplier_counts,
-        "session_stats": q_session_stats,
-        "embedding_norm_stats": q_embedding_norm_stats,
-        "event_heatmap": q_event_heatmap,
-        "bpe_merge_candidates": q_bpe_merge_candidates,
-        "approx_value_percentiles": q_approx_value_percentiles,
-        "funnel_conversion": q_funnel_conversion,
-        "cohort_retention": q_cohort_retention,
-        "rfm_segments": q_rfm_segments,
-        "lone_problem_suppliers": q_lone_problem_suppliers,
         "streaming_user_sessions": q_streaming_user_sessions,
-        "ngram_novelty": q_ngram_novelty,
         "tokenizer_fertility": q_tokenizer_fertility,
-        "embedding_coverage": q_embedding_coverage,
-        "ivf_topk": q_ivf_topk,
-        "minhash_near_dups": q_minhash_near_dups,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_near_dups": q_simhash_near_dups,
-        "counts_by_lang_topk": q_counts_by_lang_topk,
         "token_topk": q_token_topk,
         "time_series": q_time_series,
-        "sentiment_label_counts": q_sentiment_label_counts,
-        "json_props_buckets": q_hashtag_extract,
-        "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
-        "local_supplier_volume": q_local_supplier_volume,
-        "nation_trade_volume": q_nation_trade_volume,
-        "brand_market_share": q_brand_market_share,
-        "dormant_customers": q_dormant_customers,
         "top_customers": q_top_customers,
-        "order_priority_counts": q_order_priority_counts,
         "url_domain_stats": q_url_domain_stats,
-        "packed_sequences": q_packed_sequences,
-        "repetition_stats": q_repetition_stats,
-        "pii_redaction": q_pii_redaction,
-        "benchmark_contamination": q_benchmark_contamination,
-        "decontaminated_corpus": q_decontaminated_corpus,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_cluster_sizes": q_dedup_cluster_sizes,
-        "clean_corpus_clustered": q_clean_corpus_clustered,
-        "exact_dedup_groups": q_exact_dedup_groups,
-        "doc_quality": q_doc_quality,
         "similarity_topk": q_similarity_topk,
         "streaming_time_series": q_streaming_time_series,
-        "lang_id_counts": q_lang_id_counts,
         "token_count_stats": q_token_count_stats,
         "similarity_join_exact": q_similarity_join_exact,
         "winnow_fingerprints": q_winnow_fingerprints,
-        "fingerprint_containment": q_fingerprint_containment,
-        "heavy_tokens": q_heavy_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
+
     }
     return {name: _released(fn) for name, fn in raw.items()}
 
@@ -5500,6 +5553,52 @@ def oracle_sql() -> dict[str, str]:
         # bloom_decontamination omitted: xxhash64 bit positions are not
         # DuckDB-expressible; the exact tier rides along per row and the
         # no_false_negative evidence column must be TRUE everywhere.
+        # r8: span-level dedup — same tokenize → n-gram(8) → distinct
+        # construction as the shingle family (verbatim grams, no hashing),
+        # gram marked duplicated when ≥2 distinct docs carry it.
+        "duplicate_span_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(regexp_replace(text, '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+                       t -> t <> '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       list_transform(range(1, greatest(len(t) - 8, 0) + 2),
+                                      i -> array_to_string(t[i:i+7], ' ')),
+                       g -> g <> '')) AS s
+              FROM toks
+            ), spans AS (
+              SELECT doc_id, unnest(s) AS gram FROM sh
+            ), shared AS (
+              SELECT gram FROM spans GROUP BY gram HAVING COUNT(*) > 1
+            )
+            SELECT spans.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(COUNT(shared.gram) AS BIGINT) AS dup_spans,
+                   ROUND(COUNT(shared.gram) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+            FROM spans LEFT JOIN shared USING (gram)
+            GROUP BY spans.doc_id
+            ORDER BY spans.doc_id
+        """,
+        # r8: per-domain quota downsample — the oracle is the naive
+        # ROW_NUMBER window; the Spark side is the distributed chunked
+        # rank, so a hash match IS the equivalence proof.
+        "domain_cap_sample": """
+            SELECT doc_id, source, lang, n_chars
+            FROM (
+                SELECT doc_id, source, lang, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            )
+            WHERE rn <= 15
+            ORDER BY source, doc_id
+        """,
     }
     # The salted cohort variant is semantics-preserving by construction —
     # the SAME oracle verifies both plans, which is exactly the equivalence

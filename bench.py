@@ -182,6 +182,9 @@ HEADLINE = [
     "knn_graph",
     "bm25_search",
     "asof_next_purchase",
+    # r8 additions
+    "duplicate_span_stats",
+    "domain_cap_sample",
 ]
 
 

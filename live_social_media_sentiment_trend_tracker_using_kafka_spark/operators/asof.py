@@ -29,6 +29,40 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _unorderable_path(dt: T.DataType) -> str | None:
+    """Return a dotted path to the first non-orderable component of ``dt``
+    (Spark cannot sort MapType, wherever it nests), or None if orderable."""
+    if isinstance(dt, T.MapType):
+        return ""
+    if isinstance(dt, T.ArrayType):
+        sub = _unorderable_path(dt.elementType)
+        return None if sub is None else f"[]{('.' + sub) if sub else ''}"
+    if isinstance(dt, T.StructType):
+        for f in dt.fields:
+            sub = _unorderable_path(f.dataType)
+            if sub is not None:
+                return f.name + (("." + sub) if sub else "")
+    return None
+
+
+def _check_orderable_payload(right: DataFrame, rc: list[str]) -> None:
+    """Fail fast with a named column instead of an opaque AnalysisException
+    when the deterministic `_r` tie-break would try to sort a map column."""
+    schema = {f.name: f.dataType for f in right.schema.fields}
+    for c in rc:
+        path = _unorderable_path(schema[c])
+        if path is not None:
+            where = c + (("." + path) if path else "")
+            raise ValueError(
+                f"asof join: right payload column '{where}' is a MapType, which "
+                "Spark cannot order, so the deterministic tie-break cannot sort "
+                "it. Exclude it via right_cols, cast it (e.g. map_entries / "
+                "to_json), or pre-aggregate the right side to one row per "
+                "(key, ts)."
+            )
 
 
 def asof_join(
@@ -49,6 +83,7 @@ def asof_join(
     the match's age.
     """
     rc = right_cols if right_cols is not None else [c for c in right.columns if c != key_col]
+    _check_orderable_payload(right, rc)
     # SQL equality never matches NULL keys and `>=` never matches NULL
     # timestamps; Window.partitionBy would happily group null keys together
     # and a null _ts would sort first and be carried into every left row.
@@ -115,6 +150,7 @@ def asof_join_forward(
     strict (sorts before left, outside the frame).
     """
     rc = right_cols if right_cols is not None else [c for c in right.columns if c != key_col]
+    _check_orderable_payload(right, rc)
     right = right.filter(F.col(key_col).isNotNull() & F.col(right_ts).isNotNull())
     if right_ts not in rc:
         rc = [right_ts, *rc]

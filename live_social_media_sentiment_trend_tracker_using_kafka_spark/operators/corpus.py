@@ -1176,3 +1176,61 @@ def bm25_search(
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document duplicated-SPAN fraction: which share of a document's
+    distinct word n-gram spans also appears verbatim in at least one OTHER
+    document. The span-level view of dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", public): document-level
+    near-dup misses boilerplate/quote contamination where only passages
+    repeat; this surfaces it so a cleaning tier can drop or re-weight
+    span-heavy docs. Long ``n`` (default 8 words) keeps common short
+    phrases out of the signal.
+
+    Scale shape: rides the canonical shared ``shingle_table`` (one
+    tokenize pass per (corpus, n) per session), then exactly TWO linear
+    shuffles — explode → groupBy(gram) marking grams seen in ≥2 distinct
+    docs (map-side combinable count over pre-deduped per-doc grams), and
+    groupBy(doc) re-assembling per-doc totals. No pair join ever forms:
+    the widest intermediate is the exploded (doc, gram) table, linear in
+    corpus token count. A gram hot enough to skew its reducer (classic
+    boilerplate) aggregates to ONE row per gram before the doc roll-up.
+
+    Returns (doc_id, n_spans, dup_spans, dup_frac) for every doc with at
+    least one span, ordered by doc_id.
+    """
+    from .dedup import shingle_table
+
+    spans = shingle_table(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("gram")
+    )
+    shared = (
+        spans.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") > 1)
+        .select("gram", F.lit(True).alias("_shared"))
+    )
+    return (
+        spans.join(shared, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("_shared").isNotNull().cast("long")).alias("dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "dup_spans",
+            F.round(F.col("dup_spans") / F.col("n_spans").cast("double"), round_digits).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy(id_col)
+    )

@@ -288,3 +288,78 @@ def temperature_mix(
         .select(*df.columns)
         .orderBy(group_col, id_col)
     )
+
+
+def capped_group_sample(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    n_range_parts: int = 64,
+) -> DataFrame:
+    """Cap over-represented groups: keep at most ``cap`` rows per group —
+    the domain-balancing downsample every curation pipeline runs before
+    mixing (one crawl domain must not drown the mixture; CCNet/Gopher
+    keep per-domain quotas). The kept subset is deterministic and
+    uniform: rows rank by (md5(id), id), the same engine-neutral order
+    the rest of the sampling family uses.
+
+    Scale shape — the naive form is ``row_number() OVER (PARTITION BY
+    group ORDER BY md5)``, which sorts each WHOLE group in one task: the
+    exact parallelism trap distributed_cume_dist exists for, and the hot
+    group is precisely the one being capped. So this uses the same
+    chunked construction: range-repartition on (group, md5, id) pinned
+    by persist, a (n_range_parts × |groups|) per-chunk count collect
+    (bounded control-plane fetch), broadcast running offsets, and a
+    chunk-LOCAL row_number + offset. Chunks whose offset already exceeds
+    ``cap`` are dropped BEFORE their sort — at 100 TB a hot domain's
+    tail chunks never even sort. Keys are unique ((md5, id) collisions
+    impossible within a group), so ranks are total and exact.
+
+    Returns the kept rows (original columns), ordered by (group, id).
+    """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from ..caching import tracked_persist
+
+    ordv = F.md5(F.col(id_col).cast("string"))
+    chunked = tracked_persist(
+        df.withColumn("_ord", ordv)
+        .repartitionByRange(n_range_parts, F.col(group_col), F.col("_ord"), F.col(id_col))
+        .withColumn("_chunk", F.spark_partition_id())
+    )
+    per_chunk = (
+        chunked.groupBy("_chunk", group_col).agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    )
+    if not per_chunk:
+        return chunked.drop("_ord", "_chunk")
+    offsets = []
+    running: dict = {}
+    for r in sorted(per_chunk, key=lambda r: (str(r[group_col]), r["_chunk"])):
+        g = r[group_col]
+        offsets.append((g, r["_chunk"], running.get(g, 0)))
+        running[g] = running.get(g, 0) + r["_cnt"]
+    off_schema = StructType(
+        [
+            StructField(group_col, df.schema[group_col].dataType, True),
+            StructField("_chunk", IntegerType(), False),
+            StructField("_offset", LongType(), False),
+        ]
+    )
+    off_df = F.broadcast(chunked.sparkSession.createDataFrame(offsets, off_schema))
+    join_cond = (chunked["_chunk"] == off_df["_chunk"]) & chunked[group_col].eqNullSafe(
+        off_df[group_col]
+    )
+    w = Window.partitionBy("_chunk", group_col).orderBy("_ord", id_col)
+    return (
+        chunked.join(off_df, join_cond)
+        .drop(off_df["_chunk"])
+        .drop(off_df[group_col])
+        # a chunk that starts at or past the cap contributes nothing —
+        # prune it before the window ever sorts it
+        .filter(F.col("_offset") < cap)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") + F.col("_offset") <= cap)
+        .select(*df.columns)
+        .orderBy(group_col, id_col)
+    )

@@ -581,6 +581,58 @@ def pq_probe(
     )
 
 
+def cap_cell_sizes(
+    assigned: DataFrame,
+    dim: int,
+    max_cell_rows: int,
+    cell_col: str = "cluster",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_split_bits: int = 16,
+) -> DataFrame:
+    """Mega-cell guard for IVF-celled pair operators: re-split every cell
+    whose population exceeds ``max_cell_rows`` by sign-random-projection
+    sub-bucketing, so within-cell candidate volume stays O(Σ min(cᵢ,
+    max_cell_rows)²) even when the coarse quantizer lands a hot cell.
+
+    Why SRP, not a second Lloyd pass: the split must be computable in ONE
+    vectorized pass with no extra driver fit per hot cell (there can be
+    many), and SRP preserves cosine locality — nearby vectors share sign
+    bits with probability 1 − θ/π per plane — so the recall loss at
+    sub-bucket boundaries is the same documented tradeoff as the coarse
+    cells themselves. Cell c with population n_c gets
+    ``ceil(log2(n_c / max_cell_rows))`` bits (expected sub-cell ≈
+    max_cell_rows); cells under the cap keep modulus 1 (sub-bucket 0).
+
+    Cost: one per-cell count aggregate (collects ≤ n_clusters rows — a
+    control-plane fetch, not data) + one Arrow SRP pass. Returns
+    ``assigned`` with ``cell_col`` rewritten to the refined id
+    ``cluster * 2^max_split_bits + sub`` (opaque to callers — only
+    equality matters); unchanged when no cell exceeds the cap.
+    """
+    import math
+
+    counts = assigned.groupBy(cell_col).count().collect()
+    bits = {
+        r[cell_col]: min(max_split_bits, math.ceil(math.log2(r["count"] / max_cell_rows)))
+        for r in counts
+        if r["count"] > max_cell_rows
+    }
+    if not bits:
+        return assigned
+    from ..functions.kernels import make_srp_buckets_udf
+
+    planes = _hyperplanes(dim, max(bits.values()), seed + 101)
+    srp = make_srp_buckets_udf([planes])(F.col(vec_col))[0]
+    modulus = F.lit(1)
+    for c, b in sorted(bits.items()):
+        modulus = F.when(F.col(cell_col) == F.lit(c), F.lit(1 << b)).otherwise(modulus)
+    return assigned.withColumn(
+        cell_col,
+        F.col(cell_col).cast("long") * F.lit(1 << max_split_bits) + (srp % modulus),
+    )
+
+
 def semantic_near_duplicate_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -588,6 +640,7 @@ def semantic_near_duplicate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    max_cell_rows: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023, public):
     coarse k-means partition of the embedding space, then EXACT cosine pairs
@@ -608,11 +661,17 @@ def semantic_near_duplicate_pairs(
     deterministically. The per-cluster self-join repartitions both sides on
     ``cluster`` (one shuffle each) and never compares across clusters —
     boundary-straddling pairs are the documented recall loss, mitigated by
-    raising ``n_clusters`` more slowly than n.
+    raising ``n_clusters`` more slowly than n. Cells exceeding
+    ``max_cell_rows`` are SRP re-split (``cap_cell_sizes``) so a skewed
+    quantizer cannot silently restore the n² blowup in one hot cell.
     """
     from ..functions.kernels import pair_cosine_udf
 
-    assigned, _ = ivf_index(embeddings, n_clusters, vec_col, seed=seed)
+    assigned, centroids = ivf_index(embeddings, n_clusters, vec_col, seed=seed)
+    if max_cell_rows:
+        assigned = cap_cell_sizes(
+            assigned, int(centroids.shape[1]), max_cell_rows, "cluster", vec_col, seed
+        )
     sides = assigned.select("cluster", F.col(id_col), F.col(vec_col))
     # Vector-carrying self-join sides: pin sort-merge (stale cached-size
     # estimates must never broadcast a corpus-sized side — see
@@ -794,6 +853,7 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    max_cell_rows: int = 4096,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH: for every vector, its top-k
     most-cosine-similar neighbors — the all-points counterpart of the
@@ -810,6 +870,13 @@ def knn_graph(
     semantic_near_duplicate_pairs); the exact twin on a bounded sample is
     the evidence contract (tests/test_query_contracts.py).
 
+    Mega-cell guard: a skewed quantizer can land one hot cell that
+    re-creates the n² blowup regardless of ``n_clusters``; any cell over
+    ``max_cell_rows`` is re-split by SRP sub-bucketing (``cap_cell_sizes``)
+    so per-cell candidates stay bounded without manual knob-tuning at
+    100×. Set ``max_cell_rows=0``/None to disable (exact within-cell
+    semantics).
+
     Returns (vec_id, rank, neighbor_id, cosine), rank 1..k by (cosine
     desc, neighbor_id asc), ordered by (vec_id, rank). Vectors alone in
     their cell emit no rows.
@@ -818,7 +885,11 @@ def knn_graph(
 
     from ..functions.kernels import pair_cosine_udf
 
-    assigned, _ = ivf_index(embeddings, n_clusters, vec_col, seed=seed)
+    assigned, centroids = ivf_index(embeddings, n_clusters, vec_col, seed=seed)
+    if max_cell_rows:
+        assigned = cap_cell_sizes(
+            assigned, int(centroids.shape[1]), max_cell_rows, "cluster", vec_col, seed
+        )
     sides = assigned.select("cluster", F.col(id_col), F.col(vec_col))
     a = sides.select("cluster", F.col(id_col).alias("src"), F.col(vec_col).alias("v_a"))
     b = sides.select(

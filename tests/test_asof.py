@@ -160,3 +160,31 @@ def test_asof_tie_break_on_right_payload_is_deterministic(spark):
         fwd = asof_join_forward(left, right, "k").collect()[0]
         assert back["r_v"] == "c"  # largest (ts, v) struct wins backward
         assert fwd["r_v"] == "a"  # smallest wins forward
+
+
+def test_asof_map_payload_raises_named_error(spark):
+    """A MapType payload column can't ride through the deterministic `_r`
+    tie-break (Spark can't order maps); the operator must name the column
+    in a ValueError instead of dying later with an AnalysisException."""
+    import pytest
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([("u", t0)], "k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", t0, {"a": 1})], "k string, ts timestamp, props map<string,int>"
+    )
+    with pytest.raises(ValueError, match="props"):
+        asof_join(left, right, "k")
+    with pytest.raises(ValueError, match="props"):
+        asof_join_forward(left, right, "k")
+    # nested: map inside a struct is also named with its path
+    right2 = right.selectExpr("k", "ts", "named_struct('inner', props) AS wrap")
+    with pytest.raises(ValueError, match="wrap.inner"):
+        asof_join(left, right2, "k")
+    # excluding the offending column via right_cols works
+    right3 = right.withColumn("px", right["ts"].cast("long"))
+    assert asof_join(left, right3, "k", right_cols=["ts", "px"]).count() == 1

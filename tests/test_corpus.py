@@ -513,3 +513,27 @@ def test_span_corruption_stats_single_token_docs_never_null(spark):
     for r in rows:
         assert r["n_spans"] is not None
         assert r["n_spans"] == r["n_masked"]  # 1 token: span iff masked
+
+
+def test_duplicate_span_stats_hand_checked(spark):
+    """Two docs sharing one verbatim 8-word span, one unique doc, one doc
+    shorter than n (single short gram): fractions computed by hand."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        duplicate_span_stats,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+    d1 = shared + " one two three"     # spans: 4 grams (11 words -> 11-8+1)
+    d2 = "x y " + shared               # 10 words -> 3 grams
+    d3 = "totally unique words here nothing repeats in this document at all"
+    d4 = "tiny doc"                    # < 8 words -> ONE short gram
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_spans, r.dup_spans, r.dup_frac) for r in
+           duplicate_span_stats(df, n=8).collect()}
+    # d1 and d2 share exactly the one gram == `shared`
+    assert got[1] == (4, 1, round(1 / 4, 6))
+    assert got[2] == (3, 1, round(1 / 3, 6))
+    assert got[3][1] == 0 and got[3][2] == 0.0
+    assert got[4] == (1, 0, 0.0)

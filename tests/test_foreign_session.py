@@ -113,3 +113,57 @@ def test_day_bucket_queries_invariant_across_timezones(spark):
         assert by_tz["UTC"], name  # non-vacuous
         assert by_tz["Asia/Kolkata"] == by_tz["UTC"], f"{name} shifts under IST"
         assert by_tz["America/Sao_Paulo"] == by_tz["UTC"], f"{name} shifts under BRT"
+
+
+def test_streaming_left_join_cutoff_invariant_across_timezones(spark):
+    """The left-join parity clip compares view_ts (NTZ, UTC wall-clock) to a
+    collected cutoff; the cutoff must be derived ntz-to-ntz INSIDE the
+    forced-UTC context or a non-UTC default session tz shifts the clip by
+    the offset (ADVICE r7). Kolkata's +05:30 would move the 91-minute clip
+    across real rows if the derivation regressed."""
+    import __spark_entry__ as entrymod
+
+    results = {}
+    for tz in ("UTC", "Asia/Kolkata"):
+        foreign = spark.newSession()
+        foreign.conf.set("spark.sql.session.timeZone", tz)
+        rows = entrymod.q_streaming_view_purchase_left_join(foreign, SF_SMOKE).collect()
+        results[tz] = [tuple(r) for r in rows]
+        assert foreign.conf.get("spark.sql.session.timeZone") == tz
+    assert results["UTC"], "clip must keep rows at smoke scale"
+    assert results["Asia/Kolkata"] == results["UTC"]
+
+
+def test_streaming_left_join_cutoff_invariant_across_process_tz():
+    """Session tz is only half the hazard: F.lit(naive datetime) converts
+    through TimestampType in the PYTHON PROCESS timezone, while the ntz
+    cast renders in session tz — under TZ=Asia/Kolkata that shifted the
+    clip -5:30 and silently dropped the last hours of unmatched views
+    (caught by the verify drive, r8). The JVM's default tz is fixed at
+    startup, so this must run in a subprocess with TZ exported."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import sys
+sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tests")
+import duckdb
+import __spark_entry__ as entrymod
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.session import build_session
+from conftest import SF_SMOKE
+spark = build_session(master="local[4]", extra_conf={"spark.ui.enabled": "false"})
+spark.sparkContext.setLogLevel("ERROR")
+n = entrymod.q_streaming_view_purchase_left_join(spark, SF_SMOKE).count()
+con = duckdb.connect()
+con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'")
+d = con.execute(entrymod.oracle_sql()["streaming_view_purchase_left_join"]).fetchall()
+assert n == len(d) > 0, f"spark {n} vs duck {len(d)}"
+print("TZOK", n)
+"""
+    env = dict(os.environ, TZ="Asia/Kolkata")
+    env.pop("JAVA_TOOL_OPTIONS", None)
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True, timeout=600
+    )
+    assert "TZOK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]

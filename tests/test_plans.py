@@ -589,3 +589,16 @@ def test_order_value_bands_distributed_not_per_segment_window(spark):
     assert "rangepartitioning(c_mktsegment" in plan, plan
     assert "hashpartitioning(_chunk" in plan, plan
     assert "cume_dist" not in plan, plan
+
+
+def test_knn_graph_stays_celled_no_cartesian(spark):
+    """knn_graph's candidate generation must remain the CELLED sort-merge
+    self-join — never a cartesian/broadcast-nested-loop product (the n²
+    shape the IVF cells + mega-cell guard exist to prevent), and its only
+    Python boundaries are Arrow-vectorized (assign + pair-cosine)."""
+    df = entrymod.q_knn_graph(spark, SF)
+    plan = plan_text(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan, plan  # cluster-equality join, merge-hinted
+    assert "BatchEvalPython" not in plan, plan  # Arrow only, no row-at-a-time

@@ -130,3 +130,47 @@ def test_temperature_mix_alpha_extremes(spark):
     a = sorted(r.doc_id for r in temperature_mix(df, "source", 0.5, 40).collect())
     b = sorted(r.doc_id for r in temperature_mix(df, "source", 0.5, 40).collect())
     assert a == b
+
+
+def test_capped_group_sample_equals_naive_window(spark):
+    """The distributed chunked rank must keep EXACTLY the rows the naive
+    per-group window would (same md5 order), for caps that bite, don't
+    bite, and exceed every group — plus null-group rows are kept/capped
+    like any other group, and determinism across reruns."""
+    from pyspark.sql import Window
+
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(5)]
+    rows += [(200 + i, None) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def naive(cap):
+        w = Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+        return sorted(
+            (r.doc_id, r.source)
+            for r in df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap)
+            .select("doc_id", "source")
+            .collect()
+        )
+
+    for cap in (3, 5, 100):
+        got = sorted(
+            (r.doc_id, r.source)
+            for r in sampling.capped_group_sample(df, "source", cap, n_range_parts=7).collect()
+        )
+        assert got == naive(cap), f"cap={cap}"
+    # counts: the cap binds per group
+    kept = sampling.capped_group_sample(df, "source", 6, n_range_parts=7)
+    sizes = {r.source: r["count"] for r in kept.groupBy("source").count().collect()}
+    assert sizes == {"big": 6, "small": 5, None: 6}
+    # determinism
+    a = [tuple(r) for r in sampling.capped_group_sample(df, "source", 6).collect()]
+    b = [tuple(r) for r in sampling.capped_group_sample(df, "source", 6).collect()]
+    assert a == b
+
+
+def test_capped_group_sample_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id long, source string")
+    assert sampling.capped_group_sample(df, "source", 3).count() == 0
