@@ -217,9 +217,22 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "2g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # JVM/codegen warmup so the first timed query doesn't absorb session
-    # startup cost (no table data is touched).
+    # Warmup: the r8 bisect measured the FIRST query absorbing 3-16 s of
+    # one-time session cost (flagship 4.8 s cold vs 1.0 s warm; minhash
+    # 19.6 s vs 3.4 s) — JVM codegen, the parquet reader path, and the
+    # Python/Arrow worker pool all spin up lazily. Warm each path once so
+    # per-query timings measure the query, not session startup. Only the
+    # tiny region table (~1 KB) is read — no benched table's data or page
+    # cache is pre-touched.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).collect()
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(1_000).select(_warm(col("id"))).collect()
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -589,37 +589,55 @@ def cap_cell_sizes(
     vec_col: str = "embedding",
     seed: int = 7,
     max_split_bits: int = 16,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Mega-cell guard for IVF-celled pair operators: re-split every cell
-    whose population exceeds ``max_cell_rows`` by sign-random-projection
-    sub-bucketing, so within-cell candidate volume stays O(Σ min(cᵢ,
-    max_cell_rows)²) even when the coarse quantizer lands a hot cell.
+    whose population exceeds ``max_cell_rows``, so within-cell candidate
+    volume stays O(Σ min(cᵢ, max_cell_rows)²) even when the coarse
+    quantizer lands a hot cell. Two stages:
 
-    Why SRP, not a second Lloyd pass: the split must be computable in ONE
-    vectorized pass with no extra driver fit per hot cell (there can be
-    many), and SRP preserves cosine locality — nearby vectors share sign
-    bits with probability 1 − θ/π per plane — so the recall loss at
-    sub-bucket boundaries is the same documented tradeoff as the coarse
-    cells themselves. Cell c with population n_c gets
-    ``ceil(log2(n_c / max_cell_rows))`` bits (expected sub-cell ≈
-    max_cell_rows); cells under the cap keep modulus 1 (sub-bucket 0).
+    1. **SRP sub-bucketing** (locality-preserving): nearby vectors share
+       sign bits with probability 1 − θ/π per plane, so a directionally
+       DIVERSE hot cell (quantizer too coarse) splits with the same
+       boundary-recall tradeoff as the coarse cells themselves. Cell c
+       gets ``ceil(log2(n_c / max_cell_rows))`` bits. One Arrow pass, no
+       per-cell driver fit.
+    2. **Residual id-salt** (bounded-by-construction): a pile of
+       direction-IDENTICAL vectors defeats every direction-based hash —
+       they share all sign bits, so stage 1 leaves the pile whole
+       (measured: a planted 75%-identical pile stayed one cell). When
+       ``salt_col`` is given, still-oversized refined cells are salted by
+       ``pmod(xxhash64(id), ceil(n_c / max_cell_rows))``. This DOES cut
+       true same-pile pairs across salt buckets — the documented recall
+       cost — but for identical piles any within-bucket neighbor is
+       cosine-equivalent to any cross-bucket one, so top-k/keep-one
+       consumers (knn_graph, semantic_dedup) lose nothing semantically
+       while candidates stay bounded. Omit ``salt_col`` to keep exact
+       within-cell pair semantics (and unbounded identical piles).
 
-    Cost: one per-cell count aggregate (collects ≤ n_clusters rows — a
-    control-plane fetch, not data) + one Arrow SRP pass. Returns
-    ``assigned`` with ``cell_col`` rewritten to the refined id
-    ``cluster * 2^max_split_bits + sub`` (opaque to callers — only
-    equality matters); unchanged when no cell exceeds the cap.
+    Cost: per stage, one per-cell count aggregate that collects ONLY the
+    oversized cells (≤ n / max_cell_rows rows — a bounded control-plane
+    fetch) + one narrow pass. Returns ``assigned`` with ``cell_col``
+    rewritten to an opaque refined id (only equality matters); unchanged
+    when no cell exceeds the cap.
     """
     import math
 
-    counts = assigned.groupBy(cell_col).count().collect()
+    def _oversized(df) -> list:
+        return (
+            df.groupBy(cell_col)
+            .count()
+            .filter(F.col("count") > max_cell_rows)
+            .collect()
+        )
+
+    over = _oversized(assigned)
+    if not over:
+        return assigned
     bits = {
         r[cell_col]: min(max_split_bits, math.ceil(math.log2(r["count"] / max_cell_rows)))
-        for r in counts
-        if r["count"] > max_cell_rows
+        for r in over
     }
-    if not bits:
-        return assigned
     from ..functions.kernels import make_srp_buckets_udf
 
     planes = _hyperplanes(dim, max(bits.values()), seed + 101)
@@ -627,9 +645,24 @@ def cap_cell_sizes(
     modulus = F.lit(1)
     for c, b in sorted(bits.items()):
         modulus = F.when(F.col(cell_col) == F.lit(c), F.lit(1 << b)).otherwise(modulus)
-    return assigned.withColumn(
+    refined = assigned.withColumn(
         cell_col,
         F.col(cell_col).cast("long") * F.lit(1 << max_split_bits) + (srp % modulus),
+    )
+    if salt_col is None:
+        return refined
+    still = _oversized(refined)
+    if not still:
+        return refined
+    buckets = F.lit(1)
+    for r in sorted(still, key=lambda r: r[cell_col]):
+        buckets = F.when(
+            F.col(cell_col) == F.lit(r[cell_col]),
+            F.lit(int(math.ceil(r["count"] / max_cell_rows))),
+        ).otherwise(buckets)
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), buckets)
+    return refined.withColumn(
+        cell_col, F.col(cell_col) * F.lit(1 << 32) + salt
     )
 
 
@@ -662,15 +695,21 @@ def semantic_near_duplicate_pairs(
     ``cluster`` (one shuffle each) and never compares across clusters —
     boundary-straddling pairs are the documented recall loss, mitigated by
     raising ``n_clusters`` more slowly than n. Cells exceeding
-    ``max_cell_rows`` are SRP re-split (``cap_cell_sizes``) so a skewed
-    quantizer cannot silently restore the n² blowup in one hot cell.
+    ``max_cell_rows`` are SRP re-split with a residual id-salt
+    (``cap_cell_sizes``) so a skewed quantizer — or a pile of identical
+    embeddings — cannot silently restore the n² blowup in one hot cell.
+    The salt can split a true near-dup pair across buckets (bounded
+    recall cost, same family as the cell boundaries); the downstream
+    keep-one consumer (semantic_dedup) then keeps ≤ #salt-buckets
+    representatives of an identical pile instead of exactly one.
     """
     from ..functions.kernels import pair_cosine_udf
 
     assigned, centroids = ivf_index(embeddings, n_clusters, vec_col, seed=seed)
     if max_cell_rows:
         assigned = cap_cell_sizes(
-            assigned, int(centroids.shape[1]), max_cell_rows, "cluster", vec_col, seed
+            assigned, int(centroids.shape[1]), max_cell_rows, "cluster", vec_col,
+            seed, salt_col=id_col,
         )
     sides = assigned.select("cluster", F.col(id_col), F.col(vec_col))
     # Vector-carrying self-join sides: pin sort-merge (stale cached-size
@@ -872,10 +911,13 @@ def knn_graph(
 
     Mega-cell guard: a skewed quantizer can land one hot cell that
     re-creates the n² blowup regardless of ``n_clusters``; any cell over
-    ``max_cell_rows`` is re-split by SRP sub-bucketing (``cap_cell_sizes``)
-    so per-cell candidates stay bounded without manual knob-tuning at
-    100×. Set ``max_cell_rows=0``/None to disable (exact within-cell
-    semantics).
+    ``max_cell_rows`` is re-split by SRP sub-bucketing plus a residual
+    id-salt for direction-identical piles (``cap_cell_sizes``) so
+    per-cell candidates stay bounded without manual knob-tuning at 100×.
+    The salt stage costs nothing semantically HERE: in an identical pile
+    every neighbor ties at cosine 1.0, so a within-salt-bucket top-k is
+    as good as the global one. Set ``max_cell_rows=0``/None to disable
+    (exact within-cell semantics).
 
     Returns (vec_id, rank, neighbor_id, cosine), rank 1..k by (cosine
     desc, neighbor_id asc), ordered by (vec_id, rank). Vectors alone in
@@ -888,7 +930,8 @@ def knn_graph(
     assigned, centroids = ivf_index(embeddings, n_clusters, vec_col, seed=seed)
     if max_cell_rows:
         assigned = cap_cell_sizes(
-            assigned, int(centroids.shape[1]), max_cell_rows, "cluster", vec_col, seed
+            assigned, int(centroids.shape[1]), max_cell_rows, "cluster", vec_col,
+            seed, salt_col=id_col,
         )
     sides = assigned.select("cluster", F.col(id_col), F.col(vec_col))
     a = sides.select("cluster", F.col(id_col).alias("src"), F.col(vec_col).alias("v_a"))

@@ -274,10 +274,49 @@ def test_knn_graph_planted_twins_survive_forced_cell_split(spark):
     rows = [(i, base[i].tolist()) for i in range(60)]
     rows += [(1000 + i, (base[i] * 1.25).tolist()) for i in range(60)]
     df = spark.createDataFrame(rows, SCHEMA)
-    # n_clusters=2 over 120 rows -> hot cells; cap at 16 forces splitting
-    g = similarity.knn_graph(df, k=1, n_clusters=2, max_cell_rows=16).collect()
+    # n_clusters=2 over 120 rows -> hot cells; cap 24 forces the SRP stage
+    # (2 bits per 60-row cell -> ~15-row sub-buckets, under the cap) while
+    # keeping the residual id-salt quiet — twins share direction, hence
+    # every SRP bit, hence the refined cell
+    g = similarity.knn_graph(df, k=1, n_clusters=2, max_cell_rows=24).collect()
     rank1 = {r.vec_id: r.neighbor_id for r in g if r.rank == 1}
     recovered = sum(1 for i in range(60) if rank1.get(i) == 1000 + i)
-    # twins land in the same refined cell by construction; allow a couple
-    # of losses from a third vector happening to beat cosine 1.0 ties
+    # allow a couple of losses from a third vector beating cosine-1.0 ties
+    # or a rare still-oversized sub-bucket reaching the salt stage
     assert recovered >= 55, f"only {recovered}/60 twins at rank 1"
+
+
+def test_cap_cell_sizes_salts_identical_pile(spark):
+    """Direction-identical vectors share every SRP sign bit, so stage 1
+    cannot split them — the residual id-salt must (r8). Without salt_col
+    the pile stays whole (exact semantics preserved on request)."""
+    rng = np.random.RandomState(3)
+    v = rng.normal(size=DIM)
+    rows = [(i, (v * (1.0 + 0.001 * (i % 7))).tolist(), 1) for i in range(200)]
+    assigned = spark.createDataFrame(rows, "vec_id long, embedding array<float>, cluster int")
+
+    salted = similarity.cap_cell_sizes(assigned, DIM, max_cell_rows=40, salt_col="vec_id")
+    sizes = [r["count"] for r in salted.groupBy("cluster").count().collect()]
+    assert max(sizes) <= 80  # ceil(200/40)=5 buckets, xxhash64-uniform
+    assert sum(sizes) == 200 and len(sizes) >= 3
+
+    unsalted = similarity.cap_cell_sizes(assigned, DIM, max_cell_rows=40)
+    u_sizes = [r["count"] for r in unsalted.groupBy("cluster").count().collect()]
+    assert max(u_sizes) == 200  # SRP alone cannot split an identical pile
+
+
+def test_knn_graph_identical_pile_stays_bounded_and_sane(spark):
+    """A pile of identical-direction vectors must (a) not blow up the
+    celled join — the salt bounds every refined cell — and (b) still give
+    every pile member a cosine-1.0 rank-1 neighbor (any same-pile vector
+    ties; within-salt-bucket neighbors are equally optimal)."""
+    rng = np.random.RandomState(5)
+    v = rng.normal(size=DIM)
+    rows = [(i, (v * (1.0 + 0.01 * (i % 3))).tolist()) for i in range(150)]
+    rows += [(1000 + i, rng.normal(size=DIM).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    g = similarity.knn_graph(df, k=1, n_clusters=4, max_cell_rows=30)
+    rank1 = {r.vec_id: r.cosine for r in g.collect() if r.rank == 1}
+    pile_cos = [rank1[i] for i in range(150) if i in rank1]
+    assert len(pile_cos) == 150  # every pile member got a neighbor
+    assert min(pile_cos) >= 0.999999  # ties at cosine 1.0 inside the pile
