@@ -602,3 +602,24 @@ def test_knn_graph_stays_celled_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SortMergeJoin" in plan, plan  # cluster-equality join, merge-hinted
     assert "BatchEvalPython" not in plan, plan  # Arrow only, no row-at-a-time
+
+
+def test_registry_wide_no_cartesian_product(spark):
+    """GLOBAL invariant sweep (r8): NO registered batch query may plan a
+    CartesianProduct — the one join shape that is quadratic at any scale.
+    (BroadcastNestedLoopJoin is allowed: every crossJoin in the tree
+    broadcasts a 1-row aggregate, which BNLJ handles in O(n).) Streaming
+    queries are excluded here because building them EXECUTES the
+    AvailableNow drain (they are memory-sink reads, ~full-drive cost);
+    their join shapes are pinned by their own contract tests."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMOKE
+
+    checked = 0
+    for name, fn in entrymod.queries().items():
+        if name.startswith("streaming_"):
+            continue
+        plan = plan_text(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan[:2000]}"
+        checked += 1
+    assert checked >= 150  # non-vacuous: the whole batch registry swept
