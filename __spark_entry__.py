@@ -2539,6 +2539,56 @@ def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 eval-leakage audit (r8): exact-dup fingerprint groups that
+    straddle a hash_split boundary — the check that catches
+    split-before-dedup ordering bugs. The corpus has no native exact dups
+    (exact_dedup_groups is legitimately empty here), so the check plants
+    verbatim copies of docs 0-7 under ids +1,000,000: md5 is fixed, so
+    WHICH planted pairs straddle the 50/50 cut is deterministic forever
+    (ids 1,5,6,7 — asserted in tests/test_sampling.py). Hash-green: md5
+    fingerprints and the split when-chain reproduce exactly in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") < 8).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    return sampling.split_leakage(planted, fractions={"train": 0.5, "test": 0.5})
+
+
+def q_rolling_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 mergeable-sketch rolling distinct (r8; rows-only — Datasketches
+    HLL registers are not DuckDB-expressible): per-day HLL sketches union-
+    merged over the trailing 7-day window. The 100 TB pattern the exact
+    rolling_active_users cannot follow: sketch the corpus ONCE per day,
+    answer any window by merging ≤ window sketches (#days × window rows).
+
+    Error contract (same shape as approx_distinct_users): joins the exact
+    twin per day and emits ``rel_err``; the driver row demonstrates the
+    estimate tracks the exact count (bound asserted in
+    tests/test_query_contracts.py) instead of just "ran"."""
+    ev = _t(spark, sf_dir, "events")
+    approx = sessionize.rolling_distinct_sketch(ev, window_days=7)
+    exact = sessionize.rolling_active_users(ev, window_days=7).select(
+        "day", F.col("active_users").alias("exact_active")
+    )
+    return (
+        approx.join(exact, "day")
+        .select(
+            "day",
+            "approx_active",
+            "exact_active",
+            F.round(
+                F.abs(F.col("approx_active") - F.col("exact_active"))
+                / F.col("exact_active").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("day")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_event_summary(spark, "/root/testdata/sf0.001")
@@ -2573,6 +2623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (ledger stalest-first order) — keeps max staleness bounded --
         "duplicate_span_stats": q_duplicate_span_stats,
         "domain_cap_sample": q_domain_cap_sample,
+        "split_leakage": q_split_leakage,
+        "rolling_sketch_users": q_rolling_sketch_users,
         "brand_revenue": q_brand_revenue,
         "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
         "clean_corpus_exact": q_clean_corpus_exact,
@@ -2619,11 +2671,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "pricing_summary": q_pricing_summary,
         "repetition_stats": q_repetition_stats,
+        # ---- driver window boundary (first 50 above) ------------------
+        # rfm_segments / sentiment_label_counts / session_stats /
+        # shipping_priority yield their r8 slots to the four new
+        # never-checked queries; first in line for r9
         "rfm_segments": q_rfm_segments,
         "sentiment_label_counts": q_sentiment_label_counts,
-        # ---- driver window boundary (first 50 above) ------------------
-        # session_stats / shipping_priority yield their r8 slots to the
-        # two new never-checked queries; first in line for r9
         "session_stats": q_session_stats,
         "shipping_priority": q_shipping_priority,
         # -- remaining r4-green tail (13 rows; next in line for r9),
@@ -5582,6 +5635,30 @@ def oracle_sql() -> dict[str, str]:
             FROM spans LEFT JOIN shared USING (gram)
             GROUP BY spans.doc_id
             ORDER BY spans.doc_id
+        """,
+        # r8: eval-leakage audit — planted verbatim copies (ids +1e6) of
+        # docs 0-7, 50/50 id-hash split (cut '8000' = split_thresholds);
+        # a group leaks when it spans >1 split.
+        "split_leakage": """
+            WITH planted AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id < 8
+            ), labeled AS (
+                SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+                       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+                            THEN 'train' ELSE 'test' END AS split
+                FROM planted
+            )
+            SELECT fingerprint,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT split) AS INT) AS n_splits,
+                   array_to_string(list_sort(list_distinct(list(split))), ',') AS splits
+            FROM labeled
+            GROUP BY fingerprint
+            HAVING COUNT(DISTINCT split) > 1
+            ORDER BY fingerprint
         """,
         # r8: per-domain quota downsample — the oracle is the naive
         # ROW_NUMBER window; the Spark side is the distributed chunked

@@ -185,6 +185,8 @@ HEADLINE = [
     # r8 additions
     "duplicate_span_stats",
     "domain_cap_sample",
+    "split_leakage",
+    "rolling_sketch_users",
 ]
 
 

@@ -72,6 +72,17 @@ def hash_split(
     same split on every run, on every engine, regardless of partitioning —
     the property that keeps eval sets leak-free across pipeline re-runs.
     """
+    return df.select(
+        F.col(id_col), split_assignment_col(id_col, fractions).alias("split")
+    )
+
+
+def split_assignment_col(
+    id_col: str, fractions: dict[str, float] | None = None
+) -> F.Column:
+    """The hash_split when-chain as a composable Column, so consumers that
+    need the split label NEXT TO other per-row columns (split_leakage)
+    compute it in the same projection instead of self-joining on id."""
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
     bounds = split_thresholds(fractions)
     bucket = _md5_bucket_hex(id_col)
@@ -79,8 +90,7 @@ def hash_split(
     for label, ub in bounds[:-1]:
         cond = bucket < F.lit(ub)
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
-    expr = F.lit(bounds[0][0]) if expr is None else expr.otherwise(bounds[-1][0])
-    return df.select(F.col(id_col), expr.alias("split"))
+    return F.lit(bounds[0][0]) if expr is None else expr.otherwise(bounds[-1][0])
 
 
 def split_summary(
@@ -362,4 +372,51 @@ def capped_group_sample(
         .filter(F.col("_rn") + F.col("_offset") <= cap)
         .select(*df.columns)
         .orderBy(group_col, id_col)
+    )
+
+
+def split_leakage(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Eval-set leakage audit, run AFTER hash_split: exact-duplicate
+    fingerprint groups that STRADDLE split boundaries. A test doc whose
+    verbatim twin sits in train inflates every eval metric; because
+    hash_split assigns by doc ID, two identical TEXTS can land on
+    opposite sides — dedup-before-split ordering is the fix this audit
+    enforces.
+
+    One row per leaking fingerprint: (fingerprint, n_docs, n_splits,
+    splits) with ``splits`` sorted and comma-joined for a stable,
+    engine-portable rendering.
+
+    Scale shape: split label and fingerprint are computed side by side in
+    ONE projection (split_assignment_col — no self-join on id), then one
+    hash shuffle on fingerprint; per-group state is the bounded split set
+    (≤ |splits| labels via collect_set), never the documents. Identical
+    construction to the exact-dedup family, so it rides the same
+    map-side-combinable aggregate at 100 TB.
+    """
+    from ..functions.text import fingerprint_col
+
+    labeled = df.select(
+        fingerprint_col(F.col(text_col)).alias("fingerprint"),
+        split_assignment_col(id_col, fractions).alias("split"),
+    )
+    return (
+        labeled.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_set("split")).alias("_splits"),
+        )
+        .filter(F.size("_splits") > 1)
+        .select(
+            "fingerprint",
+            "n_docs",
+            F.size("_splits").cast("int").alias("n_splits"),
+            F.array_join("_splits", ",").alias("splits"),
+        )
+        .orderBy("fingerprint")
     )

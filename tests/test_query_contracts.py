@@ -313,3 +313,24 @@ def test_knn_graph_query_contract(spark):
         assert round(S[i, j_got], 6) == round(S[i, j_exact], 6), (
             f"vec {v}: cell-local top-1 {got_top1[v]} is not a tie of exact {exact_top1[v]}"
         )
+
+
+def test_rolling_sketch_users_error_contract(spark):
+    """Mergeable-HLL rolling distinct (r8): every day joins its exact twin
+    1:1 and the estimate stays inside ~3 sigma of lg_k=12's ~1.6% RSE.
+    Sketch days == exact days (same clamped day-set construction)."""
+    rows = entrymod.q_rolling_sketch_users(spark, SF_SMOKE).collect()
+    assert rows, "no days"
+    assert max(r.rel_err for r in rows) < 0.05, [
+        (r.day, r.approx_active, r.exact_active) for r in rows if r.rel_err >= 0.05
+    ]
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
+        sessionize,
+    )
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import (
+        table,
+    )
+
+    ev = table(spark, "events", SF_SMOKE)
+    n_exact = sessionize.rolling_active_users(ev).count()
+    assert len(rows) == n_exact  # the inner join dropped nothing

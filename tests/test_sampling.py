@@ -174,3 +174,32 @@ def test_capped_group_sample_equals_naive_window(spark):
 def test_capped_group_sample_empty_input(spark):
     df = spark.createDataFrame([], "doc_id long, source string")
     assert sampling.capped_group_sample(df, "source", 3).count() == 0
+
+
+def test_split_leakage_detects_planted_straddlers(spark):
+    """Hand fixture: two identical texts whose ids md5-hash to opposite
+    sides of the 50/50 cut must surface as ONE leaking group; same-side
+    twins and unique texts must not. The planted-contract ids (1,5,6,7
+    straddle at +1e6) are pinned here so the driver query's 4-row output
+    stays explainable."""
+    import hashlib
+
+    def side(i):
+        return "train" if hashlib.md5(str(i).encode()).hexdigest()[:4] < "8000" else "test"
+
+    # find a straddling and a same-side id pair deterministically
+    straddle = next(i for i in range(100) if side(i) != side(1_000_000 + i))
+    same = next(i for i in range(100) if side(i) == side(1_000_000 + i))
+    rows = [
+        (straddle, "leaky text shared verbatim"),
+        (1_000_000 + straddle, "leaky text shared verbatim"),
+        (same, "benign duplicate same side"),
+        (1_000_000 + same, "benign duplicate same side"),
+        (42_000, "unique text nothing repeats"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sampling.split_leakage(df, fractions={"train": 0.5, "test": 0.5}).collect()
+    assert len(got) == 1
+    assert got[0].n_docs == 2 and got[0].n_splits == 2 and got[0].splits == "test,train"
+    # the driver query's planted contract: ids 1,5,6,7 straddle at +1e6
+    assert [i for i in range(8) if side(i) != side(1_000_000 + i)] == [1, 5, 6, 7]
