@@ -2589,6 +2589,43 @@ def q_rolling_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 SLIDING-window streaming agg, oracle-checked (r8): 2-hour
+    windows sliding every hour — each event lands in exactly TWO
+    overlapping windows, the shape tumbling windows cannot express
+    (trend smoothing, rolling rates). Same UTC-pin + NTZ-restore +
+    complete-mode AvailableNow drain discipline as q_streaming_time_series;
+    the DuckDB twin materializes the two bucket starts per event with a
+    UNION ALL, so the hash match proves the slide assignment itself."""
+    raw = _stream_events(spark, sf_dir)
+    with _session_tz(spark, "UTC"), _stateful_stream_partitions(spark):
+        ev = normalize_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
+        agg = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "2 hours", "1 hour"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                # SUM, not AVG: window populations are often powers of two,
+                # making sum/2^k binary-EXACT and able to sit precisely on a
+                # 6-decimal rounding boundary — where a 1-ulp summation-order
+                # difference between engines flips the rounded digit
+                # (observed: 51.027812 vs .027813). A full-precision SUM
+                # cannot land on a decimal boundary, so ROUND(sum, 3) is
+                # order-robust.
+                F.round(F.sum("value"), 3).alias("sum_value"),
+            )
+            .select(
+                F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+                "cnt",
+                "sum_value",
+            )
+        )
+        _STREAM_SEQ[0] += 1
+        name = f"stream_sliding_{_STREAM_SEQ[0]}"
+        out = run_available_now_to_memory(agg, spark, name, output_mode="complete")
+    return out.orderBy("window_start")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_event_summary(spark, "/root/testdata/sf0.001")
@@ -2625,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_sample": q_domain_cap_sample,
         "split_leakage": q_split_leakage,
         "rolling_sketch_users": q_rolling_sketch_users,
+        "streaming_sliding_windows": q_streaming_sliding_windows,
         "brand_revenue": q_brand_revenue,
         "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
         "clean_corpus_exact": q_clean_corpus_exact,
@@ -2670,11 +2708,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": q_packed_sequences,
         "pii_redaction": q_pii_redaction,
         "pricing_summary": q_pricing_summary,
-        "repetition_stats": q_repetition_stats,
         # ---- driver window boundary (first 50 above) ------------------
-        # rfm_segments / sentiment_label_counts / session_stats /
-        # shipping_priority yield their r8 slots to the four new
-        # never-checked queries; first in line for r9
+        # repetition_stats / rfm_segments / sentiment_label_counts /
+        # session_stats / shipping_priority yield their r8 slots to the
+        # five new never-checked queries; first in line for r9
+        "repetition_stats": q_repetition_stats,
         "rfm_segments": q_rfm_segments,
         "sentiment_label_counts": q_sentiment_label_counts,
         "session_stats": q_session_stats,
@@ -5635,6 +5673,22 @@ def oracle_sql() -> dict[str, str]:
             FROM spans LEFT JOIN shared USING (gram)
             GROUP BY spans.doc_id
             ORDER BY spans.doc_id
+        """,
+        # r8: sliding windows — each event belongs to the two 2h windows
+        # starting at trunc_hour(ts) and trunc_hour(ts) - 1h; UNION ALL
+        # materializes the slide assignment the streaming engine computes.
+        "streaming_sliding_windows": """
+            WITH b AS (
+                SELECT time_bucket(INTERVAL '1 hour', ts) AS h, value FROM events
+            ), w AS (
+                SELECT h AS window_start, value FROM b
+                UNION ALL
+                SELECT h - INTERVAL 1 HOUR AS window_start, value FROM b
+            )
+            SELECT window_start,
+                   COUNT(*) AS cnt,
+                   ROUND(SUM(value), 3) AS sum_value
+            FROM w GROUP BY window_start ORDER BY window_start
         """,
         # r8: eval-leakage audit — planted verbatim copies (ids +1e6) of
         # docs 0-7, 50/50 id-hash split (cut '8000' = split_thresholds);

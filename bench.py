@@ -187,6 +187,7 @@ HEADLINE = [
     "domain_cap_sample",
     "split_leakage",
     "rolling_sketch_users",
+    "streaming_sliding_windows",
 ]
 
 

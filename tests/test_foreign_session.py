@@ -76,6 +76,9 @@ def test_streaming_queries_do_not_leak_session_timezone(spark):
     out = entrymod.q_streaming_props_buckets(foreign, SF_SMOKE)
     assert out.count() > 0
     assert foreign.conf.get("spark.sql.session.timeZone") == "Asia/Kolkata"
+    out = entrymod.q_streaming_sliding_windows(foreign, SF_SMOKE)
+    assert out.count() > 0
+    assert foreign.conf.get("spark.sql.session.timeZone") == "Asia/Kolkata"
     # the stateful-drain shuffle-partition pin must restore too
     assert foreign.conf.get("spark.sql.shuffle.partitions") == "17"
 
@@ -100,6 +103,9 @@ def test_day_bucket_queries_invariant_across_timezones(spark):
         "daily_new_vs_returning",
         "repeat_purchase_intervals",
         "time_to_conversion",
+        # r8: HLL rolling distinct is day-bucketed through the same _day()
+        # NTZ double-cast; sketches are deterministic, so full tz-invariance
+        "rolling_sketch_users",
     ]
     qs = entrymod.queries()
     results: dict[str, dict[str, list]] = {}

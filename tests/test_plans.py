@@ -250,8 +250,14 @@ def test_r4_queries_stay_jvm_side(spark):
 def count_hash_exchanges(spark, df) -> int:
     """Hash-exchange count from the FORMATTED explain, where each Exchange
     node's partitioning lives on its own ``Arguments: hashpartitioning(...)``
-    detail line (the tree section prints bare ``Exchange``, so matching
-    'Exchange hashpartitioning' over this mode silently counts zero)."""
+    detail line (the tree section prints bare ``Exchange`` so matching
+    'Exchange hashpartitioning' over this mode silently counts zero).
+
+    Callers that assert a BUDGET must pin the cache state first
+    (``pin_cache_state``): cached-subplan substitution hides exchanges
+    inside InMemoryRelations, so the count depends on which shared tables
+    earlier tests left persisted — the r8 full-suite run measured
+    rolling_active_users at 3 or 4 depending purely on suite order."""
     import re
 
     jvm = spark._jvm
@@ -260,9 +266,19 @@ def count_hash_exchanges(spark, df) -> int:
     return len(re.findall(r"Arguments: hashpartitioning\(", plan))
 
 
+def pin_cache_state():
+    """Release every tracked persisted table so exchange-budget counts are
+    measured from ONE deterministic state (the query's own persists only),
+    independent of which tests ran earlier in the session."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark import caching
+
+    caching.release_all()
+
+
 def test_funnel_single_wide_exchange(spark):
     """funnel_conversion's window chain + per-user reduction must share ONE
     user_id hash exchange (the docstring's load-bearing claim)."""
+    pin_cache_state()
     import re
 
     import __spark_entry__ as entrymod
@@ -289,6 +305,7 @@ def test_r5_queries_stay_jvm_side_and_bounded_exchanges(spark):
     last_touch_attribution is one user_id window + one tiny group (2);
     dup_rate_by_source is fingerprint window + source roll-up (2, the
     distinct-agg's internal re-exchange allowed)."""
+    pin_cache_state()
     import re
 
     from tests.conftest import SF_SMOKE
@@ -317,6 +334,7 @@ def test_r5_third_batch_jvm_side_and_exchange_budget(spark):
     doc_id self-join pair, and the pair agg (<=6 — the vocab TakeOrdered and
     the 1-row N broadcast add no hash exchange); value_trend_slope is
     exactly its two documented map-side-combinable hash aggs."""
+    pin_cache_state()
     from tests.conftest import SF_SMOKE
 
     qs = entrymod.queries()
@@ -454,6 +472,7 @@ def test_r5_eighth_batch_jvm_side_and_exchange_budget(spark):
     rows so its single partition is benign); supplier_diversity = combo
     dedup + the two-level distinct pair over combos (part side broadcast,
     never shuffled)."""
+    pin_cache_state()
     from tests.conftest import SF_SMOKE
 
     qs = entrymod.queries()
@@ -474,6 +493,7 @@ def test_r5_ninth_batch_jvm_side_and_exchange_budget(spark):
     budget 4 printed, 2 executed); first_touch_attribution and
     repeat_purchase_intervals are ONE user_id window shuffle + a tiny
     agg each (<=2; the share window orders <= |types|/|buckets| rows)."""
+    pin_cache_state()
     from tests.conftest import SF_SMOKE
 
     qs = entrymod.queries()
