@@ -2626,6 +2626,29 @@ def q_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start")
 
 
+def q_ann_search_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 batch ANN search join (r8; rows-only — IVF recall is
+    probabilistic by design): top-5 corpus neighbors for a 10-row query
+    TABLE via one broadcast cell-pruned join (similarity.ivf_search_join)
+    — the serving-batch shape ivf_topk answers one-collect-per-query.
+
+    Plant-and-flag contract: the queries are scaled copies (×0.7) of
+    corpus vectors 0-9 — direction-identical, so each assigns to its
+    original's cell and the original MUST surface at rank 1 with cosine
+    1.0; ``planted_rank1`` flags it (all 10 asserted in
+    tests/test_query_contracts.py, plus exact-recall vs brute force)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.7)).alias("embedding"),
+    )
+    out = similarity.ivf_search_join(emb, queries, k=5, n_clusters=16, nprobe=4)
+    return out.withColumn(
+        "planted_rank1",
+        (F.col("rank") == 1) & (F.col("vec_id") == F.col("query_id")),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_event_summary(spark, "/root/testdata/sf0.001")
@@ -2663,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "rolling_sketch_users": q_rolling_sketch_users,
         "streaming_sliding_windows": q_streaming_sliding_windows,
+        "ann_search_join": q_ann_search_join,
         "brand_revenue": q_brand_revenue,
         "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
         "clean_corpus_exact": q_clean_corpus_exact,
@@ -2707,8 +2731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": q_order_priority_counts,
         "packed_sequences": q_packed_sequences,
         "pii_redaction": q_pii_redaction,
-        "pricing_summary": q_pricing_summary,
         # ---- driver window boundary (first 50 above) ------------------
+        # pricing_summary joins the demoted tier (see note above)
+        "pricing_summary": q_pricing_summary,
         # repetition_stats / rfm_segments / sentiment_label_counts /
         # session_stats / shipping_priority yield their r8 slots to the
         # five new never-checked queries; first in line for r9

@@ -188,6 +188,7 @@ HEADLINE = [
     "split_leakage",
     "rolling_sketch_users",
     "streaming_sliding_windows",
+    "ann_search_join",
 ]
 
 

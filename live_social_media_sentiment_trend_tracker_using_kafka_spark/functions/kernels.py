@@ -271,6 +271,32 @@ def make_ivf_assign_udf(centroids: np.ndarray):
     return assign_cluster
 
 
+def make_ivf_probes_udf(centroids: np.ndarray, nprobe: int):
+    """Top-``nprobe`` centroid ids per vector (array<float> -> array<int>),
+    the query-side counterpart of ``make_ivf_assign_udf`` for batch search:
+    each query probes its nprobe most-cosine-similar cells. Same normalized
+    matmul + half-norm correction; one argpartition per batch instead of
+    per row."""
+    C = np.asarray(centroids, dtype=np.float64)
+    half_sq = 0.5 * (C**2).sum(axis=1)
+    p = min(nprobe, C.shape[0])
+
+    @pandas_udf("array<int>")
+    def probe_cells(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        M, valid = _stack_vectors(emb)
+        if M.shape[1] != C.shape[1]:
+            _dim_guard(valid, M.shape[1], C.shape[1], "ivf_probes")
+            return pd.Series([[0]] * len(emb))
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        scores = M @ C.T - half_sq
+        top = np.argpartition(-scores, p - 1, axis=1)[:, :p].astype(np.int32)
+        return pd.Series(list(top))
+
+    return probe_cells
+
+
 def make_srp_buckets_udf(planes_per_table: list[np.ndarray]):
     """Signed-random-projection bucket ids for ALL hash tables in one matmul.
 

@@ -959,3 +959,59 @@ def knn_graph(
         )
         .orderBy("vec_id", "rank")
     )
+
+
+def ivf_search_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 7,
+) -> DataFrame:
+    """BATCH ANN search join: top-k corpus neighbors for EVERY row of a
+    query-vector table — the serving-batch shape (rerank candidates for a
+    request batch, label a feed against a prototype bank) that the
+    single-vector ``ivf_topk`` answers one collect-per-query and
+    ``knn_graph`` answers only for corpus-vs-itself.
+
+    Plan shape at 100 TB: the corpus is IVF-assigned in one narrow Arrow
+    pass (fit on a bounded sample, ivf_index) and shuffled ONCE on the
+    cell key; the query table — small by definition of a serving batch —
+    computes its ``nprobe`` probe cells per row with one Arrow matmul
+    (make_ivf_probes_udf), explodes to (cell, query) rows, and rides in
+    as a BROADCAST. Candidate volume is Σ_q (probed cell sizes) ≈
+    |queries| · nprobe · n/C — linear in corpus size with a bounded
+    constant, no query-side collect, no corpus re-scan per query. The
+    per-query top-k window partitions on the query id (|queries| × k·cell
+    candidates, never corpus-sized state).
+
+    Returns (query_id, rank, vec_id, cosine), rank 1..k by (cosine desc,
+    id asc). Recall is the IVF tradeoff (cells missed by the probe set);
+    with nprobe == n_clusters the result is exact — the contract test
+    compares against brute force per query.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.kernels import make_ivf_probes_udf, pair_cosine_udf
+
+    assigned, centroids = ivf_index(corpus, n_clusters, vec_col, seed=seed)
+    probes = make_ivf_probes_udf(centroids, nprobe)
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probes(F.col(vec_col))).alias("cluster"),
+    )
+    sim = pair_cosine_udf()(F.col(vec_col), F.col("_qv"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        assigned.join(F.broadcast(q), "cluster")
+        .select(F.col(query_id_col), F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, F.col("rank").cast("int").alias("rank"), id_col, "cosine")
+        .orderBy(query_id_col, "rank")
+    )

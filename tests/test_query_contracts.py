@@ -334,3 +334,35 @@ def test_rolling_sketch_users_error_contract(spark):
     ev = table(spark, "events", SF_SMOKE)
     n_exact = sessionize.rolling_active_users(ev).count()
     assert len(rows) == n_exact  # the inner join dropped nothing
+
+
+def test_ann_search_join_contract(spark):
+    """Batch ANN search join (r8): all 10 planted scaled-copy queries must
+    surface their original at rank 1 / cosine 1.0, and with
+    nprobe == n_clusters the join must equal brute force per query."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
+        similarity,
+    )
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import (
+        table,
+    )
+    from pyspark.sql import functions as F
+
+    rows = entrymod.q_ann_search_join(spark, SF_SMOKE).collect()
+    assert sum(1 for r in rows if r.planted_rank1) == 10
+    assert all(r.cosine >= 0.999999 for r in rows if r.rank == 1)
+    per_q = {r.query_id for r in rows}
+    assert per_q == set(range(10))
+
+    # exactness at nprobe == n_clusters: equals brute force for each query
+    emb = table(spark, "embeddings", SF_SMOKE)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ivf_search_join(emb, queries, k=4, n_clusters=8, nprobe=8)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    for q in queries.collect():
+        exact = [r.vec_id for r in similarity.brute_force_topk(emb, q.embedding, k=4).collect()]
+        assert by_q[q.query_id] == exact, q.query_id
