@@ -60,7 +60,8 @@ def test_arrow_kernels_are_vectorized_not_rowwise(spark):
     (vectorized batches) — a row-at-a-time BatchEvalPython is a regression."""
     from live_social_media_sentiment_trend_tracker_using_kafka_spark.plans import plan_text
 
-    for name in ("winnow_fingerprints", "cosine_near_dups", "ivf_topk"):
+    for name in ("winnow_fingerprints", "cosine_near_dups", "ivf_topk",
+                 "ann_search_join"):
         plan = plan_text(entrymod.queries()[name](spark, SF))
         assert "BatchEvalPython" not in plan, plan
         assert "ArrowEvalPython" in plan, f"{name} lost its Arrow kernel:\n{plan}"
@@ -643,3 +644,15 @@ def test_registry_wide_no_cartesian_product(spark):
         assert "CartesianProduct" not in plan, f"{name}:\n{plan[:2000]}"
         checked += 1
     assert checked >= 150  # non-vacuous: the whole batch registry swept
+
+
+def test_domain_cap_sample_distributed_not_per_group_window(spark):
+    """The per-domain cap must ride the chunked rank: a RANGE repartition
+    plus chunk-local row_number — never a bare Window.partitionBy(source)
+    whose parallelism is |domains| (the hot domain IS the one being
+    capped). Chunk id must appear in the window partition keys."""
+    df = entrymod.q_domain_cap_sample(spark, SF)
+    plan = plan_text(df)
+    assert "rangepartitioning(source" in plan, plan
+    assert "hashpartitioning(_chunk" in plan, plan
+    assert_no_python_udf(df)
