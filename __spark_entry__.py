@@ -2649,6 +2649,44 @@ def q_ann_search_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 IVF-PQ top-k (r8; rows-only — both tiers are approximate by
+    construction): cells prune WHICH rows are scanned, PQ codes shrink
+    WHAT is scanned, exact rerank recovers accuracy — the deployed
+    billion-vector configuration (FAISS IVFADC shape). Same fixed query
+    vector as the rest of the top-k family (vec_id=0, looked up from the
+    table, no literal drift); recall vs brute force asserted in
+    tests/test_query_contracts.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head().embedding
+    rest = emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+    return similarity.ivf_pq_topk(
+        rest, qvec, k=10, n_clusters=16, nprobe=8, m=8, codebook_k=16, refine=8
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 multimodal video plumbing (r8; rows-only — synthetic media,
+    no SQL table): every-Nth frame sampling WITHOUT decoding — pure
+    Catalyst sequence+explode over metadata frame counts, the row-fanout
+    stage a real frame decoder plugs into downstream
+    (multimodal.frame_sample). Frame counts are stamped deterministically
+    (5 + 10·(id mod 7)), so the output — including the n_frames=5
+    single-sample and the null-meta clamp path — is fixed forever."""
+    media = multimodal.synthetic_media_df(spark, n=32, kind="video")
+    media = media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            ((F.col("media_id") % 7) * 10 + 5).cast("int").alias("n_frames"),
+            F.col("meta.content_type").alias("content_type"),
+        ),
+    )
+    return multimodal.frame_sample(media, every_n=10).orderBy("media_id", "frame_idx")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_event_summary(spark, "/root/testdata/sf0.001")
@@ -2687,6 +2725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_sketch_users": q_rolling_sketch_users,
         "streaming_sliding_windows": q_streaming_sliding_windows,
         "ann_search_join": q_ann_search_join,
+        "ivfpq_topk": q_ivfpq_topk,
+        "media_frame_sample": q_media_frame_sample,
         "brand_revenue": q_brand_revenue,
         "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
         "clean_corpus_exact": q_clean_corpus_exact,
@@ -2729,9 +2769,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_novelty": q_ngram_novelty,
         "order_priority_counts": q_order_priority_counts,
-        "packed_sequences": q_packed_sequences,
-        "pii_redaction": q_pii_redaction,
         # ---- driver window boundary (first 50 above) ------------------
+        # packed_sequences joins the demoted tier (see note above)
+        "packed_sequences": q_packed_sequences,
+        # pii_redaction joins the demoted tier (see note above)
+        "pii_redaction": q_pii_redaction,
         # pricing_summary joins the demoted tier (see note above)
         "pricing_summary": q_pricing_summary,
         # repetition_stats / rfm_segments / sentiment_label_counts /

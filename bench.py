@@ -189,6 +189,8 @@ HEADLINE = [
     "rolling_sketch_users",
     "streaming_sliding_windows",
     "ann_search_join",
+    "ivfpq_topk",
+    "media_frame_sample",
 ]
 
 

@@ -366,3 +366,45 @@ def test_ann_search_join_contract(spark):
     for q in queries.collect():
         exact = [r.vec_id for r in similarity.brute_force_topk(emb, q.embedding, k=4).collect()]
         assert by_q[q.query_id] == exact, q.query_id
+
+
+def test_ivfpq_topk_recall_and_exactness(spark):
+    """IVF-PQ composition (r8): with every cell probed and a wide rerank,
+    the composed index must score identically to brute force on whatever
+    it returns, and recall must hold on random vectors (the hardest
+    quantization case) — same bar as the standalone PQ test."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
+        similarity,
+    )
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import (
+        table,
+    )
+    from pyspark.sql import functions as F
+
+    rows = entrymod.q_ivfpq_topk(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    emb = table(spark, "embeddings", SF_SMOKE)
+    qvec = emb.filter(F.col("vec_id") == 0).head().embedding
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in similarity.brute_force_topk(rest, qvec, 10).collect()]
+    got = [r.vec_id for r in rows]
+    assert exact[0] in got, "exact top-1 missed"
+    assert len(set(exact) & set(got)) >= 5, f"recall too low: {set(exact) & set(got)}"
+    # returned scores are EXACT cosines (rerank contract): match brute force
+    bf = {r.vec_id: r.cosine for r in similarity.brute_force_topk(rest, qvec, 500).collect()}
+    for r in rows:
+        assert abs(bf[r.vec_id] - r.cosine) < 1e-6
+
+
+def test_media_frame_sample_contract(spark):
+    """Frame-sampling plumbing (r8): deterministic frame counts give a
+    fixed sample set — n_frames=5 yields the single frame 0, n_frames=35
+    yields [0,10,20,30]; 32 videos, every row carries the payload size."""
+    rows = entrymod.q_media_frame_sample(spark, SF_SMOKE).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.media_id, []).append(r.frame_idx)
+    assert len(by) == 32
+    assert by[0] == [0]
+    assert by[3] == [0, 10, 20, 30]
+    assert all(r.payload_bytes == 256 for r in rows)
