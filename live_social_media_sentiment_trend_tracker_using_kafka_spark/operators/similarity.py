@@ -909,12 +909,21 @@ def knn_graph(
 
     IVF-celled: candidates are restricted to each vector's own k-means
     cell (the SemDeDup partition), so candidate volume is Σ c_i² ≈ n²/C —
-    grow ``n_clusters`` with the corpus for a bounded mean cell. Neighbor
-    ranking is a per-vector window over cell-local candidates ONLY —
-    state is one cell's pairs, never the corpus. Recall loss at cell
-    boundaries is the documented tradeoff (same as
+    grow ``n_clusters`` with the corpus for a bounded mean cell. Recall
+    loss at cell boundaries is the documented tradeoff (same as
     semantic_near_duplicate_pairs); the exact twin on a bounded sample is
     the evidence contract (tests/test_query_contracts.py).
+
+    Execution (r8 rewrite): ONE shuffle groups each cell's rows into an
+    ``applyInPandas`` task that computes the cell's cosine matrix as
+    chunked GEMMs and emits each row's top-k directly. The previous
+    pair-row formulation (cell self-join + Arrow pair-cosine + window)
+    shipped BOTH vectors across the Python boundary once per candidate
+    PAIR — Σc²·2d floats of Arrow traffic; grouping ships each vector
+    ONCE (Σc·d) and replaces the join+sort machinery with a matmul
+    (measured 104 s → see PLANS.md at 20×/n_clusters=320). Per-task
+    memory is bounded by the GEMM row-chunk (1024 × cell) plus the cell's
+    vectors — the mega-cell guard below caps the cell side.
 
     Mega-cell guard: a skewed quantizer can land one hot cell that
     re-creates the n² blowup regardless of ``n_clusters``; any cell over
@@ -930,9 +939,7 @@ def knn_graph(
     desc, neighbor_id asc), ordered by (vec_id, rank). Vectors alone in
     their cell emit no rows.
     """
-    from pyspark.sql import Window
-
-    from ..functions.kernels import pair_cosine_udf
+    import pandas as pd
 
     assigned, centroids = ivf_index(embeddings, n_clusters, vec_col, seed=seed)
     if max_cell_rows:
@@ -940,30 +947,55 @@ def knn_graph(
             assigned, int(centroids.shape[1]), max_cell_rows, "cluster", vec_col,
             seed, salt_col=id_col,
         )
-    sides = assigned.select("cluster", F.col(id_col), F.col(vec_col))
-    a = sides.select("cluster", F.col(id_col).alias("src"), F.col(vec_col).alias("v_a"))
-    b = sides.select(
-        F.col("cluster").alias("cluster_b"),
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("v_b"),
-    ).hint("merge")
-    sim = pair_cosine_udf()(F.col("v_a"), F.col("v_b"))
-    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    # null vectors can't participate in a GEMM (the old pair kernel scored
+    # them NaN, which never ranked anyway); integer ids assumed (the family
+    # schema) so the output columns stay long-typed
+    sides = assigned.select(
+        "cluster", F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = len(pdf)
+        if c < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "rank": [], "neighbor_id": [], "cosine": []}
+            ).astype({"vec_id": "int64", "rank": "int32", "neighbor_id": "int64", "cosine": "float64"})
+        ids = pdf["_id"].to_numpy()
+        M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        kk = min(k, c - 1)
+        # neighbor order ties on (cosine desc, id asc): argsort a composite
+        # over ROUNDED cosines (the public contract rounds to 6) by sorting
+        # ids ascending first, then a STABLE sort on -cosine
+        id_order = np.argsort(ids, kind="stable")
+        out_src, out_rank, out_nbr, out_cos = [], [], [], []
+        for lo in range(0, c, 1024):  # row-chunked GEMM bounds task memory
+            hi = min(lo + 1024, c)
+            S = np.round(M[lo:hi] @ M.T, 6)  # (chunk, c)
+            for r in range(hi - lo):
+                row = S[r][id_order]
+                row_ids = ids[id_order]
+                self_pos = np.where(row_ids == ids[lo + r])[0][0]
+                mask = np.ones(c, dtype=bool)
+                mask[self_pos] = False
+                cand_cos, cand_ids = row[mask], row_ids[mask]
+                top = np.argsort(-cand_cos, kind="stable")[:kk]
+                out_src.extend([ids[lo + r]] * len(top))
+                out_rank.extend(range(1, len(top) + 1))
+                out_nbr.extend(cand_ids[top])
+                out_cos.extend(cand_cos[top])
+        return pd.DataFrame(
+            {
+                "vec_id": np.asarray(out_src, dtype=np.int64),
+                "rank": np.asarray(out_rank, dtype=np.int32),
+                "neighbor_id": np.asarray(out_nbr, dtype=np.int64),
+                "cosine": np.asarray(out_cos, dtype=np.float64),
+            }
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("cluster") == F.col("cluster_b"))
-            & (F.col("src") != F.col("neighbor_id")),
-        )
-        .select("src", "neighbor_id", F.round(sim, 6).alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("src").alias("vec_id"),
-            F.col("rank").cast("int").alias("rank"),
-            "neighbor_id",
-            "cosine",
-        )
+        sides.groupBy("cluster")
+        .applyInPandas(cell_topk, "vec_id long, rank int, neighbor_id long, cosine double")
         .orderBy("vec_id", "rank")
     )
 

@@ -613,15 +613,16 @@ def test_order_value_bands_distributed_not_per_segment_window(spark):
 
 
 def test_knn_graph_stays_celled_no_cartesian(spark):
-    """knn_graph's candidate generation must remain the CELLED sort-merge
-    self-join — never a cartesian/broadcast-nested-loop product (the n²
-    shape the IVF cells + mega-cell guard exist to prevent), and its only
-    Python boundaries are Arrow-vectorized (assign + pair-cosine)."""
+    """knn_graph must remain CELLED: one grouped applyInPandas per cell
+    (FlatMapGroupsInPandas — each vector crosses the Arrow boundary once,
+    not once per candidate pair), never a cartesian/nested-loop product
+    or a pair-row self-join, and no row-at-a-time Python."""
     df = entrymod.q_knn_graph(spark, SF)
     plan = plan_text(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "SortMergeJoin" in plan, plan  # cluster-equality join, merge-hinted
+    assert "FlatMapGroupsInPandas" in plan, plan  # grouped GEMM per cell
+    assert "SortMergeJoin" not in plan, plan  # the pair-row join is gone
     assert "BatchEvalPython" not in plan, plan  # Arrow only, no row-at-a-time
 
 
