@@ -697,20 +697,27 @@ def semantic_near_duplicate_pairs(
     bounded mean cluster population; the k-means fit stays a bounded driver
     sample regardless (``ivf_index``).
 
-    Returns (id_a, id_b, cosine) with cosine ≥ threshold, ordered
-    deterministically. The per-cluster self-join repartitions both sides on
-    ``cluster`` (one shuffle each) and never compares across clusters —
+    Returns (id_a, id_b, cosine) with cosine ≥ threshold and id_a < id_b,
+    ordered deterministically. Execution (r8 rewrite, same reasoning as
+    ``knn_graph``): ONE shuffle groups each cell into an ``applyInPandas``
+    task that computes the cell's cosine matrix via row-chunked GEMMs and
+    emits only the threshold-passing upper-triangle pairs — each vector
+    crosses the Arrow boundary once (Σc·d floats), where the old
+    cell-self-join + pair-kernel formulation shipped both vectors once per
+    candidate PAIR (Σc²·2d). Never compares across clusters —
     boundary-straddling pairs are the documented recall loss, mitigated by
     raising ``n_clusters`` more slowly than n. Cells exceeding
     ``max_cell_rows`` are SRP re-split with a residual id-salt
     (``cap_cell_sizes``) so a skewed quantizer — or a pile of identical
-    embeddings — cannot silently restore the n² blowup in one hot cell.
-    The salt can split a true near-dup pair across buckets (bounded
-    recall cost, same family as the cell boundaries); the downstream
-    keep-one consumer (semantic_dedup) then keeps ≤ #salt-buckets
-    representatives of an identical pile instead of exactly one.
+    embeddings — cannot silently restore the n² blowup in one hot cell
+    (post-rewrite the guard's value is per-task serialism and memory, not
+    small-scale wall-clock — see PLANS.md). The salt can split a true
+    near-dup pair across buckets (bounded recall cost, same family as the
+    cell boundaries); the downstream keep-one consumer (semantic_dedup)
+    then keeps ≤ #salt-buckets representatives of an identical pile
+    instead of exactly one.
     """
-    from ..functions.kernels import pair_cosine_udf
+    import pandas as pd
 
     assigned, centroids = ivf_index(embeddings, n_clusters, vec_col, seed=seed)
     if max_cell_rows:
@@ -718,24 +725,43 @@ def semantic_near_duplicate_pairs(
             assigned, int(centroids.shape[1]), max_cell_rows, "cluster", vec_col,
             seed, salt_col=id_col,
         )
-    sides = assigned.select("cluster", F.col(id_col), F.col(vec_col))
-    # Vector-carrying self-join sides: pin sort-merge (stale cached-size
-    # estimates must never broadcast a corpus-sized side — see
-    # cosine_near_duplicate_pairs).
-    # Distinct join-key names per side: a.cluster == b.cluster is a
-    # same-lineage self-join reference Spark only rescues via plan-id
-    # metadata (with a "trivially true predicate" WARN).
-    a = sides.select("cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = sides.select(
-        F.col("cluster").alias("cluster_b"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("v_b"),
-    ).hint("merge")
-    sim = pair_cosine_udf()(F.col("v_a"), F.col("v_b"))
+    sides = assigned.select(
+        "cluster", F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = len(pdf)
+        if c < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf["_id"].to_numpy()
+        M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        a_out, b_out, cos_out = [], [], []
+        for lo in range(0, c, 1024):  # row-chunked GEMM bounds task memory
+            hi = min(lo + 1024, c)
+            S = np.round(M[lo:hi] @ M.T, 6)
+            keep = S >= threshold
+            for r in range(hi - lo):
+                cols = np.where(keep[r])[0]
+                for j in cols:
+                    ia, ib = ids[lo + r], ids[j]
+                    if ia < ib:  # upper triangle by ID, self excluded
+                        a_out.append(ia)
+                        b_out.append(ib)
+                        cos_out.append(S[r, j])
+        return pd.DataFrame(
+            {
+                "id_a": np.asarray(a_out, dtype=np.int64),
+                "id_b": np.asarray(b_out, dtype=np.int64),
+                "cosine": np.asarray(cos_out, dtype=np.float64),
+            }
+        )
+
     return (
-        a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        sides.groupBy("cluster")
+        .applyInPandas(cell_pairs, "id_a long, id_b long, cosine double")
         .orderBy("id_a", "id_b")
     )
 

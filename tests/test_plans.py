@@ -162,13 +162,15 @@ def test_dormant_customers_anti_join(spark):
 
 
 def test_semantic_near_dups_cluster_local_join(spark):
-    """SemDeDup pairs: the in-cluster self-join must be a shuffled join on
-    the cluster key (sort-merge pinned for the vector-carrying side), never
-    a cartesian/nested-loop over the corpus."""
+    """SemDeDup pairs: one grouped applyInPandas per cell
+    (FlatMapGroupsInPandas — vectors cross the Arrow boundary once, not
+    once per candidate pair), never a cartesian/nested-loop or pair-row
+    self-join over the corpus."""
     df = entrymod.q_semantic_near_dups(spark, SF)
     plan = plan_text(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
-    assert "SortMergeJoin" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan  # grouped GEMM per cell
+    assert "SortMergeJoin" not in plan, plan  # the pair-row join is gone
     assert "BatchEvalPython" not in plan, plan  # Arrow kernels only
 
 
