@@ -5708,6 +5708,12 @@ def oracle_sql() -> dict[str, str]:
         # probabilistic (bucketed candidates), exact parity is not the
         # contract; similarity_topk above is the exact, oracle-checked twin.
         # media_features omitted: mapInPandas decode plumbing, no SQL twin.
+        # r8 rows-only rationales: rolling_sketch_users (Datasketches HLL
+        # registers aren't DuckDB-expressible; in-row exact-twin rel_err is
+        # the evidence), ann_search_join / ivfpq_topk / knn_graph (IVF
+        # k-means fit is iterative; planted-twin + brute-force-equality
+        # contracts in tests), media_frame_sample (synthetic media table,
+        # no SQL-visible source; deterministic frame-count contract).
         # bloom_decontamination omitted: xxhash64 bit positions are not
         # DuckDB-expressible; the exact tier rides along per row and the
         # no_false_negative evidence column must be TRUE everywhere.
