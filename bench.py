@@ -8,6 +8,15 @@ LAST stdout line is the same record with "queries" trimmed slowest-first
 to fit ~1900 chars (the driver keeps only a ~2000-char stdout tail) plus
 queries_shown/queries_total counters and a queries_full pointer.
 
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 2; r8 VERDICT
+item 2 — this sandbox has a measured ±40% wall-clock noise floor, so a
+single cold sample per query made every cross-round delta <2×
+uninterpretable). "queries" records the per-query MIN across reps
+(schema-compatible with r1-r8 records), "queries_spread" the max-min
+gap, and "value" the sum of mins. Rep 1 additionally absorbs each
+query's cold-start (Arrow worker pool, codegen) so ANN timings stop
+being session-order-sensitive.
+
 Each query is forced end-to-end with the noop sink (computes every column —
 ``count()`` would let Catalyst prune the expensive ones away).
 """
@@ -25,6 +34,7 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.session import 
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
 
 # Headline set: reference-surface analytics, relational core, and the
 # LLM-pipeline extensions — the queries whose plans we tuned for scale.
@@ -201,6 +211,7 @@ def compact_line(payload: dict, budget: int = 1900) -> str:
     full map. Always returns valid JSON ≤ budget (given sane metadata)."""
     timings = payload["queries"]
     compact = dict(payload)
+    compact.pop("queries_spread", None)  # full per-query spread lives in BENCH_LOCAL.json
     compact["queries_full"] = "BENCH_LOCAL.json"
     compact["queries_total"] = len(timings)
     by_cost = sorted(timings, key=timings.get, reverse=True)
@@ -241,11 +252,16 @@ def main() -> None:
     spark.range(1_000).select(_warm(col("id"))).collect()
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        reps: list[float] = []
+        for _ in range(REPS):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            reps.append(time.time() - t0)
+        timings[name] = round(min(reps), 3)
+        spreads[name] = round(max(reps) - min(reps), 3)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -257,6 +273,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spreads,
+        "reps": REPS,
         "sf": sf_val,
     }
     # The driver records only the LAST ~2000 chars of stdout; the full

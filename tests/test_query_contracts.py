@@ -183,6 +183,8 @@ def test_bench_compact_line_fits_driver_tail_capture():
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_spread": {n: 0.01 for n in timings},
+        "reps": 2,
         "sf": 0.1,
     }
     line = bench.compact_line(payload)
@@ -190,6 +192,10 @@ def test_bench_compact_line_fits_driver_tail_capture():
     parsed = json.loads(line)
     assert parsed["queries_total"] == 140
     assert parsed["queries_full"] == "BENCH_LOCAL.json"
+    # the per-query spread map is BENCH_LOCAL.json-only — it would double
+    # the compact line's size; reps survives so the record is self-describing
+    assert "queries_spread" not in parsed
+    assert parsed["reps"] == 2
     assert parsed["queries_shown"] == len(parsed["queries"]) > 0
     # slowest-first: what survives truncation is what the perf audit needs
     shown = list(parsed["queries"].values())
