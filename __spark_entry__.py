@@ -52,6 +52,12 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.finge
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.heavy_hitters import (
     heavy_hitters,
 )
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.enrich import (
+    enrich_posts,
+)
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.normalize import (
+    normalize_posts,
+)
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
     analytics,
     asof,
@@ -2161,6 +2167,103 @@ def q_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _synth_raw_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic raw-post table (FIXTURES.md §A.1 shape) derived from
+    documents: every defensive branch of the reference pipeline is planted —
+    null text (doc_id%17==0), empty text (==1), planted positive/negative
+    lexicon hits with uppercase hashtags (==2/==3), unparseable numerics
+    (%5==0 → 'n/a'), decimal-string ints (%7==0 → '3.9'), null retweets
+    (%11==0), null location struct (%13==0). The timestamp string is pure
+    integer/string arithmetic (no timestamp math) so both engines build the
+    identical tz-free literal."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 17
+    secs = F.col("doc_id") % 86400
+
+    def two(c):
+        return F.lpad(c.cast("int").cast("string"), 2, "0")
+
+    return docs.select(
+        "doc_id",
+        F.when(m == 0, F.lit(None).cast("string"))
+        .when(m == 1, F.lit(""))
+        .when(m == 2, F.concat(F.lit("I LOVE this! #Amazing #Test2026 "), F.col("text")))
+        .when(m == 3, F.concat(F.lit("terrible and broken service #Fail "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.concat(F.lit("user"), (F.col("doc_id") % 97).cast("string")).alias("user"),
+        F.element_at(
+            F.array(F.lit("twitter"), F.lit("facebook"), F.lit("instagram")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("platform"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("n/a"))
+        .otherwise((F.col("doc_id") * 7 % 10000).cast("string"))
+        .alias("user_followers"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("3.9"))
+        .otherwise((F.col("doc_id") % 50).cast("string"))
+        .alias("likes"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise((F.col("doc_id") % 20).cast("string"))
+        .alias("retweets"),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit(None).cast("struct<city:string,country:string>"),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(F.lit("city"), (F.col("doc_id") % 10).cast("string")).alias("city"),
+                F.concat(F.lit("country"), (F.col("doc_id") % 6).cast("string")).alias(
+                    "country"
+                ),
+            )
+        )
+        .alias("location"),
+        F.concat(
+            F.lit("2026-03-01 "),
+            two(secs / 3600),
+            F.lit(":"),
+            two((secs % 3600) / 60),
+            F.lit(":"),
+            two(secs % 60),
+        ).alias("timestamp"),
+    )
+
+
+def q_posts_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core user path END TO END as one oracle-checked row
+    (r8 VERDICT item 3): consumer enrich chain (P1 filter → P2/P3 flatten →
+    P5 lower → U1-twin lexicon score → U2 label → P6 hashtags;
+    consumer/spark_streaming_job.py:121-136) then dashboard normalize
+    (P10 numeric coercion → P11 timestamp chain → P12 defaults → P13
+    hashtag cells; dashboard/streamlit_app.py:190-246), on a synthetic
+    raw-post table exercising every defensive branch. processing_timestamp
+    (P4, wall-clock) is dropped before the hash by design; event_ts is
+    re-derived from the planted timestamp string so the P11 chain itself is
+    hash-checked via string round-trip."""
+    raw = _synth_raw_posts(spark, sf_dir)
+    enriched = enrich_posts(raw, with_sentiment_udf=False)
+    scored = enriched.withColumn(
+        "sentiment_score", sql_lexicon_score_col(F.col("cleaned_text"))
+    ).withColumn("sentiment_label", sentiment_label_col(F.col("sentiment_score")))
+    normalized = normalize_posts(scored.drop("processing_timestamp", "event_ts"))
+    return normalized.select(
+        "doc_id",
+        "user",
+        "platform",
+        "user_followers",
+        "likes",
+        "retweets",
+        "city",
+        "country",
+        "cleaned_text",
+        F.round("sentiment_score", 6).alias("sentiment_score"),
+        "sentiment_label",
+        F.array_join("hashtags", "|").alias("hashtags_csv"),
+        F.size("hashtags").alias("n_tags"),
+        F.date_format("event_ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts_str"),
+    ).orderBy("doc_id")
+
+
 def q_streaming_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 custom stateful operator (applyInPandasWithState), oracle-checked
     end to end: events read as a file STREAM, per-user running count/value
@@ -2411,8 +2514,13 @@ def q_streaming_view_purchase_left_join(spark: SparkSession, sf_dir: str) -> Dat
         # SESSION tz — under TZ=Asia/Kolkata that shifted the clip by
         # -5:30 and dropped the last hours of unmatched views. A string →
         # timestamp_ntz cast parses the wall-clock tz-free on any session.
+        # cutoff is None when either event type is absent (empty/partial
+        # events table): the join output is empty or clip-free — return it
+        # unclipped instead of raising on None.isoformat (r8 ADVICE)
         out.filter(
-            F.col("view_ts")
+            F.lit(True)
+            if cutoff is None
+            else F.col("view_ts")
             <= F.lit(cutoff.isoformat(sep=" ")).cast("timestamp_ntz")
         )
         .orderBy("user_id", "view_event", "purchase_event")
@@ -2715,10 +2823,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # staleness. Tiers below rotate the least-recently-driver-checked
     # queries into the window.
     raw = {
-        # -- r8 rotation window (first 50 = driver-checked this round):
-        #    the 2 never-checked r8 additions, the 13 r3-green relational
-        #    queries, and the 35 stalest r4-green rows from COVERAGE.md
-        #    (ledger stalest-first order) — keeps max staleness bounded --
+        # -- r9 rotation window (first 50 = driver-checked this round):
+        #    the new posts_enrichment end-to-end chain, the 21 r4-stale
+        #    rows, pq/ivf_topk (fresh in-row recall evidence, VERDICT r8
+        #    item 7), and the 26 stalest r6-green rows from COVERAGE.md --
+        "posts_enrichment": q_posts_enrichment,
+        "packed_sequences": q_packed_sequences,
+        "pii_redaction": q_pii_redaction,
+        "pricing_summary": q_pricing_summary,
+        "repetition_stats": q_repetition_stats,
+        "rfm_segments": q_rfm_segments,
+        "sentiment_label_counts": q_sentiment_label_counts,
+        "session_stats": q_session_stats,
+        "shipping_priority": q_shipping_priority,
+        "simhash_near_dups": q_simhash_near_dups,
+        "similarity_join_exact": q_similarity_join_exact,
+        "similarity_topk": q_similarity_topk,
+        "streaming_time_series": q_streaming_time_series,
+        "streaming_user_sessions": q_streaming_user_sessions,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "time_series": q_time_series,
+        "token_count_stats": q_token_count_stats,
+        "token_topk": q_token_topk,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "top_customers": q_top_customers,
+        "url_domain_stats": q_url_domain_stats,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "pq_topk": q_pq_topk,
+        "ivf_topk": q_ivf_topk,
+        "asof_last_purchase": q_asof_last_purchase,
+        "bracket_revenue": q_bracket_revenue,
+        "centroid_separation": q_centroid_separation,
+        "cohort_retention_salted": q_cohort_retention_salted,
+        "corpus_attrition": q_corpus_attrition,
+        "cosine_pairs_sample": q_cosine_pairs_sample,
+        "counts_by_source": q_counts_by_source,
+        "daily_new_vs_returning": q_daily_new_vs_returning,
+        "dsir_importance_weights": q_dsir_importance_weights,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "event_transitions": q_event_transitions,
+        "event_type_lift": q_event_type_lift,
+        "events_profile": q_events_profile,
+        "first_touch_attribution": q_first_touch_attribution,
+        "fk_integrity_audit": q_fk_integrity_audit,
+        "flagship_event_summary": q_flagship_event_summary,
+        "global_stats": q_global_stats,
+        "head_events": q_head_events,
+        "interarrival_stats": q_interarrival_stats,
+        "key_skew_audit": q_key_skew_audit,
+        "label_centroids": q_label_centroids,
+        "label_cosine_report": q_label_cosine_report,
+        "lang_confusion": q_lang_confusion,
+        "last_events": q_last_events,
+        "last_touch_attribution": q_last_touch_attribution,
+        "lexical_diversity": q_lexical_diversity,
+        # ---- driver window boundary (first 50 above) ------------------
+        # demoted tiers: freshest driver evidence last (r7 then r8)
         "duplicate_span_stats": q_duplicate_span_stats,
         "domain_cap_sample": q_domain_cap_sample,
         "split_leakage": q_split_leakage,
@@ -2759,7 +2919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_containment": q_fingerprint_containment,
         "funnel_conversion": q_funnel_conversion,
         "heavy_tokens": q_heavy_tokens,
-        "ivf_topk": q_ivf_topk,
         "json_props_buckets": q_hashtag_extract,
         "lang_id_counts": q_lang_id_counts,
         "local_supplier_volume": q_local_supplier_volume,
@@ -2769,23 +2928,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_novelty": q_ngram_novelty,
         "order_priority_counts": q_order_priority_counts,
-        # ---- driver window boundary (first 50 above) ------------------
-        # packed_sequences joins the demoted tier (see note above)
-        "packed_sequences": q_packed_sequences,
-        # pii_redaction joins the demoted tier (see note above)
-        "pii_redaction": q_pii_redaction,
-        # pricing_summary joins the demoted tier (see note above)
-        "pricing_summary": q_pricing_summary,
-        # repetition_stats / rfm_segments / sentiment_label_counts /
-        # session_stats / shipping_priority yield their r8 slots to the
-        # five new never-checked queries; first in line for r9
-        "repetition_stats": q_repetition_stats,
-        "rfm_segments": q_rfm_segments,
-        "sentiment_label_counts": q_sentiment_label_counts,
-        "session_stats": q_session_stats,
-        "shipping_priority": q_shipping_priority,
-        # -- remaining r4-green tail (13 rows; next in line for r9),
-        #    then the r6/r7-green tiers (freshest evidence last) ------
         "excess_shipment_suppliers": q_excess_shipment_suppliers,
         "discount_quantity_corr": q_discount_quantity_corr,
         "order_value_bands": q_order_value_bands,
@@ -2817,7 +2959,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_near_dups": q_media_near_dups,
         "media_resize": q_media_resize,
-        "pq_topk": q_pq_topk,
         "priority_source_dedup": q_priority_source_dedup,
         "quality_percentile_filter": q_quality_percentile_filter,
         "range_join_windows": q_range_join_windows,
@@ -2838,68 +2979,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "stratified_sample": q_stratified_sample,
         "media_metadata_stats": q_media_metadata_stats,
-        "cosine_pairs_sample": q_cosine_pairs_sample,
-        "label_centroids": q_label_centroids,
-        "asof_last_purchase": q_asof_last_purchase,
         "priority_status_cube": q_priority_status_cube,
         "users_purchase_and_error": q_users_purchase_and_error,
         "users_purchase_no_error": q_users_purchase_no_error,
-        "flagship_event_summary": q_flagship_event_summary,
-        "global_stats": q_global_stats,
-        "counts_by_source": q_counts_by_source,
-        "last_events": q_last_events,
-        "head_events": q_head_events,
-        "cohort_retention_salted": q_cohort_retention_salted,
         "rolling_active_users": q_rolling_active_users,
-        "last_touch_attribution": q_last_touch_attribution,
-        "dup_rate_by_source": q_dup_rate_by_source,
-        "dsir_importance_weights": q_dsir_importance_weights,
         "session_bounce_rate": q_session_bounce_rate,
-        "corpus_attrition": q_corpus_attrition,
-        "label_cosine_report": q_label_cosine_report,
         "returned_items": q_returned_items,
         "token_pmi_pairs": q_token_pmi_pairs,
         "value_trend_slope": q_value_trend_slope,
-        "key_skew_audit": q_key_skew_audit,
         "zipf_alpha": q_zipf_alpha,
         "time_to_conversion": q_time_to_conversion,
-        "bracket_revenue": q_bracket_revenue,
-        "lang_confusion": q_lang_confusion,
         "quality_by_dup_status": q_quality_by_dup_status,
-        "event_transitions": q_event_transitions,
-        "event_type_lift": q_event_type_lift,
-        "interarrival_stats": q_interarrival_stats,
         "top_event_paths": q_top_event_paths,
-        "lexical_diversity": q_lexical_diversity,
         "ship_latency_audit": q_ship_latency_audit,
-        "daily_new_vs_returning": q_daily_new_vs_returning,
         "user_concentration": q_user_concentration,
         "supplier_diversity": q_supplier_diversity,
-        "centroid_separation": q_centroid_separation,
-        "first_touch_attribution": q_first_touch_attribution,
         "repeat_purchase_intervals": q_repeat_purchase_intervals,
-        "events_profile": q_events_profile,
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "streaming_props_buckets": q_streaming_props_buckets,
         "user_stickiness": q_user_stickiness,
         "monthly_order_mix": q_monthly_order_mix,
-        "fk_integrity_audit": q_fk_integrity_audit,
         "nation_profit_by_year": q_nation_profit_by_year,
         "part_supplier_counts": q_part_supplier_counts,
-        "streaming_user_sessions": q_streaming_user_sessions,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "simhash_near_dups": q_simhash_near_dups,
-        "token_topk": q_token_topk,
-        "time_series": q_time_series,
-        "top_customers": q_top_customers,
-        "url_domain_stats": q_url_domain_stats,
-        "similarity_topk": q_similarity_topk,
-        "streaming_time_series": q_streaming_time_series,
-        "token_count_stats": q_token_count_stats,
-        "similarity_join_exact": q_similarity_join_exact,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "tfidf_top_terms": q_tfidf_top_terms,
-
     }
     return {name: _released(fn) for name, fn in raw.items()}
 
@@ -5281,6 +5382,66 @@ def oracle_sql() -> dict[str, str]:
             WHERE r.rn <= q.quota
             ORDER BY r.source, r.doc_id
         """,
+        # The reference's full transform chain (consumer enrich → dashboard
+        # normalize) on the same planted raw-post fixture; sentiment label
+        # derives from the UNROUNDED score (matching the Spark operator),
+        # the rounded score is projected. TRUNC = Spark's double→int cast
+        # (toward zero), not DuckDB's rounding CAST.
+        "posts_enrichment": r"""
+            WITH raw AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 17 = 0 THEN NULL
+                            WHEN doc_id % 17 = 1 THEN ''
+                            WHEN doc_id % 17 = 2
+                              THEN 'I LOVE this! #Amazing #Test2026 ' || text
+                            WHEN doc_id % 17 = 3
+                              THEN 'terrible and broken service #Fail ' || text
+                            ELSE text END AS text,
+                       'user' || CAST(doc_id % 97 AS VARCHAR) AS "user",
+                       CASE doc_id % 3 WHEN 0 THEN 'twitter'
+                                       WHEN 1 THEN 'facebook'
+                                       ELSE 'instagram' END AS platform,
+                       CASE WHEN doc_id % 5 = 0 THEN 'n/a'
+                            ELSE CAST(doc_id * 7 % 10000 AS VARCHAR) END AS followers_s,
+                       CASE WHEN doc_id % 7 = 0 THEN '3.9'
+                            ELSE CAST(doc_id % 50 AS VARCHAR) END AS likes_s,
+                       CASE WHEN doc_id % 11 = 0 THEN NULL
+                            ELSE CAST(doc_id % 20 AS VARCHAR) END AS retweets_s,
+                       CASE WHEN doc_id % 13 = 0 THEN NULL
+                            ELSE 'city' || CAST(doc_id % 10 AS VARCHAR) END AS city_r,
+                       CASE WHEN doc_id % 13 = 0 THEN NULL
+                            ELSE 'country' || CAST(doc_id % 6 AS VARCHAR) END AS country_r,
+                       '2026-03-01 '
+                         || lpad(CAST((doc_id % 86400) // 3600 AS VARCHAR), 2, '0') || ':'
+                         || lpad(CAST(((doc_id % 86400) % 3600) // 60 AS VARCHAR), 2, '0') || ':'
+                         || lpad(CAST((doc_id % 86400) % 60 AS VARCHAR), 2, '0') AS ts_s
+                FROM documents
+            ), e AS (
+                SELECT *, lower(text) AS cleaned_text
+                FROM raw WHERE text IS NOT NULL AND text <> ''
+            ), s AS (
+                SELECT *, {lex_cleaned} AS score_raw FROM e
+            )
+            SELECT doc_id, "user", platform,
+                   COALESCE(CAST(TRUNC(TRY_CAST(followers_s AS DOUBLE)) AS INTEGER), 0)
+                     AS user_followers,
+                   COALESCE(CAST(TRUNC(TRY_CAST(likes_s AS DOUBLE)) AS INTEGER), 0) AS likes,
+                   COALESCE(CAST(TRUNC(TRY_CAST(retweets_s AS DOUBLE)) AS INTEGER), 0)
+                     AS retweets,
+                   COALESCE(city_r, 'Unknown') AS city,
+                   COALESCE(country_r, 'Unknown') AS country,
+                   cleaned_text,
+                   ROUND(score_raw, 6) AS sentiment_score,
+                   CASE WHEN score_raw >= 0.05 THEN 'positive'
+                        WHEN score_raw <= -0.05 THEN 'negative'
+                        ELSE 'neutral' END AS sentiment_label,
+                   COALESCE(
+                     array_to_string(regexp_extract_all(cleaned_text, '#(\w+)', 1), '|'),
+                     '') AS hashtags_csv,  -- DuckDB: array_to_string([]) is NULL, Spark: ''
+                   len(regexp_extract_all(cleaned_text, '#(\w+)', 1)) AS n_tags,
+                   ts_s AS event_ts_str
+            FROM s ORDER BY doc_id
+        """.replace("{lex_cleaned}", sql_lexicon_score_duckdb("cleaned_text")),
         # Same plant, same five regex passes in the same order, trim last.
         "text_normalization": """
             WITH planted AS (

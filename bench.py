@@ -201,6 +201,8 @@ HEADLINE = [
     "ann_search_join",
     "ivfpq_topk",
     "media_frame_sample",
+    # r9 additions
+    "posts_enrichment",
 ]
 
 

@@ -53,6 +53,11 @@ def _check_orderable_payload(right: DataFrame, rc: list[str]) -> None:
     when the deterministic `_r` tie-break would try to sort a map column."""
     schema = {f.name: f.dataType for f in right.schema.fields}
     for c in rc:
+        if c not in schema:
+            raise ValueError(
+                f"asof join: right_cols entry '{c}' is not a column of the "
+                f"right frame (has: {sorted(schema)})"
+            )
         path = _unorderable_path(schema[c])
         if path is not None:
             where = c + (("." + path) if path else "")

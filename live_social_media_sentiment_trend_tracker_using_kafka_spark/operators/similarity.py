@@ -21,6 +21,8 @@ codegen-friendly, streaming-safe.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -588,6 +590,25 @@ def pq_probe(
     )
 
 
+def _stack_cell_vectors(series, ids: np.ndarray) -> np.ndarray:
+    """Stack one cell's vectors for the grouped GEMM, failing with a NAMED
+    error on ragged/wrong-dim rows (r8 ADVICE: a raw ``np.vstack`` died
+    with an opaque shape error inside the executor task). Nulls are
+    filtered SQL-side before the kernel; anything still invalid here is a
+    malformed embedding the caller must fix, not score."""
+    from ..functions.kernels import _stack_vectors
+
+    M, valid = _stack_vectors(series)
+    if not valid.all():
+        bad = ids[~valid][:5]
+        raise ValueError(
+            f"celled GEMM: {int((~valid).sum())} vector(s) in this cell are "
+            f"ragged or wrong-dim (e.g. ids {bad.tolist()}) — every "
+            "embedding must share one dimension"
+        )
+    return M
+
+
 def cap_cell_sizes(
     assigned: DataFrame,
     dim: int,
@@ -641,6 +662,14 @@ def cap_cell_sizes(
     over = _oversized(assigned)
     if not over:
         return assigned
+    # the re-split trades recall for boundedness — make it observable
+    # (r8 ADVICE): silent firing hid the recall change from callers
+    warnings.warn(
+        f"cap_cell_sizes: {len(over)} cell(s) exceed max_cell_rows="
+        f"{max_cell_rows}; SRP sub-split applied — true pairs straddling "
+        "sub-buckets are dropped",
+        stacklevel=2,
+    )
     bits = {
         r[cell_col]: min(max_split_bits, math.ceil(math.log2(r["count"] / max_cell_rows)))
         for r in over
@@ -661,6 +690,13 @@ def cap_cell_sizes(
     still = _oversized(refined)
     if not still:
         return refined
+    warnings.warn(
+        f"cap_cell_sizes: {len(still)} refined cell(s) still oversized "
+        "(direction-identical pile); id-salt applied — same-pile pairs "
+        "spanning salt buckets are dropped (cosine-equivalent neighbors "
+        "remain within each bucket)",
+        stacklevel=2,
+    )
     buckets = F.lit(1)
     for r in sorted(still, key=lambda r: r[cell_col]):
         buckets = F.when(
@@ -736,7 +772,7 @@ def semantic_near_duplicate_pairs(
                 {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
             )
         ids = pdf["_id"].to_numpy()
-        M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        M = _stack_cell_vectors(pdf["_v"], ids)
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         a_out, b_out, cos_out = [], [], []
         for lo in range(0, c, 1024):  # row-chunked GEMM bounds task memory
@@ -987,24 +1023,31 @@ def knn_graph(
                 {"vec_id": [], "rank": [], "neighbor_id": [], "cosine": []}
             ).astype({"vec_id": "int64", "rank": "int32", "neighbor_id": "int64", "cosine": "float64"})
         ids = pdf["_id"].to_numpy()
-        M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        M = _stack_cell_vectors(pdf["_v"], ids)
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         kk = min(k, c - 1)
         # neighbor order ties on (cosine desc, id asc): argsort a composite
         # over ROUNDED cosines (the public contract rounds to 6) by sorting
         # ids ascending first, then a STABLE sort on -cosine
         id_order = np.argsort(ids, kind="stable")
+        # loop invariants hoisted out of the per-row hot loop (r8 ADVICE):
+        # the id-sorted view, the reusable self-mask, and each row's
+        # position in that view (inverse permutation — O(1) per row
+        # instead of an O(c) np.where scan)
+        row_ids = ids[id_order]
+        self_pos_of = np.empty(c, dtype=np.int64)
+        self_pos_of[id_order] = np.arange(c)
+        mask = np.ones(c, dtype=bool)
         out_src, out_rank, out_nbr, out_cos = [], [], [], []
         for lo in range(0, c, 1024):  # row-chunked GEMM bounds task memory
             hi = min(lo + 1024, c)
             S = np.round(M[lo:hi] @ M.T, 6)  # (chunk, c)
             for r in range(hi - lo):
                 row = S[r][id_order]
-                row_ids = ids[id_order]
-                self_pos = np.where(row_ids == ids[lo + r])[0][0]
-                mask = np.ones(c, dtype=bool)
+                self_pos = self_pos_of[lo + r]
                 mask[self_pos] = False
                 cand_cos, cand_ids = row[mask], row_ids[mask]
+                mask[self_pos] = True
                 top = np.argsort(-cand_cos, kind="stable")[:kk]
                 out_src.extend([ids[lo + r]] * len(top))
                 out_rank.extend(range(1, len(top) + 1))
@@ -1036,6 +1079,7 @@ def ivf_search_join(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 7,
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """BATCH ANN search join: top-k corpus neighbors for EVERY row of a
     query-vector table — the serving-batch shape (rerank candidates for a
@@ -1058,6 +1102,13 @@ def ivf_search_join(
     id asc). Recall is the IVF tradeoff (cells missed by the probe set);
     with nprobe == n_clusters the result is exact — the contract test
     compares against brute force per query.
+
+    The query-side broadcast assumes a serving-sized batch; above
+    ``max_broadcast_queries`` rows (counted with an early-exit
+    ``limit(n+1).count()``, never a full scan) the probe frame would blow
+    the broadcast ceiling, so the join falls back to a shuffle hash/merge
+    join on the cell key — same semantics, one extra exchange of the
+    (still candidate-pruned) probe rows (r8 VERDICT item 6).
     """
     from pyspark.sql import Window
 
@@ -1070,10 +1121,13 @@ def ivf_search_join(
         F.col(vec_col).alias("_qv"),
         F.explode(probes(F.col(vec_col))).alias("cluster"),
     )
+    small_batch = (
+        queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
+    )
     sim = pair_cosine_udf()(F.col(vec_col), F.col("_qv"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
-        assigned.join(F.broadcast(q), "cluster")
+        assigned.join(F.broadcast(q) if small_batch else q, "cluster")
         .select(F.col(query_id_col), F.col(id_col), F.round(sim, 6).alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

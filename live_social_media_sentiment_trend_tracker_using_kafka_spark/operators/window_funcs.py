@@ -130,9 +130,12 @@ def distributed_cume_dist(
     1. range-repartition on (part_cols..., order_col) and PERSIST — the
        pinned partitioning is read twice and must not re-sample; equal
        keys land in one range partition, so ties never straddle a chunk;
-    2. per (chunk, group) row counts → a (n_range_parts x |groups|)-sized
-       driver collect → running offsets per group come back as a
-       BROADCAST join (the bounded-fit pattern);
+    2. per (chunk, group) row counts → per-group running offsets as a
+       fully DISTRIBUTED two-level prefix sum (a window over chunks
+       WITHIN each group: |groups| window partitions of ≤ n_range_parts
+       rows each — never a driver-side collect, which at high group
+       cardinality made the "tiny driver round" |chunks|×|groups| rows,
+       r8 VERDICT item 5) → broadcast-joined back;
     3. per (chunk, group) window cumsum — every chunk sorts only its own
        slice, n_range_parts-way parallel — plus the chunk's offset =
        exact global "# rows <= x", divided by the group total.
@@ -140,9 +143,15 @@ def distributed_cume_dist(
     Output: input columns + ``out_col`` (the exact cume_dist). Ties
     share a value because the cumsum is taken over per-VALUE aggregated
     rows within each chunk.
-    """
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
+    Scale regime: this operator targets LOW group cardinality (few
+    segments), where the vanilla ``Window.partitionBy(group)`` serializes
+    each group through one task. The offsets side it broadcasts is
+    ≤ n_range_parts × |groups| rows; when |groups| approaches the cluster's
+    core count the vanilla window is already fully parallel — use that
+    instead of this operator (and the broadcast stays trivially small in
+    the regime this operator is for).
+    """
     from ..caching import tracked_persist
 
     keys = [*part_cols, order_col]
@@ -150,50 +159,41 @@ def distributed_cume_dist(
         df.repartitionByRange(n_range_parts, *[F.col(c) for c in keys])
         .withColumn("_chunk", F.spark_partition_id())
     )
-    # per-group totals and per-(chunk, group) counts: one tiny driver round
-    per_chunk = (
-        chunked.groupBy("_chunk", *part_cols)
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .collect()
+    # level 1: per-(chunk, group) counts — map-side combinable hash agg.
+    # level 2: prefix-sum over CHUNKS within each group. Chunk ids ascend
+    # with the range order, so a group's offset in chunk k is the sum of
+    # its counts in chunks < k; the group total is the full-frame sum.
+    counts = chunked.groupBy("_chunk", *part_cols).agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    totals: dict[tuple, int] = {}
-    for r in per_chunk:
-        g = tuple(r[c] for c in part_cols)
-        totals[g] = totals.get(g, 0) + r["_cnt"]
-    offsets = []
-    running: dict[tuple, int] = {}
-    # chunk ids ascend with the range order, so a group's offset in chunk k
-    # is the sum of its counts in chunks < k
-    for r in sorted(per_chunk, key=lambda r: (tuple(str(r[c]) for c in part_cols), r["_chunk"])):
-        g = tuple(r[c] for c in part_cols)
-        offsets.append((*g, r["_chunk"], running.get(g, 0), totals[g]))
-        running[g] = running.get(g, 0) + r["_cnt"]
-    spark = df.sparkSession
-    # explicit schema: inference would fail on an empty offsets list or on a
-    # partition key whose every value is NULL
-    off_schema = StructType(
-        [StructField(c, df.schema[c].dataType, True) for c in part_cols]
-        + [
-            StructField("_chunk", IntegerType(), False),
-            StructField("_offset", LongType(), False),
-            StructField("_total", LongType(), False),
-        ]
+    w_tot = Window.partitionBy(*part_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    if not offsets:
-        # empty input: match window cume_dist (empty result, same schema)
-        return chunked.drop("_chunk").withColumn(out_col, F.lit(None).cast("double"))
-    off_df = F.broadcast(spark.createDataFrame(offsets, off_schema))
+    # off_df derives FROM chunked, so its key columns are renamed — the
+    # grouping keys keep their expression ids through the aggregate and an
+    # un-aliased self-join condition would be ambiguous/trivially true
+    off_keys = {"_chunk": "_off_chunk", **{c: f"_off_g{i}" for i, c in enumerate(part_cols)}}
+    off_df = F.broadcast(
+        counts.select(
+            F.col("_chunk").alias("_off_chunk"),
+            *[F.col(c).alias(off_keys[c]) for c in part_cols],
+            F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset"),
+            F.sum("_cnt").over(w_tot).alias("_total"),
+        )
+    )
     w = Window.partitionBy("_chunk", *part_cols).orderBy(order_col)
     # null-safe equi-join on the partition keys: window cume_dist keeps
     # NULL groups (partitionBy groups nulls together), so the offset join
     # must match them too — a plain equi-join would silently drop them
-    join_cond = chunked["_chunk"] == off_df["_chunk"]
+    join_cond = chunked["_chunk"] == off_df["_off_chunk"]
     for c in part_cols:
-        join_cond = join_cond & chunked[c].eqNullSafe(off_df[c])
+        join_cond = join_cond & chunked[c].eqNullSafe(off_df[off_keys[c]])
     return (
         chunked.join(off_df, join_cond)
-        .drop(off_df["_chunk"])
-        .drop(*[off_df[c] for c in part_cols])
+        .drop(*off_keys.values())
         # rangeBetween over the ORDER VALUE gives ties an identical count
         # (# rows in this chunk with value <= mine), exactly like cume_dist
         .withColumn(

@@ -602,6 +602,22 @@ def test_r6_queries_stay_jvm_side(spark):
         assert_no_python_udf(df)
 
 
+def test_distributed_cume_dist_offsets_stay_distributed():
+    """r8 VERDICT item 5: the per-(chunk, group) offsets must be a
+    distributed two-level prefix sum, never a driver-side collect whose
+    size is |chunks|x|groups|. Pin at the source level: the operator may
+    not call .collect() at all (its only driver-side values are literals)."""
+    import inspect
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
+        window_funcs,
+    )
+
+    src = inspect.getsource(window_funcs.distributed_cume_dist)
+    assert ".collect()" not in src, "driver-side offsets crept back in"
+    assert "Window.partitionBy(*part_cols)" in src  # the prefix-sum window
+
+
 def test_order_value_bands_distributed_not_per_segment_window(spark):
     """The exact distribution must ride distributed_cume_dist: a RANGE
     repartition plus chunk-local windows — never a bare

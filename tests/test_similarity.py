@@ -320,3 +320,23 @@ def test_knn_graph_identical_pile_stays_bounded_and_sane(spark):
     pile_cos = [rank1[i] for i in range(150) if i in rank1]
     assert len(pile_cos) == 150  # every pile member got a neighbor
     assert min(pile_cos) >= 0.999999  # ties at cosine 1.0 inside the pile
+
+
+def test_ivf_search_join_broadcast_gate_fallback(spark):
+    """r8 VERDICT item 6: above max_broadcast_queries the probe join must
+    fall back to a shuffle join — same rows, no broadcast of the query
+    frame in the static plan — and below it keep the broadcast."""
+    from pyspark.sql import functions as F
+
+    df, _ = _fixture(spark)
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=3, n_clusters=4, nprobe=4)
+    broad = similarity.ivf_search_join(df, queries, **kw)
+    fell_back = similarity.ivf_search_join(df, queries, max_broadcast_queries=2, **kw)
+    b_plan = fell_back._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in b_plan, b_plan
+    got_b = sorted(map(tuple, broad.collect()))
+    got_f = sorted(map(tuple, fell_back.collect()))
+    assert got_b == got_f and len(got_b) == 9
