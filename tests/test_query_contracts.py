@@ -414,3 +414,29 @@ def test_media_frame_sample_contract(spark):
     assert by[0] == [0]
     assert by[3] == [0, 10, 20, 30]
     assert all(r.payload_bytes == 256 for r in rows)
+
+
+def test_posts_enrichment_planted_branches_nonvacuous(spark):
+    """Every defensive branch the fixture plants must actually appear in
+    the output — otherwise the end-to-end hash proves less than it claims
+    (r8 VERDICT item 3)."""
+    rows = entrymod.q_posts_enrichment(spark, SF_SMOKE).collect()
+    assert rows
+    labels = {r.sentiment_label for r in rows}
+    assert {"positive", "negative", "neutral"} <= labels
+    # null-location rows -> P12 defaults
+    assert any(r.city == "Unknown" and r.country == "Unknown" for r in rows)
+    assert any(r.city != "Unknown" for r in rows)
+    # '3.9' likes string -> P10 coercion truncates to 3 (doc_id%7==0 rows)
+    assert any(r.likes == 3 and r.doc_id % 7 == 0 for r in rows)
+    # 'n/a' followers -> default 0
+    assert any(r.user_followers == 0 and r.doc_id % 5 == 0 for r in rows)
+    # planted uppercase hashtags arrive lowercased via cleaned_text (P5+P6)
+    tagged = [r for r in rows if r.doc_id % 17 == 2]
+    assert tagged and all("amazing" in r.hashtags_csv for r in tagged)
+    # P1 dropped the null/empty-text rows
+    assert all(r.doc_id % 17 not in (0, 1) for r in rows)
+    # P11 round-trip: event_ts re-renders the planted timestamp string
+    r0 = rows[0]
+    secs = r0.doc_id % 86400
+    assert r0.event_ts_str == f"2026-03-01 {secs//3600:02d}:{secs%3600//60:02d}:{secs%60:02d}"
