@@ -675,3 +675,16 @@ def test_domain_cap_sample_distributed_not_per_group_window(spark):
     assert "rangepartitioning(source" in plan, plan
     assert "hashpartitioning(_chunk" in plan, plan
     assert_no_python_udf(df)
+
+
+def test_posts_enrichment_single_exchange_no_python(spark):
+    """The reference's end-to-end user path must plan as ONE fused
+    codegen chain over the scan — no Python boundary (the lexicon scorer
+    is the SQL twin), and the only exchange is the final presentation
+    orderBy. At 100 TB this pipeline is embarrassingly parallel."""
+    df = entrymod.q_posts_enrichment(spark, SF)
+    assert_no_python_udf(df)
+    plan = plan_text(df)
+    assert plan.count("+- Exchange") == 1, plan  # tree shows exactly one
+    assert "rangepartitioning(doc_id" in plan, plan  # the orderBy…
+    assert "hashpartitioning" not in plan, plan  # …and no agg/join shuffle
