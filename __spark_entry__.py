@@ -2264,6 +2264,35 @@ def q_posts_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 leakage-proof splitting (sampling.cluster_safe_split): split
+    assignment by near-dup COMPONENT (connected components over exact
+    Jaccard≥0.8 pairs, the dedup_clusters table) instead of by document,
+    so a near-dup pair straddling train/eval is impossible by
+    construction — prevention for the failure mode split_leakage audits.
+    Fully oracle-checked: DuckDB recomputes the same components
+    recursively and applies the identical md5 bucketing to the component
+    id."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.cluster_safe_split(docs, _cc_table(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 ExactSubstr-style span REMOVAL (corpus.remove_duplicate_spans,
+    Lee et al. 2022): duplicated word 8-grams survive only in their
+    min-doc-id owner; other docs have the covered tokens cut out. Plants 6
+    verbatim copies (doc_id+3,000,000) whose every token is covered by
+    owner-held grams — they must come back fully emptied (n_removed ==
+    n_tokens, text_clean '') while their originals keep every token, and
+    the natural corpus overlap is removed identically on both engines
+    (fully hash-checked against the DuckDB twin)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 6).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    return corpus.remove_duplicate_spans(docs.unionByName(copies), n=8)
+
+
 def q_streaming_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 custom stateful operator (applyInPandasWithState), oracle-checked
     end to end: events read as a file STREAM, per-user running count/value
@@ -2875,9 +2904,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_cosine_report": q_label_cosine_report,
         "lang_confusion": q_lang_confusion,
         "last_events": q_last_events,
+        # the two new r9 operators take the last two window slots; the r6
+        # rows they displace sit first in line for r10
+        "cluster_safe_split": q_cluster_safe_split,
+        "duplicate_span_removal": q_duplicate_span_removal,
+        # ---- driver window boundary (first 50 above) ------------------
         "last_touch_attribution": q_last_touch_attribution,
         "lexical_diversity": q_lexical_diversity,
-        # ---- driver window boundary (first 50 above) ------------------
         # demoted tiers: freshest driver evidence last (r7 then r8)
         "duplicate_span_stats": q_duplicate_span_stats,
         "domain_cap_sample": q_domain_cap_sample,
@@ -5381,6 +5414,66 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked r JOIN q USING (source)
             WHERE r.rn <= q.quota
             ORDER BY r.source, r.doc_id
+        """,
+        # Split by near-dup component: same recursive components as the
+        # dedup_clusters oracle, identical md5 bucketing applied to the
+        # component id (singletons = own id via the left-join coalesce).
+        "cluster_safe_split": f"""
+            WITH RECURSIVE {_CLUSTER_CTES}
+            SELECT d.doc_id,
+                   COALESCE(c.component, d.doc_id) AS component,
+                   CASE WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+                        WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        # ExactSubstr removal twin: 1-based positions throughout (DuckDB
+        # lists), same tokenizer as the cluster CTEs, owner = min doc id
+        # per duplicated 8-gram, coverage union via DISTINCT.
+        "duplicate_span_removal": r"""
+            WITH planted AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 3000000 AS doc_id, text
+                FROM documents WHERE doc_id < 6
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                                   t -> t <> '') AS t
+                FROM planted
+            ), toks1 AS (
+                SELECT * FROM toks WHERE len(t) > 0
+            ), g AS (
+                SELECT doc_id, CAST(u.i AS INT) AS pos,
+                       array_to_string(t[u.i:u.i+7], ' ') AS gram
+                FROM toks1, LATERAL UNNEST(range(1, greatest(len(t) - 6, 1))) AS u(i)
+            ), own AS (
+                SELECT gram, MIN(doc_id) AS owner FROM g
+                GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+            ), cov AS (
+                SELECT DISTINCT g.doc_id, g.pos + CAST(v.o AS INT) AS idx
+                FROM g JOIN own ON g.gram = own.gram AND g.doc_id <> own.owner,
+                     LATERAL UNNEST(range(0, 8)) AS v(o)
+            ), tp AS (
+                SELECT doc_id, CAST(u.i AS INT) AS idx, t[u.i] AS tok
+                FROM toks1, LATERAL UNNEST(range(1, len(t) + 1)) AS u(i)
+            ), kept AS (
+                SELECT tp.doc_id, COUNT(*) AS n_kept,
+                       string_agg(tp.tok, ' ' ORDER BY tp.idx) AS clean
+                FROM tp
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM cov
+                    WHERE cov.doc_id = tp.doc_id AND cov.idx = tp.idx
+                )
+                GROUP BY tp.doc_id
+            )
+            SELECT tk.doc_id,
+                   CAST(len(tk.t) AS INT) AS n_tokens,
+                   CAST(len(tk.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+                   COALESCE(k.clean, '') AS text_clean
+            FROM toks1 tk LEFT JOIN kept k USING (doc_id)
+            ORDER BY tk.doc_id
         """,
         # The reference's full transform chain (consumer enrich → dashboard
         # normalize) on the same planted raw-post fixture; sentiment label

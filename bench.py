@@ -203,6 +203,8 @@ HEADLINE = [
     "media_frame_sample",
     # r9 additions
     "posts_enrichment",
+    "cluster_safe_split",
+    "duplicate_span_removal",
 ]
 
 

@@ -1234,3 +1234,92 @@ def duplicate_span_stats(
         )
         .orderBy(id_col)
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2022, public):
+    every word n-gram that appears in ≥2 distinct documents is kept only in
+    its OWNER document (min doc id corpus-wide); all other documents have
+    the tokens covered by such grams cut out. The curation counterpart of
+    ``duplicate_span_stats`` — that operator measures span contamination,
+    this one removes it while keeping exactly one copy of every passage in
+    the corpus (document-level dedup can't: it keeps or drops whole docs).
+
+    Semantics: token i of doc d survives iff no duplicated gram owned by
+    another doc covers position i. Overlapping removable grams union their
+    coverage. The owner keeps all its occurrences (within-doc repeats are
+    repetition_stats' signal, not cross-doc contamination). Docs shorter
+    than ``n`` tokens have no grams and pass through whole.
+
+    Scale shape: positional grams via posexplode (linear in token count,
+    same width as the shingle explode), one map-side-combinable
+    groupBy(gram) for owners, a shuffle join back on gram, the coverage
+    explode is ≤ n× the removable-gram rows, and token reassembly is one
+    anti join + one groupBy(doc) whose per-group state is the doc's own
+    tokens. No pair join, nothing quadratic; boilerplate-hot grams
+    aggregate to one owner row before any join.
+
+    Returns (doc_id, n_tokens, n_removed, text_clean) for every doc with
+    ≥1 token, ordered by id; a fully-duplicated doc yields text_clean ''.
+    """
+    from .dedup import word_tokens_col
+
+    toks = tracked_persist(
+        df.select(F.col(id_col), word_tokens_col(F.col(text_col)).alias("_t")).filter(
+            F.size("_t") > 0
+        )
+    )
+    # 0-based gram start positions; sequence(0, -1) would DESCEND, so gate
+    # short docs to an empty start array instead
+    starts = F.when(
+        F.size("_t") >= n, F.sequence(F.lit(0), F.size("_t") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(starts, lambda i: F.array_join(F.slice("_t", i + 1, n), " "))
+        ).alias("pos", "gram"),
+    )
+    owners = (
+        grams.groupBy("gram")
+        .agg(F.min(id_col).alias("_owner"), F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("gram", "_owner")
+    )
+    covered = (
+        grams.join(owners, "gram")
+        .filter(F.col(id_col) != F.col("_owner"))
+        .select(F.col(id_col), F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("idx"))
+        .distinct()
+    )
+    tokpos = toks.select(F.col(id_col), F.posexplode("_t").alias("idx", "tok"))
+    kept = (
+        tokpos.join(covered, [id_col, "idx"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("_clean"),
+        )
+    )
+    return (
+        toks.select(F.col(id_col), F.size("_t").alias("n_tokens"))
+        .join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).cast("long").alias("n_removed"),
+            F.coalesce("_clean", F.lit("")).alias("text_clean"),
+        )
+        .orderBy(id_col)
+    )

@@ -420,3 +420,45 @@ def split_leakage(
         )
         .orderBy("fingerprint")
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    components: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-proof train/val/test assignment: split by near-dup
+    COMPONENT, not by document.
+
+    ``hash_split`` assigns by doc id, so two near-duplicate documents can
+    land on opposite sides of an eval boundary — the exact failure mode
+    ``split_leakage`` audits after the fact. This operator prevents it BY
+    CONSTRUCTION: every member of a near-dup cluster inherits the
+    cluster's component id (min doc id in the cluster, from
+    cluster.connected_components) and the stateless md5 bucketing is
+    applied to THAT, so a near-dup pair straddling splits is impossible —
+    the sampling-side counterpart of dedup-before-split ordering, for
+    pipelines that must KEEP near-dups (e.g. epoch-weighted corpora) yet
+    still need clean eval boundaries.
+
+    Scale shape: ``components`` holds only nodes that appear in near-dup
+    pairs (dup-rate × corpus — small by corpus hygiene), so the left join
+    broadcasts under AQE; docs absent from it are singleton clusters
+    (component = own id) via coalesce. Everything else is the same
+    stateless projection as hash_split: no shuffle beyond the join.
+
+    Returns (id_col, component, split).
+    """
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component").alias("component")
+    )
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+        .withColumn("split", split_assignment_col("component", fractions))
+    )

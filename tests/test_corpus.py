@@ -537,3 +537,28 @@ def test_duplicate_span_stats_hand_checked(spark):
     assert got[2] == (3, 1, round(1 / 3, 6))
     assert got[3][1] == 0 and got[3][2] == 0.0
     assert got[4] == (1, 0, 0.0)
+
+
+def test_remove_duplicate_spans_owner_keeps_copies_emptied(spark):
+    """ExactSubstr removal semantics: the min-id owner keeps every token,
+    verbatim copies are fully emptied, an embedded shared span is cut out
+    of the non-owner only, short docs pass through."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        remove_duplicate_spans,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "prefix words here alpha beta gamma delta epsilon zeta eta theta end"),
+        (4, "totally unrelated text with enough words to make grams here today"),
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, n=8).collect()}
+    assert len(out) == 5
+    assert out[1].n_removed == 0 and out[1].text_clean.startswith("alpha beta")
+    assert out[2].n_removed == out[2].n_tokens and out[2].text_clean == ""
+    assert out[3].n_removed == 8 and out[3].text_clean == "prefix words here end"
+    assert out[4].n_removed == 0
+    assert out[5].n_removed == 0 and out[5].text_clean == "short doc"

@@ -203,3 +203,35 @@ def test_split_leakage_detects_planted_straddlers(spark):
     assert got[0].n_docs == 2 and got[0].n_splits == 2 and got[0].splits == "test,train"
     # the driver query's planted contract: ids 1,5,6,7 straddle at +1e6
     assert [i for i in range(8) if side(i) != side(1_000_000 + i)] == [1, 5, 6, 7]
+
+
+def test_cluster_safe_split_no_near_dup_leakage(spark):
+    """The leakage-proof property itself: members of one component always
+    share a split; docs outside any component are singletons whose split
+    equals plain hash_split of their own id."""
+    from pyspark.sql import functions as F
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import (
+        cluster_safe_split,
+        hash_split,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # components welding pairs (i, i+100) for i < 50, labeled by min id
+    comps = spark.createDataFrame(
+        [(i, i) for i in range(50)] + [(i + 100, i) for i in range(50)],
+        "node long, component long",
+    )
+    out = cluster_safe_split(docs, comps).collect()
+    split_of = {r.doc_id: r.split for r in out}
+    comp_of = {r.doc_id: r.component for r in out}
+    assert len(out) == 200
+    for i in range(50):
+        assert split_of[i] == split_of[i + 100], i  # welded pair never straddles
+        assert comp_of[i] == comp_of[i + 100] == i
+    # singletons: component = own id, split identical to hash_split
+    plain = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    for i in range(50, 100):
+        assert comp_of[i] == i and split_of[i] == plain[i]
+    # all three splits are in play across 200 docs (fractions sane)
+    assert {"train", "val", "test"} == set(split_of.values())
