@@ -2241,11 +2241,72 @@ def q_posts_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derived from the planted timestamp string so the P11 chain itself is
     hash-checked via string round-trip."""
     raw = _synth_raw_posts(spark, sf_dir)
+    return _enrich_normalize_project(raw)
+
+
+def _lexicon_enrich(raw: DataFrame) -> DataFrame:
+    """The SQL-expressible enrich chain (works on batch AND streaming DFs):
+    enrich_posts minus the VADER UDF, score/label swapped to the lexicon
+    twin so DuckDB can hash-check it."""
     enriched = enrich_posts(raw, with_sentiment_udf=False)
-    scored = enriched.withColumn(
+    return enriched.withColumn(
         "sentiment_score", sql_lexicon_score_col(F.col("cleaned_text"))
     ).withColumn("sentiment_label", sentiment_label_col(F.col("sentiment_score")))
+
+
+def _enrich_normalize_project(raw: DataFrame) -> DataFrame:
+    """Batch tail shared by posts_enrichment and its streaming twin:
+    lexicon-enrich → dashboard normalize → the hash-stable projection."""
+    scored = _lexicon_enrich(raw)
     normalized = normalize_posts(scored.drop("processing_timestamp", "event_ts"))
+    return normalized.select(
+        "doc_id",
+        "user",
+        "platform",
+        "user_followers",
+        "likes",
+        "retweets",
+        "city",
+        "country",
+        "cleaned_text",
+        F.round("sentiment_score", 6).alias("sentiment_score"),
+        "sentiment_label",
+        F.array_join("hashtags", "|").alias("hashtags_csv"),
+        F.size("hashtags").alias("n_tags"),
+        F.date_format("event_ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts_str"),
+    ).orderBy("doc_id")
+
+
+def q_streaming_posts_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The posts chain the way the REFERENCE actually runs it — as a
+    STREAMING job (consumer/spark_streaming_job.py:110-136): the same
+    synthetic raw-post fixture is staged to a temp parquet dir, read back
+    as a file STREAM, enriched IN-STREAM (P1 filter → P2/P3 flatten → P5
+    lower → lexicon score → U2 label → P6 hashtags), drained
+    Trigger.AvailableNow into memory, then dashboard-normalized in batch.
+    Shares posts_enrichment's oracle verbatim, so the driver hash row IS
+    the stream-enrich == batch-enrich equivalence proof."""
+    import shutil
+    import tempfile
+
+    raw = _synth_raw_posts(spark, sf_dir)
+    stage = tempfile.mkdtemp(prefix="spark_graft_posts_stream_")
+    try:
+        raw.write.mode("overwrite").parquet(stage)
+        stream = spark.readStream.schema(raw.schema).parquet(stage)
+        scored = _lexicon_enrich(stream)
+        _STREAM_SEQ[0] += 1
+        name = f"stream_posts_{_STREAM_SEQ[0]}"
+        out = run_available_now_to_memory(
+            scored.drop("processing_timestamp", "event_ts"), spark, name,
+            output_mode="append",
+        )
+        # the memory sink holds the drained rows; force materialization
+        # before the staging dir disappears beneath the (lazy) plan
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    normalized = normalize_posts(out)
     return normalized.select(
         "doc_id",
         "user",
@@ -2903,12 +2964,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "label_cosine_report": q_label_cosine_report,
         "lang_confusion": q_lang_confusion,
-        "last_events": q_last_events,
-        # the two new r9 operators take the last two window slots; the r6
+        # the three new r9 operators take the last window slots; the r6
         # rows they displace sit first in line for r10
         "cluster_safe_split": q_cluster_safe_split,
         "duplicate_span_removal": q_duplicate_span_removal,
+        "streaming_posts_enrichment": q_streaming_posts_enrichment,
         # ---- driver window boundary (first 50 above) ------------------
+        "last_events": q_last_events,
         "last_touch_attribution": q_last_touch_attribution,
         "lexical_diversity": q_lexical_diversity,
         # demoted tiers: freshest driver evidence last (r7 then r8)
@@ -6062,4 +6124,8 @@ def oracle_sql() -> dict[str, str]:
     # the SAME oracle verifies both plans, which is exactly the equivalence
     # claim (skew.salted_distinct == plain distinct) driver-hash-proven.
     oracles["cohort_retention_salted"] = oracles["cohort_retention"]
+    # The streaming posts chain drains AvailableNow then normalizes in
+    # batch — semantics-preserving by construction, so the SAME oracle
+    # verifies both plans: the hash match IS the stream==batch proof.
+    oracles["streaming_posts_enrichment"] = oracles["posts_enrichment"]
     return oracles

@@ -205,6 +205,7 @@ HEADLINE = [
     "posts_enrichment",
     "cluster_safe_split",
     "duplicate_span_removal",
+    "streaming_posts_enrichment",
 ]
 
 
