@@ -2254,11 +2254,12 @@ def _lexicon_enrich(raw: DataFrame) -> DataFrame:
     ).withColumn("sentiment_label", sentiment_label_col(F.col("sentiment_score")))
 
 
-def _enrich_normalize_project(raw: DataFrame) -> DataFrame:
-    """Batch tail shared by posts_enrichment and its streaming twin:
-    lexicon-enrich → dashboard normalize → the hash-stable projection."""
-    scored = _lexicon_enrich(raw)
-    normalized = normalize_posts(scored.drop("processing_timestamp", "event_ts"))
+def _normalize_project(enriched: DataFrame) -> DataFrame:
+    """Dashboard normalize → the hash-stable projection. ONE definition
+    shared by both execution shapes of the posts chain, so the twins
+    cannot desynchronize (they share one oracle — drift would surface
+    only as an opaque driver hash mismatch)."""
+    normalized = normalize_posts(enriched)
     return normalized.select(
         "doc_id",
         "user",
@@ -2275,6 +2276,12 @@ def _enrich_normalize_project(raw: DataFrame) -> DataFrame:
         F.size("hashtags").alias("n_tags"),
         F.date_format("event_ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts_str"),
     ).orderBy("doc_id")
+
+
+def _enrich_normalize_project(raw: DataFrame) -> DataFrame:
+    """Batch tail of the posts chain: lexicon-enrich → shared tail."""
+    scored = _lexicon_enrich(raw)
+    return _normalize_project(scored.drop("processing_timestamp", "event_ts"))
 
 
 def q_streaming_posts_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2297,32 +2304,16 @@ def q_streaming_posts_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = _lexicon_enrich(stream)
         _STREAM_SEQ[0] += 1
         name = f"stream_posts_{_STREAM_SEQ[0]}"
+        # the memory sink holds the drained rows in the driver JVM,
+        # independent of the staging files — safe to rmtree after the
+        # drain, no driver-Python round-trip needed
         out = run_available_now_to_memory(
             scored.drop("processing_timestamp", "event_ts"), spark, name,
             output_mode="append",
         )
-        # the memory sink holds the drained rows; force materialization
-        # before the staging dir disappears beneath the (lazy) plan
-        out = spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
-    normalized = normalize_posts(out)
-    return normalized.select(
-        "doc_id",
-        "user",
-        "platform",
-        "user_followers",
-        "likes",
-        "retweets",
-        "city",
-        "country",
-        "cleaned_text",
-        F.round("sentiment_score", 6).alias("sentiment_score"),
-        "sentiment_label",
-        F.array_join("hashtags", "|").alias("hashtags_csv"),
-        F.size("hashtags").alias("n_tags"),
-        F.date_format("event_ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts_str"),
-    ).orderBy("doc_id")
+    return _normalize_project(out)
 
 
 def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1080,6 +1080,7 @@ def ivf_search_join(
     query_id_col: str = "query_id",
     seed: int = 7,
     max_broadcast_queries: int = 100_000,
+    assume_small_batch: bool | None = None,
 ) -> DataFrame:
     """BATCH ANN search join: top-k corpus neighbors for EVERY row of a
     query-vector table — the serving-batch shape (rerank candidates for a
@@ -1103,12 +1104,18 @@ def ivf_search_join(
     with nprobe == n_clusters the result is exact — the contract test
     compares against brute force per query.
 
-    The query-side broadcast assumes a serving-sized batch; above
-    ``max_broadcast_queries`` rows (counted with an early-exit
-    ``limit(n+1).count()``, never a full scan) the probe frame would blow
-    the broadcast ceiling, so the join falls back to a shuffle hash/merge
-    join on the cell key — same semantics, one extra exchange of the
-    (still candidate-pruned) probe rows (r8 VERDICT item 6).
+    The query-side broadcast assumes a serving-sized batch. What is
+    broadcast is the nprobe-EXPLODED probe frame (one full embedding per
+    (query, cell) row), so the gate bounds |queries| × nprobe ≤
+    ``max_broadcast_queries`` — counted with an early-exit
+    ``limit(n+1).count()``, never a full scan. Above the gate the join
+    falls back to a shuffle hash/merge join on the cell key — same
+    semantics, one extra exchange of the (still candidate-pruned) probe
+    rows (r8 VERDICT item 6). The count is ONE eager bounded job at
+    construction time; callers that already know the batch size (or whose
+    query frame is nondeterministic — sample/rand upstream would make the
+    gate decision diverge from the joined data) should pass
+    ``assume_small_batch`` explicitly to skip it.
     """
     from pyspark.sql import Window
 
@@ -1121,9 +1128,11 @@ def ivf_search_join(
         F.col(vec_col).alias("_qv"),
         F.explode(probes(F.col(vec_col))).alias("cluster"),
     )
-    small_batch = (
-        queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
-    )
+    if assume_small_batch is None:
+        query_budget = max(1, max_broadcast_queries // max(nprobe, 1))
+        small_batch = queries.limit(query_budget + 1).count() <= query_budget
+    else:
+        small_batch = assume_small_batch
     sim = pair_cosine_udf()(F.col(vec_col), F.col("_qv"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

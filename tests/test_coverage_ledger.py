@@ -22,9 +22,12 @@ def test_classify_evidence_classes():
 def test_coverage_md_is_current():
     """Regeneration must equal the committed file. The driver writes
     CORRECTNESS_r{N}.json AFTER the builder's last commit, so a merely
-    stale ledger is auto-folded here (r8 VERDICT item 1) — the test only
-    fails if the fold itself can't produce a stable file."""
+    stale ledger is auto-folded here (r8 VERDICT item 1). Non-tautology
+    guard: the fold must be DETERMINISTIC — two independent renders must
+    agree — otherwise auto-folding would just flap the file per run."""
     text = cl.render(cl.fold(cl.load_rounds()), cl.registry_names())
+    text2 = cl.render(cl.fold(cl.load_rounds()), cl.registry_names())
+    assert text == text2, "coverage render is nondeterministic"
     path = os.path.join(cl.REPO, "COVERAGE.md")
     if not os.path.exists(path) or open(path).read() != text:
         with open(path, "w") as f:
