@@ -380,3 +380,50 @@ def test_event_type_lift_matches_bruteforce_baskets(spark, rows):
         assert r.support == round(expect[pair] / n_b, 6)
         a, b = pair
         assert r.lift == round(expect[pair] * n_b / (per_type[a] * per_type[b]), 6)
+
+
+def _is_subsequence(short: list, long: list) -> bool:
+    it = iter(long)
+    return all(tok in it for tok in (t for t in short))
+
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"])
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(words, min_size=0, max_size=24), min_size=1, max_size=8
+    ),
+)
+def test_remove_duplicate_spans_invariants(spark, docs):
+    """Random small corpora over an 8-word vocabulary (dense in shared
+    8-grams — the adversarial case). Invariants: every ≥1-token doc
+    appears exactly once; n_removed + kept-token count == n_tokens; the
+    cleaned text is an order-preserving SUBSEQUENCE of the original
+    tokens; a doc sharing no gram with any other doc loses nothing."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        remove_duplicate_spans,
+    )
+
+    n = 8
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, n=n).collect()}
+
+    nonempty = {i: t for i, (_, txt) in enumerate(rows) if (t := txt.split())}
+    assert set(out) == set(nonempty)
+
+    grams_of = {
+        i: {" ".join(t[p : p + n]) for p in range(len(t) - n + 1)}
+        for i, t in nonempty.items()
+    }
+    for i, t in nonempty.items():
+        r = out[i]
+        clean = r.text_clean.split() if r.text_clean else []
+        assert r.n_tokens == len(t)
+        assert r.n_removed == len(t) - len(clean)
+        assert _is_subsequence(clean, t), (clean, t)
+        others = set().union(*(g for j, g in grams_of.items() if j != i), set())
+        if not (grams_of[i] & others):
+            assert r.n_removed == 0, (i, t, clean)
