@@ -688,3 +688,14 @@ def test_posts_enrichment_single_exchange_no_python(spark):
     assert plan.count("+- Exchange") == 1, plan  # tree shows exactly one
     assert "rangepartitioning(doc_id" in plan, plan  # the orderBy…
     assert "hashpartitioning" not in plan, plan  # …and no agg/join shuffle
+
+
+def test_duplicate_span_removal_linear_jvm_side(spark):
+    """Span removal must stay pure Catalyst (no Python boundary), with the
+    owner aggregation partial (map-side combinable) and no pair join —
+    the global no-cartesian sweep covers the quadratic shapes; this pins
+    the linear-shuffle design."""
+    df = entrymod.q_duplicate_span_removal(spark, SF)
+    assert_no_python_udf(df)
+    plan = plan_text(df)
+    assert "partial_count" in plan or "partial_min" in plan, plan
