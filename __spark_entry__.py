@@ -2345,6 +2345,45 @@ def q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.remove_duplicate_spans(docs.unionByName(copies), n=8)
 
 
+def q_epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 training data-loader plan (sampling.epoch_shard_plan): each of
+    2 epochs reshuffles the corpus independently into 8 shards with
+    deterministic intra-shard positions — md5-keyed, engine-portable,
+    rerun-stable. Fully hash-checked: DuckDB rebuilds the identical
+    (epoch, shard, pos) plan from the same md5 arithmetic."""
+    return sampling.epoch_shard_plan(
+        _t(spark, sf_dir, "documents"), n_shards=8, epochs=2
+    )
+
+
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 embedding-level decontamination
+    (similarity.semantic_decontaminate): flag corpus vectors within
+    cosine 0.95 of ANY benchmark vector via the cell-pruned broadcast
+    probe join — the semantic tier above the n-gram/Bloom decontamination
+    family, catching paraphrased eval leakage token overlap misses.
+    Benchmark = every-20th embedding; corpus = the rest plus 10 PLANTED
+    direction-identical copies of benchmark items (×0.9 scale, +5M ids) —
+    ``planted`` rows MUST all flag contaminated at cosine 1.0 while
+    random vectors stay near-orthogonal/unflagged
+    (tests/test_query_contracts.py). Rows-only: the k-means fit is
+    iterative; probes run at full width (nprobe == n_clusters), so flags
+    are exact given the quantizer."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    planted = bench.filter(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.9)).alias("embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") % 20 != 0).unionByName(planted)
+    report = similarity.semantic_decontaminate(
+        corpus, bench, threshold=0.95, n_clusters=16, nprobe=16
+    )
+    return report.withColumn(
+        "planted", F.col("vec_id") >= 5_000_000
+    ).orderBy("vec_id")
+
+
 def q_streaming_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 custom stateful operator (applyInPandasWithState), oracle-checked
     end to end: events read as a file STREAM, per-user running count/value
@@ -2964,6 +3003,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_events": q_last_events,
         "last_touch_attribution": q_last_touch_attribution,
         "lexical_diversity": q_lexical_diversity,
+        # never-driver-checked r9 late additions: head of the r10 window
+        "epoch_shard_plan": q_epoch_shard_plan,
+        "semantic_decontamination": q_semantic_decontamination,
         # demoted tiers: freshest driver evidence last (r7 then r8)
         "duplicate_span_stats": q_duplicate_span_stats,
         "domain_cap_sample": q_domain_cap_sample,
@@ -5467,6 +5509,24 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked r JOIN q USING (source)
             WHERE r.rn <= q.quota
             ORDER BY r.source, r.doc_id
+        """,
+        # Same md5(epoch:id) keying on both sides; DuckDB's hex→int is the
+        # '0x'-prefixed CAST, Spark's is conv(hex, 16, 10).
+        "epoch_shard_plan": """
+            WITH e AS (
+                SELECT doc_id, CAST(u.e AS INT) AS epoch,
+                       md5(CAST(u.e AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents, LATERAL UNNEST(range(1, 3)) AS u(e)
+            ), s AS (
+                SELECT doc_id, epoch,
+                       CAST(CAST('0x' || substr(h, 1, 4) AS INT) % 8 AS INT) AS shard, h
+                FROM e
+            )
+            SELECT doc_id, epoch, shard,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY epoch, shard ORDER BY h, doc_id
+                   ) AS INT) AS pos
+            FROM s ORDER BY epoch, shard, pos
         """,
         # Split by near-dup component: same recursive components as the
         # dedup_clusters oracle, identical md5 bucketing applied to the

@@ -206,6 +206,8 @@ HEADLINE = [
     "cluster_safe_split",
     "duplicate_span_removal",
     "streaming_posts_enrichment",
+    "epoch_shard_plan",
+    "semantic_decontamination",
 ]
 
 

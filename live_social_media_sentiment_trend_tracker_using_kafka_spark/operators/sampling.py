@@ -462,3 +462,45 @@ def cluster_safe_split(
         )
         .withColumn("split", split_assignment_col("component", fractions))
     )
+
+
+def epoch_shard_plan(
+    df: DataFrame,
+    n_shards: int,
+    epochs: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch shuffle + shard plan for a training data
+    loader: every (epoch, doc) gets a shard and an intra-shard position,
+    reshuffled INDEPENDENTLY each epoch, identically on every engine and
+    every rerun (md5 keying, same rationale as hash_split — no RNG state,
+    no partitioning dependence).
+
+    shard = first-16-bits-of-md5(epoch:id) mod n_shards; pos = rank of
+    md5(epoch:id) within (epoch, shard). A loader that reads shard files
+    in pos order replays the exact global permutation; a preempted epoch
+    resumes mid-shard with no bookkeeping beyond (epoch, shard, pos).
+
+    Scale shape: the epoch fan-out is a lateral explode of a 1..epochs
+    array (rows × epochs, linear); the only shuffle is the (epoch, shard)
+    window for pos — n_shards × epochs independent partitions, each
+    ~|docs|/n_shards rows, embarrassingly parallel. Output (doc_id,
+    epoch, shard, pos).
+    """
+    keyed = df.select(id_col).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.lit(epochs))).alias("epoch"),
+    )
+    h = F.md5(
+        F.concat(F.col("epoch").cast("string"), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    keyed = keyed.withColumn("_h", h).withColumn(
+        "shard",
+        (F.conv(F.substring("_h", 1, 4), 16, 10).cast("long") % n_shards).cast("int"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("_h", id_col)
+    return (
+        keyed.withColumn("pos", F.row_number().over(w))
+        .select(id_col, "epoch", "shard", "pos")
+        .orderBy("epoch", "shard", "pos")
+    )

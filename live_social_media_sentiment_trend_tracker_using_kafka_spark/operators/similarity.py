@@ -1188,3 +1188,60 @@ def ivf_pq_topk(
     probes = np.argsort(-(cn @ qn))[:nprobe].tolist()
     pruned = coded.filter(F.col("cluster").isin(probes))
     return pq_probe(pruned, codebooks, query_vec, k, id_col, vec_col, m, refine)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """EMBEDDING-level benchmark decontamination: flag every corpus row
+    whose vector is within cosine ``threshold`` of ANY benchmark item —
+    the semantic tier above n-gram decontamination
+    (operators/contamination.py), catching paraphrased eval leakage that
+    token overlap misses.
+
+    Same cell-pruned shape as ``ivf_search_join`` with the benchmark as
+    the (serving-sized by definition) broadcast probe side, but a
+    THRESHOLD filter instead of per-query top-k: top-k per benchmark item
+    would silently miss contaminated docs once more than k corpus rows
+    match one benchmark item. Candidates stay linear in corpus size
+    (|benchmark| · nprobe · n/C); with nprobe == n_clusters the flags are
+    exact (contract-tested). Recall below that is the IVF tradeoff, same
+    as the rest of the family.
+
+    Returns corpus ids + (bench_cosine — the max cosine to any benchmark
+    item among candidates, null if none met the threshold) +
+    ``contaminated`` flag. Anti-join the flagged ids to clean, or keep
+    the report for audit.
+    """
+    from ..functions.kernels import make_ivf_probes_udf, pair_cosine_udf
+
+    assigned, centroids = ivf_index(corpus, n_clusters, vec_col, seed=seed)
+    probes = make_ivf_probes_udf(centroids, nprobe)
+    q = benchmark.select(
+        F.col(vec_col).alias("_qv"),
+        F.explode(probes(F.col(vec_col))).alias("cluster"),
+    )
+    sim = pair_cosine_udf()(F.col(vec_col), F.col("_qv"))
+    flagged = (
+        assigned.join(F.broadcast(q), "cluster")
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .groupBy(id_col)
+        .agg(F.max("cosine").alias("bench_cosine"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(flagged, id_col, "left")
+        .select(
+            F.col(id_col),
+            "bench_cosine",
+            F.col("bench_cosine").isNotNull().alias("contaminated"),
+        )
+    )

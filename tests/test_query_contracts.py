@@ -440,3 +440,38 @@ def test_posts_enrichment_planted_branches_nonvacuous(spark):
     r0 = rows[0]
     secs = r0.doc_id % 86400
     assert r0.event_ts_str == f"2026-03-01 {secs//3600:02d}:{secs%3600//60:02d}:{secs%60:02d}"
+
+
+def test_semantic_decontamination_planted_contract(spark):
+    """All 10 planted benchmark copies must flag contaminated at cosine
+    1.0; random corpus vectors are near-orthogonal to the benchmark and
+    must stay unflagged."""
+    rows = entrymod.q_semantic_decontamination(spark, SF_SMOKE).collect()
+    planted = [r for r in rows if r.planted]
+    assert len(planted) == 10
+    assert all(r.contaminated and r.bench_cosine >= 0.999999 for r in planted)
+    clean = [r for r in rows if not r.planted]
+    assert clean and not any(r.contaminated for r in clean)
+
+
+def test_epoch_shard_plan_is_valid_permutation(spark):
+    """Each epoch's plan is a full permutation: every doc exactly once per
+    epoch, positions contiguous 1..|shard| within each (epoch, shard), and
+    the two epochs produce genuinely different shard assignments."""
+    rows = entrymod.q_epoch_shard_plan(spark, SF_SMOKE).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {1, 2}
+    n_docs = len({r.doc_id for r in rows})
+    shard_of = {}
+    for ep, ers in by_epoch.items():
+        assert len(ers) == n_docs  # every doc exactly once per epoch
+        per_shard = {}
+        for r in ers:
+            per_shard.setdefault(r.shard, []).append(r.pos)
+            shard_of[(ep, r.doc_id)] = r.shard
+        for shard, poss in per_shard.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1)), (ep, shard)
+    moved = sum(1 for (ep, d), s in shard_of.items() if ep == 1 and shard_of[(2, d)] != s)
+    assert moved > n_docs // 2  # epochs reshuffle independently
