@@ -2362,22 +2362,28 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine 0.95 of ANY benchmark vector via the cell-pruned broadcast
     probe join — the semantic tier above the n-gram/Bloom decontamination
     family, catching paraphrased eval leakage token overlap misses.
-    Benchmark = every-20th embedding; corpus = the rest plus 10 PLANTED
-    direction-identical copies of benchmark items (×0.9 scale, +5M ids) —
-    ``planted`` rows MUST all flag contaminated at cosine 1.0 while
-    random vectors stay near-orthogonal/unflagged
+    Benchmark = a BOUNDED eval set (every-20th embedding with vec_id <
+    1000 — ≤50 items at ANY scale factor, the shape real benchmark suites
+    have; a corpus-proportional benchmark at full probe width would
+    degenerate to the corpus×benchmark pair scan, r9 review); corpus =
+    the rest plus 10 PLANTED direction-identical copies of benchmark
+    items (×0.9 scale, +5M ids) — ``planted`` rows MUST all flag
+    contaminated at cosine 1.0 (a copy shares its original's nearest
+    cells, so partial probes nprobe=4 still land it) while random
+    vectors stay near-orthogonal/unflagged
     (tests/test_query_contracts.py). Rows-only: the k-means fit is
-    iterative; probes run at full width (nprobe == n_clusters), so flags
-    are exact given the quantizer."""
+    iterative."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    bench = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 1000))
     planted = bench.filter(F.col("vec_id") < 200).select(
         (F.col("vec_id") + 5_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(0.9)).alias("embedding"),
     )
-    corpus = emb.filter(F.col("vec_id") % 20 != 0).unionByName(planted)
+    corpus = emb.filter((F.col("vec_id") % 20 != 0) | (F.col("vec_id") >= 1000)).unionByName(
+        planted
+    )
     report = similarity.semantic_decontaminate(
-        corpus, bench, threshold=0.95, n_clusters=16, nprobe=16
+        corpus, bench, threshold=0.95, n_clusters=16, nprobe=4
     )
     return report.withColumn(
         "planted", F.col("vec_id") >= 5_000_000

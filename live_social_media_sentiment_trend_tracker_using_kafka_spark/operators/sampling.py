@@ -487,7 +487,14 @@ def epoch_shard_plan(
     ~|docs|/n_shards rows, embarrassingly parallel. Output (doc_id,
     epoch, shard, pos).
     """
-    keyed = df.select(id_col).select(
+    # fail fast: sequence(1, 0) would DESCEND ([1, 0]) and % 0 nulls the
+    # shard — both silent wrong-plan modes (same precedent as
+    # split_thresholds' fraction validation)
+    if epochs < 1:
+        raise ValueError(f"epoch_shard_plan: epochs must be >= 1, got {epochs}")
+    if n_shards < 1:
+        raise ValueError(f"epoch_shard_plan: n_shards must be >= 1, got {n_shards}")
+    keyed = df.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(1), F.lit(epochs))).alias("epoch"),
     )

@@ -1119,12 +1119,44 @@ def ivf_search_join(
     """
     from pyspark.sql import Window
 
+    cand = _ivf_probe_candidates(
+        corpus, queries, n_clusters, nprobe, id_col, vec_col, seed,
+        max_broadcast_queries, assume_small_batch, query_cols=[query_id_col],
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, F.col("rank").cast("int").alias("rank"), id_col, "cosine")
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def _ivf_probe_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_clusters: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    max_broadcast_queries: int,
+    assume_small_batch: bool | None,
+    query_cols: list[str],
+) -> DataFrame:
+    """Shared candidate-pair builder for the IVF probe-join family
+    (ivf_search_join, semantic_decontaminate): corpus IVF-assigned once,
+    query frame exploded to its nprobe probe cells, joined on the cell
+    key — broadcast when the exploded probe frame fits the gate, shuffle
+    join above it (one place to maintain the gate; extracted after the
+    r9 review caught semantic_decontaminate shipping without it).
+    Returns (query_cols..., id_col, cosine)."""
     from ..functions.kernels import make_ivf_probes_udf, pair_cosine_udf
 
     assigned, centroids = ivf_index(corpus, n_clusters, vec_col, seed=seed)
     probes = make_ivf_probes_udf(centroids, nprobe)
     q = queries.select(
-        F.col(query_id_col),
+        *[F.col(c) for c in query_cols],
         F.col(vec_col).alias("_qv"),
         F.explode(probes(F.col(vec_col))).alias("cluster"),
     )
@@ -1134,14 +1166,13 @@ def ivf_search_join(
     else:
         small_batch = assume_small_batch
     sim = pair_cosine_udf()(F.col(vec_col), F.col("_qv"))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         assigned.join(F.broadcast(q) if small_batch else q, "cluster")
-        .select(F.col(query_id_col), F.col(id_col), F.round(sim, 6).alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, F.col("rank").cast("int").alias("rank"), id_col, "cosine")
-        .orderBy(query_id_col, "rank")
+        .select(
+            *[F.col(c) for c in query_cols],
+            F.col(id_col),
+            F.round(sim, 6).alias("cosine"),
+        )
     )
 
 
@@ -1206,32 +1237,31 @@ def semantic_decontaminate(
     (operators/contamination.py), catching paraphrased eval leakage that
     token overlap misses.
 
-    Same cell-pruned shape as ``ivf_search_join`` with the benchmark as
-    the (serving-sized by definition) broadcast probe side, but a
-    THRESHOLD filter instead of per-query top-k: top-k per benchmark item
-    would silently miss contaminated docs once more than k corpus rows
-    match one benchmark item. Candidates stay linear in corpus size
-    (|benchmark| · nprobe · n/C); with nprobe == n_clusters the flags are
-    exact (contract-tested). Recall below that is the IVF tradeoff, same
-    as the rest of the family.
+    Same cell-pruned shape as ``ivf_search_join`` (shared
+    ``_ivf_probe_candidates`` builder — including its broadcast gate with
+    shuffle-join fallback, since a benchmark set is bounded in practice
+    but nothing enforces that a CALLER's is), but a THRESHOLD filter
+    instead of per-query top-k: top-k per benchmark item would silently
+    miss contaminated docs once more than k corpus rows match one
+    benchmark item. Candidate volume is |benchmark| · nprobe · n/C —
+    linear in corpus size ONLY while the benchmark is bounded and nprobe
+    < n_clusters; driving it with a corpus-proportional benchmark at
+    full probe width degenerates to the corpus×benchmark pair scan (the
+    r9 review caught the registered query doing exactly that — it now
+    uses a bounded benchmark and partial probes). Recall below full
+    probe width is the IVF tradeoff, same as the rest of the family.
 
     Returns corpus ids + (bench_cosine — the max cosine to any benchmark
     item among candidates, null if none met the threshold) +
     ``contaminated`` flag. Anti-join the flagged ids to clean, or keep
     the report for audit.
     """
-    from ..functions.kernels import make_ivf_probes_udf, pair_cosine_udf
-
-    assigned, centroids = ivf_index(corpus, n_clusters, vec_col, seed=seed)
-    probes = make_ivf_probes_udf(centroids, nprobe)
-    q = benchmark.select(
-        F.col(vec_col).alias("_qv"),
-        F.explode(probes(F.col(vec_col))).alias("cluster"),
-    )
-    sim = pair_cosine_udf()(F.col(vec_col), F.col("_qv"))
     flagged = (
-        assigned.join(F.broadcast(q), "cluster")
-        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        _ivf_probe_candidates(
+            corpus, benchmark, n_clusters, nprobe, id_col, vec_col, seed,
+            max_broadcast_queries=100_000, assume_small_batch=None,
+            query_cols=[],
+        )
         .filter(F.col("cosine") >= threshold)
         .groupBy(id_col)
         .agg(F.max("cosine").alias("bench_cosine"))

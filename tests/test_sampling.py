@@ -235,3 +235,19 @@ def test_cluster_safe_split_no_near_dup_leakage(spark):
         assert comp_of[i] == i and split_of[i] == plain[i]
     # all three splits are in play across 200 docs (fractions sane)
     assert {"train", "val", "test"} == set(split_of.values())
+
+
+def test_epoch_shard_plan_rejects_degenerate_inputs(spark):
+    """epochs < 1 would make sequence(1, epochs) DESCEND (a silent 2x-row
+    bogus plan); n_shards < 1 nulls every shard — both must raise."""
+    import pytest
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import (
+        epoch_shard_plan,
+    )
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="epochs"):
+        epoch_shard_plan(docs, n_shards=4, epochs=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        epoch_shard_plan(docs, n_shards=0, epochs=1)
