@@ -319,17 +319,19 @@ def capped_group_sample(
     exact parallelism trap distributed_cume_dist exists for, and the hot
     group is precisely the one being capped. So this uses the same
     chunked construction: range-repartition on (group, md5, id) pinned
-    by persist, a (n_range_parts × |groups|) per-chunk count collect
-    (bounded control-plane fetch), broadcast running offsets, and a
-    chunk-LOCAL row_number + offset. Chunks whose offset already exceeds
-    ``cap`` are dropped BEFORE their sort — at 100 TB a hot domain's
-    tail chunks never even sort. Keys are unique ((md5, id) collisions
+    by persist, per-(chunk, group) counts prefix-summed as a fully
+    DISTRIBUTED window over chunks within each group (|groups| window
+    partitions of ≤ n_range_parts rows each — the r9 sweep removed the
+    |chunks|×|groups| driver collect here, same fix as
+    distributed_cume_dist: at 100 TB ``group_col`` is a DOMAIN with
+    millions of values), broadcast-joined back, and a chunk-LOCAL
+    row_number + offset. Chunks whose offset already exceeds ``cap``
+    are dropped BEFORE their sort — at 100 TB a hot domain's tail
+    chunks never even sort. Keys are unique ((md5, id) collisions
     impossible within a group), so ranks are total and exact.
 
     Returns the kept rows (original columns), ordered by (group, id).
     """
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
-
     from ..caching import tracked_persist
 
     ordv = F.md5(F.col(id_col).cast("string"))
@@ -338,33 +340,28 @@ def capped_group_sample(
         .repartitionByRange(n_range_parts, F.col(group_col), F.col("_ord"), F.col(id_col))
         .withColumn("_chunk", F.spark_partition_id())
     )
-    per_chunk = (
-        chunked.groupBy("_chunk", group_col).agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    counts = chunked.groupBy("_chunk", group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    if not per_chunk:
-        return chunked.drop("_ord", "_chunk")
-    offsets = []
-    running: dict = {}
-    for r in sorted(per_chunk, key=lambda r: (str(r[group_col]), r["_chunk"])):
-        g = r[group_col]
-        offsets.append((g, r["_chunk"], running.get(g, 0)))
-        running[g] = running.get(g, 0) + r["_cnt"]
-    off_schema = StructType(
-        [
-            StructField(group_col, df.schema[group_col].dataType, True),
-            StructField("_chunk", IntegerType(), False),
-            StructField("_offset", LongType(), False),
-        ]
+    # renamed keys: the grouping attributes keep their expression ids
+    # through the aggregate, so an un-aliased self-join would be ambiguous
+    off_df = F.broadcast(
+        counts.select(
+            F.col("_chunk").alias("_off_chunk"),
+            F.col(group_col).alias("_off_g"),
+            F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset"),
+        )
     )
-    off_df = F.broadcast(chunked.sparkSession.createDataFrame(offsets, off_schema))
-    join_cond = (chunked["_chunk"] == off_df["_chunk"]) & chunked[group_col].eqNullSafe(
-        off_df[group_col]
+    join_cond = (chunked["_chunk"] == off_df["_off_chunk"]) & chunked[group_col].eqNullSafe(
+        off_df["_off_g"]
     )
     w = Window.partitionBy("_chunk", group_col).orderBy("_ord", id_col)
     return (
         chunked.join(off_df, join_cond)
-        .drop(off_df["_chunk"])
-        .drop(off_df[group_col])
+        .drop("_off_chunk", "_off_g")
         # a chunk that starts at or past the cap contributes nothing —
         # prune it before the window ever sorts it
         .filter(F.col("_offset") < cap)

@@ -603,19 +603,27 @@ def test_r6_queries_stay_jvm_side(spark):
 
 
 def test_distributed_cume_dist_offsets_stay_distributed():
-    """r8 VERDICT item 5: the per-(chunk, group) offsets must be a
+    """r8 VERDICT item 5 (+ the r9 sweep that found the same shape in
+    capped_group_sample): per-(chunk, group) offsets must be a
     distributed two-level prefix sum, never a driver-side collect whose
-    size is |chunks|x|groups|. Pin at the source level: the operator may
-    not call .collect() at all (its only driver-side values are literals)."""
+    size is |chunks|x|groups|. Pin at the source level: neither operator
+    may call .collect() at all (their only driver-side values are
+    literals)."""
     import inspect
 
     from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
+        sampling,
         window_funcs,
     )
 
     src = inspect.getsource(window_funcs.distributed_cume_dist)
     assert ".collect()" not in src, "driver-side offsets crept back in"
     assert "Window.partitionBy(*part_cols)" in src  # the prefix-sum window
+    src2 = inspect.getsource(sampling.capped_group_sample)
+    assert ".collect()" not in src2, "driver-side offsets crept back in"
+    assert "Window.partitionBy(group_col)" in src2.replace("\n        ", " ").replace(
+        "(\n", "("
+    ) or "partitionBy(group_col)" in src2
 
 
 def test_order_value_bands_distributed_not_per_segment_window(spark):
