@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.hints import broadcast_dim
+
 
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1 shape: per (returnflag, linestatus) sums/avgs/count."""
@@ -69,7 +71,7 @@ def shipping_priority(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     return (
-        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        ords.join(broadcast_dim(cust), ords.o_custkey == cust.c_custkey)
         .join(items, ords.o_orderkey == items.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -104,9 +106,9 @@ def local_supplier_volume(
     return (
         lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(ords, F.col("l_orderkey") == ords.o_orderkey)
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        .join(broadcast_dim(customer.select("c_custkey", "c_nationkey")),
               F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        .join(broadcast_dim(supplier.select("s_suppkey", "s_nationkey")),
               (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(nations_in_region), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -126,7 +128,7 @@ def top_customers_by_spend(customer: DataFrame, orders: DataFrame, k: int = 10) 
         F.count(F.lit(1)).alias("order_cnt"),
     )
     return (
-        spend.join(F.broadcast(customer.select("c_custkey", "c_name")),
+        spend.join(broadcast_dim(customer.select("c_custkey", "c_name")),
                    spend.o_custkey == F.col("c_custkey"))
         .select("c_custkey", "c_name", "total_spend", "order_cnt")
         .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
@@ -165,7 +167,7 @@ def brand_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
     part is the broadcast side; the disjunctive predicate can't fully push to
     the scan but its conjunctive residuals (quantity bounds) do. Per-brand
     revenue keeps the output deterministic."""
-    joined = lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = lineitem.join(broadcast_dim(part), F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
         | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 5) & (F.col("l_quantity") <= 30))
@@ -224,7 +226,7 @@ def promo_revenue_share(
             (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
             & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
         )
-        .join(F.broadcast(part.select("p_partkey", "p_type")),
+        .join(broadcast_dim(part.select("p_partkey", "p_type")),
               F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
@@ -259,7 +261,7 @@ def large_orders(
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+        .join(broadcast_dim(customer.select("c_custkey", "c_name")),
               F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -321,9 +323,9 @@ def nation_trade_volume(
     )
     return (
         lineitem.select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast_dim(supp_n, gate_on=supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast_dim(cust_n, gate_on=customer), F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -361,8 +363,8 @@ def brand_market_share(
         lineitem.select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
         .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
-        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+        .join(broadcast_dim(cust_in_region, gate_on=customer), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(broadcast_dim(part.select("p_partkey", "p_brand")),
               F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -428,13 +430,13 @@ def small_quantity_revenue(
     """
     bparts = part.filter(F.col("p_brand") == brand).select("p_partkey")
     li = lineitem.join(
-        F.broadcast(bparts), lineitem["l_partkey"] == bparts["p_partkey"]
+        broadcast_dim(bparts), lineitem["l_partkey"] == bparts["p_partkey"]
     ).select("l_partkey", "l_quantity", "l_extendedprice")
     thresholds = li.groupBy("l_partkey").agg(
         (F.lit(frac) * F.avg("l_quantity")).alias("qty_cut")
     )
     return (
-        li.join(F.broadcast(thresholds), "l_partkey")
+        li.join(broadcast_dim(thresholds, gate_on=bparts), "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
     )
@@ -489,7 +491,7 @@ def cheapest_supplier_per_part(
     sparts = part.filter(F.col("p_size") <= max_size).select("p_partkey", "p_name")
     unit = (
         lineitem.filter(F.col("l_quantity") > 0)
-        .join(F.broadcast(sparts), lineitem["l_partkey"] == sparts["p_partkey"])
+        .join(broadcast_dim(sparts), lineitem["l_partkey"] == sparts["p_partkey"])
         .select(
             "p_partkey",
             "p_name",
@@ -508,7 +510,7 @@ def cheapest_supplier_per_part(
     )
     return (
         unit.join(
-            F.broadcast(best),
+            broadcast_dim(best, gate_on=sparts),
             (F.col("p_partkey") == F.col("best_partkey"))
             & (F.col("unit_price") == F.col("min_price")),
         )
@@ -565,7 +567,7 @@ def lone_problem_suppliers(
     )
     lone = per_order.filter((F.col("n_r_sups") == 1) & (F.col("n_sups") > 1))
     return (
-        lone.join(F.broadcast(supplier), lone["lone_sup"] == supplier["s_suppkey"])
+        lone.join(broadcast_dim(supplier), lone["lone_sup"] == supplier["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -676,7 +678,7 @@ def bracket_revenue(
         ).otherwise(label)
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(broadcast_dim(p), F.col("l_partkey") == F.col("p_partkey"))
         .select(label.alias("bracket"), rev.alias("rev"))
         .filter(F.col("bracket").isNotNull())
         .groupBy("bracket")
@@ -755,7 +757,7 @@ def supplier_diversity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     li = lineitem.select("l_partkey", "l_suppkey")
     p = part.select("p_partkey", "p_brand")
     combos = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(broadcast_dim(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "l_suppkey", "l_partkey")
         .agg(F.count(F.lit(1)).alias("n_combo_lines"))
     )
@@ -872,7 +874,7 @@ def fk_integrity_audit(
     for name, child, parent, is_dim in checks:
         p = parent.distinct().withColumn("_hit", F.lit(1))
         if is_dim:
-            p = F.broadcast(p)
+            p = broadcast_dim(p)
         rows.append(
             child.join(p, "k", "left")
             .agg(
@@ -977,7 +979,7 @@ def part_supplier_counts(
     superlinear as the hash table outgrew the executors), so AQE picks
     broadcast while part is small and a partkey shuffle once it isn't.
     """
-    denied = F.broadcast(
+    denied = broadcast_dim(
         supplier.filter(
             F.substring(F.md5(F.col("s_suppkey").cast("string")), 1, 1) < "4"
         ).select("s_suppkey")
@@ -1074,7 +1076,7 @@ def excess_shipment_suppliers(
             F.max("ratio").alias("max_over_ratio"),
         )
         .join(
-            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            broadcast_dim(supplier.select("s_suppkey", "s_name")),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .select("s_suppkey", "s_name", "n_excess_parts", "max_over_ratio")

@@ -43,6 +43,17 @@ def assert_pushed_filters(df: DataFrame) -> None:
     )
 
 
+def count_plan_nodes(df: DataFrame, name: str) -> int:
+    """Count physical-plan nodes named exactly ``name`` via the formatted
+    plan's details section (lines like ``(12) Exchange``) — robust to tree
+    indentation/rendering, unlike counting ``+- <Name>`` prefixes, and
+    immune to substring collisions (``Exchange`` won't match
+    ``BroadcastExchange``, whose details line is ``(N) BroadcastExchange``)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {re.escape(name)}(?=\s|$)", plan_text(df), flags=re.M))
+
+
 def assert_no_python_udf(df: DataFrame) -> None:
     plan = plan_text(df)
     for marker in ("BatchEvalPython", "ArrowEvalPython"):

@@ -12,7 +12,13 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.enric
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.plans import (
     assert_broadcast_join,
     assert_no_python_udf,
+    count_plan_nodes,
     plan_text,
+)
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.plans.hints import (
+    DIM_BROADCAST_THRESHOLD_CONF,
+    broadcast_dim,
+    estimated_plan_bytes,
 )
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.schema import POST_SCHEMA
 
@@ -621,9 +627,68 @@ def test_distributed_cume_dist_offsets_stay_distributed():
     assert "Window.partitionBy(*part_cols)" in src  # the prefix-sum window
     src2 = inspect.getsource(sampling.capped_group_sample)
     assert ".collect()" not in src2, "driver-side offsets crept back in"
-    assert "Window.partitionBy(group_col)" in src2.replace("\n        ", " ").replace(
-        "(\n", "("
-    ) or "partitionBy(group_col)" in src2
+    assert "partitionBy(group_col)" in src2  # the prefix-sum window
+
+
+def test_dim_broadcast_gate_hints_below_threshold(spark):
+    """broadcast_dim must still force the hint while the dim estimate fits
+    the gate — even with Spark's own auto-broadcast disabled, the hinted
+    customer/supplier/nation sides all plan as BroadcastHashJoin."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = entrymod.q_local_supplier_volume(spark, SF)
+        assert_broadcast_join(df, expected=3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_dim_broadcast_gate_falls_back_above_threshold(spark):
+    """Above the gate the sf-proportional dims must NOT be hinted (r9
+    VERDICT item 2: a forced multi-GB broadcast at 100 TB is an OOM, not a
+    slow plan). With a 1-byte gate and auto-broadcast disabled, the
+    customer/supplier joins fall back to shuffle joins, a warning names
+    the refusal, and only the unconditionally-hinted nation/region dim
+    still broadcasts."""
+    import warnings as warnings_mod
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(DIM_BROADCAST_THRESHOLD_CONF, "1")
+    try:
+        with warnings_mod.catch_warnings(record=True) as caught:
+            warnings_mod.simplefilter("always")
+            df = entrymod.q_local_supplier_volume(spark, SF)
+        assert any("exceeds" in str(w.message) for w in caught), caught
+        plan = plan_text(df)
+        # only the two unconditional nation/region-sized hints remain
+        # (region⋈nation and the nations_in_region dim join); customer and
+        # supplier fall back to shuffle joins
+        assert count_plan_nodes(df, "BroadcastHashJoin") == 2, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        # semantics unchanged by the fallback: same result as the hinted plan
+        hinted = entrymod.q_local_supplier_volume(spark, SF)
+    finally:
+        spark.conf.unset(DIM_BROADCAST_THRESHOLD_CONF)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, hinted.collect()))
+
+
+def test_dim_broadcast_gate_estimates_are_scan_level(spark):
+    """The gate's stats probe must be sane where we rely on it: parquet
+    dim scans report file-derived estimates (small at sf0.01), and the
+    helper leaves unknown-stats frames (in-memory relations) unhinted
+    rather than forcing a blind broadcast."""
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    est = estimated_plan_bytes(part.select("p_partkey", "p_brand"))
+    assert 0 < est < 64 * 1024 * 1024, est
+    mem = spark.range(10).toDF("k")  # LogicalRDD/LocalRelation-backed
+    import warnings as warnings_mod
+
+    with warnings_mod.catch_warnings(record=True):
+        warnings_mod.simplefilter("always")
+        hinted = broadcast_dim(mem, max_bytes=1)
+    assert hinted is mem  # returned unhinted, AQE keeps authority
 
 
 def test_order_value_bands_distributed_not_per_segment_window(spark):
@@ -693,7 +758,10 @@ def test_posts_enrichment_single_exchange_no_python(spark):
     df = entrymod.q_posts_enrichment(spark, SF)
     assert_no_python_udf(df)
     plan = plan_text(df)
-    assert plan.count("+- Exchange") == 1, plan  # tree shows exactly one
+    # node-details count, not the "+- Exchange" tree rendering — the tree
+    # indentation shifts with AQE/Spark-version changes even when the
+    # single-shuffle property still holds (r9 ADVICE)
+    assert count_plan_nodes(df, "Exchange") == 1, plan
     assert "rangepartitioning(doc_id" in plan, plan  # the orderBy…
     assert "hashpartitioning" not in plan, plan  # …and no agg/join shuffle
 
