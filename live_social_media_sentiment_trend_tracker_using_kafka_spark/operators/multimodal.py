@@ -3,10 +3,12 @@ typed metadata struct, processed via Arrow-batched ``mapInPandas``
 (SURVEY.md §2.8).
 
 The Spark-side plumbing — schemas, batch iteration, partition-preserving
-transforms — is real and tested. The actual media decode is STUBBED: the
-codec libraries (Pillow/ffmpeg/librosa) are not in this container, so
-``decode=`` accepts either a user codec callable or the deterministic
-``fake_image_decode`` used by tests. Passing ``decode=None`` raises
+transforms — is real and tested. The decode step is PLUGGABLE: ``decode=``
+accepts any codec callable. Shipped codecs: ``png_image_decode`` (REAL
+bytes — the vendored stdlib-zlib PNG codec in functions/png_codec.py, r9
+VERDICT item 5) and the deterministic ``fake_image_decode`` for plumbing
+tests. Audio/video codecs (ffmpeg/librosa) are not in this container, so
+those kinds still require a user callable; passing ``decode=None`` raises
 ``NotImplementedError`` at call time, loudly, per the build contract.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches through one Python
@@ -81,6 +83,37 @@ def fake_image_decode(payload: bytes, meta: dict) -> np.ndarray:
         return np.zeros((h, w), dtype=np.uint8)
     buf = (payload * ((need // max(len(payload), 1)) + 1))[:need]
     return np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
+
+
+def png_image_decode(payload: bytes, meta: dict) -> np.ndarray:
+    """REAL image decode: parse the payload as PNG bytes via the vendored
+    stdlib-zlib codec (functions/png_codec.py — signature, chunk CRCs,
+    inflate, scanline unfilter). Returns (h, w) uint8 for grayscale,
+    (h, w, c) for RGB/RGBA; downstream feature/resize stages collapse
+    channels themselves. Null/empty payloads decode to a black frame per
+    the nullable-payload contract (same as fake_image_decode)."""
+    from ..functions.png_codec import png_decode
+
+    if not payload:
+        w = int(meta.get("width") or 16)
+        h = int(meta.get("height") or 16)
+        return np.zeros((h, w), dtype=np.uint8)
+    return png_decode(bytes(payload))
+
+
+def synthetic_png_media_df(spark, n: int = 64, w: int = 16, h: int = 16) -> DataFrame:
+    """Deterministic REAL-bytes media table: seeded random pixel arrays
+    encoded as actual PNG payloads (content_type image/png), so golden
+    tests and registered queries exercise the full decode path end-to-end
+    rather than the byte-reinterpret stub."""
+    from ..functions.png_codec import png_encode
+
+    rows = []
+    for i in range(n):
+        rng = np.random.RandomState(i)
+        arr = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        rows.append((i, "image", png_encode(arr), (w, h, None, None, "image/png")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def _stat_features(arr: np.ndarray, n_features: int) -> np.ndarray:
