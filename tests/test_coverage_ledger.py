@@ -20,19 +20,20 @@ def test_classify_evidence_classes():
 
 
 def test_coverage_md_is_current():
-    """Regeneration must equal the committed file. The driver writes
-    CORRECTNESS_r{N}.json AFTER the builder's last commit, so a merely
-    stale ledger is auto-folded here (r8 VERDICT item 1). Non-tautology
-    guard: the fold must be DETERMINISTIC — two independent renders must
-    agree — otherwise auto-folding would just flap the file per run."""
+    """Regeneration must equal the committed file — READ-ONLY (r9 ADVICE:
+    the previous in-place auto-fold made the staleness gate self-fulfilling,
+    mutated a tracked file during test runs, and broke on read-only
+    checkouts). A stale ledger now FAILS with a pointer to the fold tool;
+    fold as the round's first action (r9 VERDICT item 8). Determinism
+    guard kept: two independent renders must agree."""
     text = cl.render(cl.fold(cl.load_rounds()), cl.registry_names())
     text2 = cl.render(cl.fold(cl.load_rounds()), cl.registry_names())
     assert text == text2, "coverage render is nondeterministic"
     path = os.path.join(cl.REPO, "COVERAGE.md")
-    if not os.path.exists(path) or open(path).read() != text:
-        with open(path, "w") as f:
-            f.write(text)
-    assert open(path).read() == text
+    assert os.path.exists(path) and open(path).read() == text, (
+        "COVERAGE.md is stale vs the CORRECTNESS_r*.json records — run "
+        "`python tools/coverage_ledger.py` and commit the fold"
+    )
 
 
 def test_coverage_never_regresses():
