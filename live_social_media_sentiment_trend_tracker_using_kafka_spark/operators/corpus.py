@@ -1323,3 +1323,64 @@ def remove_duplicate_spans(
         )
         .orderBy(id_col)
     )
+
+
+def paragraph_language_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 20,
+) -> DataFrame:
+    """Per-PARAGRAPH language segmentation (CCNet runs language-ID per
+    paragraph, not per document — mixed-language web pages are the norm,
+    and a doc-level argmax silently mislabels the minority-language
+    paragraphs it buries).
+
+    Split on blank-line boundaries, drop sub-``min_chars`` fragments
+    (headers/bullets carry no LID signal), language-ID each paragraph with
+    the same marker-word heuristic as ``functions.text.lang_id_col``, and
+    report per-doc composition: paragraph count, distinct-language count,
+    the dominant language (ties break lexicographically), its share, and a
+    ``mixed_language`` flag — the CCNet-style routing key (route docs to
+    per-language cleaning, quarantine heavy mixtures).
+
+    Scale shape: explode to paragraphs → two hash aggregations, (doc,
+    lang) then doc — both map-side combinable, keys are doc-id-scale (no
+    skew), and the dominant-language pick is a ``min_by`` inside the
+    second agg, not a window (no extra shuffle, no per-doc sort). Docs
+    with no qualifying paragraph drop out by construction.
+    """
+    from ..functions.text import lang_id_col
+
+    paras = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), r"\n{2,}")).alias("para"),
+        )
+        .filter(F.length(F.trim(F.col("para"))) >= min_chars)
+        .select(id_col, lang_id_col(F.col("para")).alias("para_lang"))
+    )
+    counts = paras.groupBy(id_col, "para_lang").agg(
+        F.count(F.lit(1)).alias("n_paras_lang")
+    )
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("n_paras_lang").cast("long").alias("n_paragraphs"),
+            F.count(F.lit(1)).cast("long").alias("n_languages"),
+            # min of (-count, lang) == count desc, lang asc — deterministic
+            F.min_by(
+                "para_lang", F.struct(-F.col("n_paras_lang"), F.col("para_lang"))
+            ).alias("dominant_lang"),
+            F.max("n_paras_lang").cast("long").alias("_n_dom"),
+        )
+        .select(
+            F.col(id_col),
+            "n_paragraphs",
+            "n_languages",
+            "dominant_lang",
+            F.round(F.col("_n_dom") / F.col("n_paragraphs"), 6).alias("dominant_share"),
+            (F.col("n_languages") >= 2).alias("mixed_language"),
+        )
+        .orderBy(id_col)
+    )

@@ -1161,6 +1161,18 @@ def _ivf_probe_candidates(
         F.explode(probes(F.col(vec_col))).alias("cluster"),
     )
     if assume_small_batch is None:
+        # Implicit gate: ONE eager bounded job at construction time, and —
+        # because the joined frame re-executes the query pipeline — a
+        # nondeterministic source (sample/rand upstream) could make the
+        # gate decision diverge from the joined rows. Warn so callers with
+        # a known batch size (or a nondeterministic frame) pass
+        # assume_small_batch explicitly instead (r9 ADVICE).
+        warnings.warn(
+            "ivf probe gate: counting the query batch now (one bounded "
+            "Spark job at construction); pass assume_small_batch to skip "
+            "the count — required if the query frame is nondeterministic",
+            stacklevel=3,
+        )
         query_budget = max(1, max_broadcast_queries // max(nprobe, 1))
         small_batch = queries.limit(query_budget + 1).count() <= query_budget
     else:
@@ -1230,6 +1242,8 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    max_broadcast_queries: int = 100_000,
+    assume_small_batch: bool | None = None,
 ) -> DataFrame:
     """EMBEDDING-level benchmark decontamination: flag every corpus row
     whose vector is within cosine ``threshold`` of ANY benchmark item —
@@ -1259,7 +1273,8 @@ def semantic_decontaminate(
     flagged = (
         _ivf_probe_candidates(
             corpus, benchmark, n_clusters, nprobe, id_col, vec_col, seed,
-            max_broadcast_queries=100_000, assume_small_batch=None,
+            max_broadcast_queries=max_broadcast_queries,
+            assume_small_batch=assume_small_batch,
             query_cols=[],
         )
         .filter(F.col("cosine") >= threshold)
@@ -1274,4 +1289,33 @@ def semantic_decontaminate(
             "bench_cosine",
             F.col("bench_cosine").isNotNull().alias("contaminated"),
         )
+    )
+
+
+def embedding_dim_stats(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-DIMENSION moments across the corpus — the whitening/centering
+    table every PQ/IVF preprocessing step needs (subtract ``mean``, divide
+    by ``std``) plus a range audit (a dimension with ``std`` ≈ 0 or an
+    outlier min/max means a broken encoder export).
+
+    Scale shape: ``posexplode`` fans each vector into |dim| rows, but the
+    hash aggregation is PARTIAL — every partition reduces to at most |dim|
+    rows (count/sum/sumsq/min/max) before the single exchange, so the
+    shuffle moves O(partitions × dim) tiny rows regardless of corpus size
+    and the output is |dim| rows. No skew possible: dimension ids are
+    uniform by construction. float32 widens to double BEFORE any
+    accumulation (both engines agree exactly on the widening).
+    """
+    return (
+        embeddings.select(F.posexplode(vec_col).alias("dim", "x"))
+        .select(F.col("dim").cast("long").alias("dim"), F.col("x").cast("double").alias("x"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("x"), 6).alias("mean"),
+            F.round(F.stddev_pop("x"), 6).alias("std"),
+            F.round(F.min("x"), 6).alias("min_x"),
+            F.round(F.max("x"), 6).alias("max_x"),
+        )
+        .orderBy("dim")
     )

@@ -562,3 +562,30 @@ def test_remove_duplicate_spans_owner_keeps_copies_emptied(spark):
     assert out[3].n_removed == 8 and out[3].text_clean == "prefix words here end"
     assert out[4].n_removed == 0
     assert out[5].n_removed == 0 and out[5].text_clean == "short doc"
+
+
+def test_paragraph_language_profile_segments_and_flags_mixture(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        paragraph_language_profile,
+    )
+
+    en = "the cat and the dog went to the market and it is that good"
+    es = "el perro y la casa que de es una historia de la que es una"
+    de = "der hund und die katze das ist nicht ein problem und ich bin"
+    rows = [
+        (1, en + "\n\n" + en),              # monolingual, 2 paragraphs
+        (2, en + "\n\n" + es),              # mixed 50/50 -> tie, 'en' wins lexically
+        (3, en + "\n\n" + en + "\n\n" + de),  # dominant en (2/3), mixed
+        (4, "tiny\n\nalso small"),          # every para under min_chars -> dropped
+        (5, es),                            # single spanish paragraph
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in paragraph_language_profile(df).collect()}
+    assert set(out) == {1, 2, 3, 5}  # doc 4 has no qualifying paragraph
+    assert out[1].n_paragraphs == 2 and out[1].n_languages == 1
+    assert out[1].dominant_lang == "en" and not out[1].mixed_language
+    assert out[2].n_languages == 2 and out[2].mixed_language
+    assert out[2].dominant_lang == "en" and out[2].dominant_share == 0.5  # tiebreak
+    assert out[3].n_paragraphs == 3 and out[3].dominant_lang == "en"
+    assert abs(out[3].dominant_share - 2 / 3) < 1e-6 and out[3].mixed_language
+    assert out[5].dominant_lang == "es" and out[5].dominant_share == 1.0

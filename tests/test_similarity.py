@@ -340,3 +340,25 @@ def test_ivf_search_join_broadcast_gate_fallback(spark):
     got_b = sorted(map(tuple, broad.collect()))
     got_f = sorted(map(tuple, fell_back.collect()))
     assert got_b == got_f and len(got_b) == 9
+
+
+def test_embedding_dim_stats_matches_numpy(spark):
+    import numpy as np
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import similarity
+
+    rng = np.random.RandomState(3)
+    X = rng.normal(size=(40, 5)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.embedding_dim_stats(df).collect()
+    assert [r.dim for r in rows] == list(range(5))
+    Xd = X.astype("float64")
+    for r in rows:
+        assert r.n == 40
+        assert abs(r.mean - round(float(Xd[:, r.dim].mean()), 6)) < 1e-9
+        assert abs(r.std - round(float(Xd[:, r.dim].std()), 6)) < 1e-9
+        assert r.min_x == round(float(Xd[:, r.dim].min()), 6)
+        assert r.max_x == round(float(Xd[:, r.dim].max()), 6)
