@@ -1557,11 +1557,13 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 multimodal plumbing: synthetic binary media → mapInPandas
-    decode/feature-extract (rows-only; deterministic fake decode — real
-    codecs are stubbed per the build contract)."""
-    media = multimodal.synthetic_media_df(spark, n=64).coalesce(4)
-    feats = multimodal.extract_features(media)
+    """§2.8 multimodal decode/feature-extract over REAL image bytes:
+    deterministic PNG payloads decoded by the vendored stdlib-zlib codec
+    (functions/png_codec.py) inside mapInPandas (rows-only: the pixels
+    are seeded-random, not DuckDB-reproducible; codec correctness is
+    roundtrip-pinned in tests/test_png_codec.py)."""
+    media = multimodal.synthetic_png_media_df(spark, n=64).coalesce(4)
+    feats = multimodal.extract_features(media, decode=multimodal.png_image_decode)
     # Contract surface must be hashable row-wise (the harness canonicalizes
     # via pandas sort_values): flatten the array<float> into rounded scalar
     # columns f0..f7; the array variant stays available for library users.
@@ -1600,14 +1602,22 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 SimHash near-dup pairs (rows-only check, same rationale).
 
-    Evidence contract: each emitted pair carries its EXACT word-shingle
-    Jaccard (``jaccard_evidence``) so the driver record shows the pairs are
-    real near-dups, not banding noise — hamming ≤ 3 over 64-bit multiset
-    votes implies near-identical token multisets (mean asserted in
-    tests/test_query_contracts.py)."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.simhash_near_duplicates(docs, max_hamming=3)
-    sh = docs.select(
+    Evidence contract, two tiers (r9 VERDICT item 6): (1) each emitted
+    pair carries its EXACT word-shingle Jaccard (``jaccard_evidence``) so
+    the driver record shows the pairs are real near-dups, not banding
+    noise — hamming ≤ 3 over 64-bit multiset votes implies near-identical
+    token multisets (mean asserted in tests/test_query_contracts.py);
+    (2) PLANTED verbatim copies of docs 0-4 (ids +2M) must each surface
+    paired with their original at hamming 0 / jaccard 1.0 — identical
+    signatures collide in every pigeonhole band, so a missing ``planted``
+    row is a recall bug, in-row in the driver record."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    pairs = dedup.simhash_near_duplicates(corpus, max_hamming=3)
+    sh = corpus.select(
         F.col("doc_id"), dedup.word_shingles_col(F.col("text")).alias("sh")
     ).hint("merge")  # array-carrying sides never broadcast (see dedup.py)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -1618,7 +1628,13 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", "hamming", F.round(jac, 6).alias("jaccard_evidence"))
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            F.round(jac, 6).alias("jaccard_evidence"),
+            (F.col("id_b") == F.col("id_a") + 2_000_000).alias("planted"),
+        )
         .orderBy("id_a", "id_b")
     )
 
@@ -1938,17 +1954,20 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 multimodal resize stage: decode → block-mean (area-average)
-    downsample via mapInPandas (rows-only: the decode is the stubbed
-    contract; the resize math is real and mean-preservation is asserted in
-    tests/test_similarity.py). ``mean_pixel`` is the self-validating
-    evidence column: area averaging preserves the global mean, so it must
-    equal the decoded array's mean."""
+    """§2.8 multimodal resize stage over REAL image bytes: PNG decode
+    (vendored stdlib-zlib codec) → block-mean (area-average) downsample
+    via mapInPandas (rows-only: seeded-random pixels; the resize math is
+    real and mean-preservation is asserted in tests/test_similarity.py).
+    ``mean_pixel`` is the self-validating evidence column: area averaging
+    preserves the global mean, so it must equal the decoded array's
+    mean."""
     # coalesce the 64-row toy table so mapInPandas spins up 4 Python
     # workers, not defaultParallelism (same query-side note as
     # q_media_near_dups; real media tables keep their scan parallelism)
-    media = multimodal.synthetic_media_df(spark, n=64).coalesce(4)
-    resized = multimodal.resize_media(media, out_h=4, out_w=4)
+    media = multimodal.synthetic_png_media_df(spark, n=64).coalesce(4)
+    resized = multimodal.resize_media(
+        media, out_h=4, out_w=4, decode=multimodal.png_image_decode
+    )
     return resized.select(
         "media_id",
         "kind",
@@ -2382,8 +2401,11 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter((F.col("vec_id") % 20 != 0) | (F.col("vec_id") >= 1000)).unionByName(
         planted
     )
+    # the benchmark is bounded by construction (<=50 rows) and
+    # deterministic, so skip the implicit gate-count job
     report = similarity.semantic_decontaminate(
-        corpus, bench, threshold=0.95, n_clusters=16, nprobe=4
+        corpus, bench, threshold=0.95, n_clusters=16, nprobe=4,
+        assume_small_batch=True,
     )
     return report.withColumn(
         "planted", F.col("vec_id") >= 5_000_000
@@ -2876,7 +2898,10 @@ def q_ann_search_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.transform("embedding", lambda x: x * F.lit(0.7)).alias("embedding"),
     )
-    out = similarity.ivf_search_join(emb, queries, k=5, n_clusters=16, nprobe=4)
+    # 10 deterministic queries: skip the implicit gate-count job
+    out = similarity.ivf_search_join(
+        emb, queries, k=5, n_clusters=16, nprobe=4, assume_small_batch=True
+    )
     return out.withColumn(
         "planted_rank1",
         (F.col("rank") == 1) & (F.col("vec_id") == F.col("query_id")),
@@ -2943,164 +2968,124 @@ def _released(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSe
     return wrapped
 
 
+
+def q_paragraph_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 per-PARAGRAPH language segmentation
+    (corpus.paragraph_language_profile — CCNet runs LID per paragraph
+    because mixed-language pages are the web norm). Planted mixture:
+    docs with doc_id % 7 == 0 get an appended Spanish marker paragraph,
+    % 11 == 0 a German one — every planted doc MUST report
+    ``mixed_language`` with the right n_languages (pinned in
+    tests/test_query_contracts.py), and the whole profile is
+    hash-checked (the LID heuristic is the same regex chain as
+    lang_id_counts' oracle)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    es_para = "el la los las que de es una que de la el es una los"
+    de_para = "der die das und ist nicht ein ich der und die das ist"
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\n\n" + es_para)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\n\n" + de_para)).otherwise(F.lit("")),
+        ),
+    )
+    return corpus.paragraph_language_profile(planted)
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 embedding whitening/centering stats
+    (similarity.embedding_dim_stats): per-DIMENSION count/mean/std/min/max
+    across the corpus — the preprocessing table PQ/IVF centering consumes
+    and the range audit that catches a broken encoder export. posexplode →
+    one partial hash agg to |dim| rows; fully oracle-checked (float32
+    widens to double identically in both engines)."""
+    return similarity.embedding_dim_stats(_t(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks the FIRST
     # 50 entries each round; COVERAGE.md (machine-derived) shows per-query
     # staleness. Tiers below rotate the least-recently-driver-checked
     # queries into the window.
     raw = {
-        # -- r9 rotation window (first 50 = driver-checked this round):
-        #    the new posts_enrichment end-to-end chain, the 21 r4-stale
-        #    rows, pq/ivf_topk (fresh in-row recall evidence, VERDICT r8
-        #    item 7), and the 26 stalest r6-green rows from COVERAGE.md --
-        "posts_enrichment": q_posts_enrichment,
-        "packed_sequences": q_packed_sequences,
-        "pii_redaction": q_pii_redaction,
-        "pricing_summary": q_pricing_summary,
-        "repetition_stats": q_repetition_stats,
-        "rfm_segments": q_rfm_segments,
-        "sentiment_label_counts": q_sentiment_label_counts,
-        "session_stats": q_session_stats,
-        "shipping_priority": q_shipping_priority,
-        "simhash_near_dups": q_simhash_near_dups,
-        "similarity_join_exact": q_similarity_join_exact,
-        "similarity_topk": q_similarity_topk,
-        "streaming_time_series": q_streaming_time_series,
-        "streaming_user_sessions": q_streaming_user_sessions,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "time_series": q_time_series,
-        "token_count_stats": q_token_count_stats,
-        "token_topk": q_token_topk,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "top_customers": q_top_customers,
-        "url_domain_stats": q_url_domain_stats,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "pq_topk": q_pq_topk,
-        "ivf_topk": q_ivf_topk,
-        "asof_last_purchase": q_asof_last_purchase,
-        "bracket_revenue": q_bracket_revenue,
-        "centroid_separation": q_centroid_separation,
-        "cohort_retention_salted": q_cohort_retention_salted,
-        "corpus_attrition": q_corpus_attrition,
-        "cosine_pairs_sample": q_cosine_pairs_sample,
-        "counts_by_source": q_counts_by_source,
-        "daily_new_vs_returning": q_daily_new_vs_returning,
-        "dsir_importance_weights": q_dsir_importance_weights,
-        "dup_rate_by_source": q_dup_rate_by_source,
-        "event_transitions": q_event_transitions,
-        "event_type_lift": q_event_type_lift,
-        "events_profile": q_events_profile,
-        "first_touch_attribution": q_first_touch_attribution,
-        "fk_integrity_audit": q_fk_integrity_audit,
-        "flagship_event_summary": q_flagship_event_summary,
-        "global_stats": q_global_stats,
-        "head_events": q_head_events,
-        "interarrival_stats": q_interarrival_stats,
-        "key_skew_audit": q_key_skew_audit,
-        "label_centroids": q_label_centroids,
-        "label_cosine_report": q_label_cosine_report,
-        "lang_confusion": q_lang_confusion,
-        # the three new r9 operators take the last window slots; the r6
-        # rows they displace sit first in line for r10
-        "cluster_safe_split": q_cluster_safe_split,
-        "duplicate_span_removal": q_duplicate_span_removal,
-        "streaming_posts_enrichment": q_streaming_posts_enrichment,
-        # ---- driver window boundary (first 50 above) ------------------
+        # -- r10 rotation window (first 50 = driver-checked this round):
+        #    the two never-driver-checked r9 additions (epoch_shard_plan,
+        #    semantic_decontamination), then every query stalest-first by
+        #    last green driver round (COVERAGE.md) -- the 27 r6-stale rows
+        #    and the 21 alphabetically-first r7 rows fill the window --
+        "epoch_shard_plan": q_epoch_shard_plan,
+        "semantic_decontamination": q_semantic_decontamination,
+        # r10 additions, hash-checkable on first drive
+        "paragraph_lang_profile": q_paragraph_lang_profile,
+        "embedding_dim_stats": q_embedding_dim_stats,
         "last_events": q_last_events,
         "last_touch_attribution": q_last_touch_attribution,
         "lexical_diversity": q_lexical_diversity,
-        # never-driver-checked r9 late additions: head of the r10 window
-        "epoch_shard_plan": q_epoch_shard_plan,
-        "semantic_decontamination": q_semantic_decontamination,
-        # demoted tiers: freshest driver evidence last (r7 then r8)
-        "duplicate_span_stats": q_duplicate_span_stats,
-        "domain_cap_sample": q_domain_cap_sample,
-        "split_leakage": q_split_leakage,
-        "rolling_sketch_users": q_rolling_sketch_users,
-        "streaming_sliding_windows": q_streaming_sliding_windows,
-        "ann_search_join": q_ann_search_join,
-        "ivfpq_topk": q_ivfpq_topk,
-        "media_frame_sample": q_media_frame_sample,
-        "brand_revenue": q_brand_revenue,
-        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
-        "clean_corpus_exact": q_clean_corpus_exact,
-        "customer_order_distribution": q_customer_order_distribution,
-        "customers_without_orders": q_customers_without_orders,
-        "forecast_revenue": q_forecast_revenue,
-        "large_orders": q_large_orders,
-        "priority_status_rollup": q_priority_status_rollup,
-        "promo_revenue_share": q_promo_revenue_share,
-        "running_revenue": q_running_revenue,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "top_parts_per_brand": q_top_parts_per_brand,
-        "top_supplier_revenue": q_top_supplier_revenue,
-        "approx_value_percentiles": q_approx_value_percentiles,
-        "benchmark_contamination": q_benchmark_contamination,
-        "bpe_merge_candidates": q_bpe_merge_candidates,
-        "brand_market_share": q_brand_market_share,
-        "clean_corpus_clustered": q_clean_corpus_clustered,
-        "cohort_retention": q_cohort_retention,
-        "counts_by_lang_topk": q_counts_by_lang_topk,
-        "decontaminated_corpus": q_decontaminated_corpus,
-        "dedup_cluster_sizes": q_dedup_cluster_sizes,
-        "dedup_clusters": q_dedup_clusters,
-        "doc_quality": q_doc_quality,
-        "dormant_customers": q_dormant_customers,
-        "embedding_coverage": q_embedding_coverage,
-        "embedding_norm_stats": q_embedding_norm_stats,
-        "event_heatmap": q_event_heatmap,
-        "exact_dedup_groups": q_exact_dedup_groups,
-        "fingerprint_containment": q_fingerprint_containment,
-        "funnel_conversion": q_funnel_conversion,
-        "heavy_tokens": q_heavy_tokens,
-        "json_props_buckets": q_hashtag_extract,
-        "lang_id_counts": q_lang_id_counts,
-        "local_supplier_volume": q_local_supplier_volume,
-        "lone_problem_suppliers": q_lone_problem_suppliers,
-        "minhash_near_dups": q_minhash_near_dups,
-        "nation_trade_volume": q_nation_trade_volume,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "ngram_novelty": q_ngram_novelty,
-        "order_priority_counts": q_order_priority_counts,
-        "excess_shipment_suppliers": q_excess_shipment_suppliers,
-        "discount_quantity_corr": q_discount_quantity_corr,
-        "order_value_bands": q_order_value_bands,
-        "seasonality_index": q_seasonality_index,
-        "cusum_changepoints": q_cusum_changepoints,
-        "knn_graph": q_knn_graph,
-        "bm25_search": q_bm25_search,
-        "asof_next_purchase": q_asof_next_purchase,
-        "span_corruption_stats": q_span_corruption_stats,
-        "corpus_drift": q_corpus_drift,
-        "source_shingle_overlap": q_source_shingle_overlap,
-        "embedding_outliers": q_embedding_outliers,
-        "streaming_view_purchase_left_join": q_streaming_view_purchase_left_join,
-        "streaming_static_enrich": q_streaming_static_enrich,
+        "media_metadata_stats": q_media_metadata_stats,
+        "monthly_order_mix": q_monthly_order_mix,
+        "nation_profit_by_year": q_nation_profit_by_year,
+        "part_supplier_counts": q_part_supplier_counts,
+        "priority_status_cube": q_priority_status_cube,
+        "quality_by_dup_status": q_quality_by_dup_status,
+        "repeat_purchase_intervals": q_repeat_purchase_intervals,
+        "returned_items": q_returned_items,
+        "rolling_active_users": q_rolling_active_users,
+        "session_bounce_rate": q_session_bounce_rate,
+        "ship_latency_audit": q_ship_latency_audit,
+        "stratified_sample": q_stratified_sample,
+        "streaming_props_buckets": q_streaming_props_buckets,
+        "supplier_diversity": q_supplier_diversity,
+        "time_to_conversion": q_time_to_conversion,
+        "token_pmi_pairs": q_token_pmi_pairs,
+        "top_event_paths": q_top_event_paths,
+        "user_concentration": q_user_concentration,
+        "user_stickiness": q_user_stickiness,
+        "users_purchase_and_error": q_users_purchase_and_error,
+        "users_purchase_no_error": q_users_purchase_no_error,
+        "value_trend_slope": q_value_trend_slope,
+        "weekly_revenue_growth": q_weekly_revenue_growth,
+        "zipf_alpha": q_zipf_alpha,
         "approx_distinct_users": q_approx_distinct_users,
+        "asof_next_purchase": q_asof_next_purchase,
         "bigram_logprob": q_bigram_logprob,
         "bloom_decontamination": q_bloom_decontamination,
+        "bm25_search": q_bm25_search,
         "chunk_documents": q_chunk_documents,
         "clean_corpus": q_clean_corpus,
         "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
+        "corpus_drift": q_corpus_drift,
         "cosine_near_dups": q_cosine_near_dups,
+        "cusum_changepoints": q_cusum_changepoints,
         "daily_distinct_users": q_daily_distinct_users,
+        "discount_quantity_corr": q_discount_quantity_corr,
+        "embedding_outliers": q_embedding_outliers,
         "event_type_pivot": q_event_type_pivot,
+        "excess_shipment_suppliers": q_excess_shipment_suppliers,
         "hash_split": q_hash_split,
         "incremental_near_dups": q_incremental_near_dups,
+        "knn_graph": q_knn_graph,
+        # ---- driver window boundary (first 50 above) ------------------
         "latest_events_display": q_latest_events_display,
         "line_dedup": q_line_dedup,
         "lsh_similarity_topk": q_lsh_similarity_topk,
         "media_features": q_media_features,
         "media_near_dups": q_media_near_dups,
         "media_resize": q_media_resize,
+        "order_value_bands": q_order_value_bands,
         "priority_source_dedup": q_priority_source_dedup,
         "quality_percentile_filter": q_quality_percentile_filter,
         "range_join_windows": q_range_join_windows,
         "rolling_anomalies": q_rolling_anomalies,
+        "seasonality_index": q_seasonality_index,
         "semantic_near_dups": q_semantic_near_dups,
+        "source_shingle_overlap": q_source_shingle_overlap,
+        "span_corruption_stats": q_span_corruption_stats,
         "streaming_dedup_daily": q_streaming_dedup_daily,
+        "streaming_static_enrich": q_streaming_static_enrich,
         "streaming_user_value_stats": q_streaming_user_value_stats,
         "streaming_view_purchase_join": q_streaming_view_purchase_join,
+        "streaming_view_purchase_left_join": q_streaming_view_purchase_left_join,
         "temperature_mix": q_temperature_mix,
         "text_normalization": q_text_normalization,
         "time_series_gapfill": q_time_series_gapfill,
@@ -3111,30 +3096,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers_mad": q_value_outliers_mad,
         "value_percentiles": q_value_percentiles,
         "vocab_coverage": q_vocab_coverage,
-        "stratified_sample": q_stratified_sample,
-        "media_metadata_stats": q_media_metadata_stats,
-        "priority_status_cube": q_priority_status_cube,
-        "users_purchase_and_error": q_users_purchase_and_error,
-        "users_purchase_no_error": q_users_purchase_no_error,
-        "rolling_active_users": q_rolling_active_users,
-        "session_bounce_rate": q_session_bounce_rate,
-        "returned_items": q_returned_items,
-        "token_pmi_pairs": q_token_pmi_pairs,
-        "value_trend_slope": q_value_trend_slope,
-        "zipf_alpha": q_zipf_alpha,
-        "time_to_conversion": q_time_to_conversion,
-        "quality_by_dup_status": q_quality_by_dup_status,
-        "top_event_paths": q_top_event_paths,
-        "ship_latency_audit": q_ship_latency_audit,
-        "user_concentration": q_user_concentration,
-        "supplier_diversity": q_supplier_diversity,
-        "repeat_purchase_intervals": q_repeat_purchase_intervals,
-        "weekly_revenue_growth": q_weekly_revenue_growth,
-        "streaming_props_buckets": q_streaming_props_buckets,
-        "user_stickiness": q_user_stickiness,
-        "monthly_order_mix": q_monthly_order_mix,
-        "nation_profit_by_year": q_nation_profit_by_year,
-        "part_supplier_counts": q_part_supplier_counts,
+        # demoted tier: last driver evidence r8
+        "ann_search_join": q_ann_search_join,
+        "approx_value_percentiles": q_approx_value_percentiles,
+        "benchmark_contamination": q_benchmark_contamination,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        "brand_market_share": q_brand_market_share,
+        "brand_revenue": q_brand_revenue,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "clean_corpus_clustered": q_clean_corpus_clustered,
+        "clean_corpus_exact": q_clean_corpus_exact,
+        "cohort_retention": q_cohort_retention,
+        "counts_by_lang_topk": q_counts_by_lang_topk,
+        "customer_order_distribution": q_customer_order_distribution,
+        "customers_without_orders": q_customers_without_orders,
+        "decontaminated_corpus": q_decontaminated_corpus,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "dedup_clusters": q_dedup_clusters,
+        "doc_quality": q_doc_quality,
+        "domain_cap_sample": q_domain_cap_sample,
+        "dormant_customers": q_dormant_customers,
+        "duplicate_span_stats": q_duplicate_span_stats,
+        "embedding_coverage": q_embedding_coverage,
+        "embedding_norm_stats": q_embedding_norm_stats,
+        "event_heatmap": q_event_heatmap,
+        "exact_dedup_groups": q_exact_dedup_groups,
+        "fingerprint_containment": q_fingerprint_containment,
+        "forecast_revenue": q_forecast_revenue,
+        "funnel_conversion": q_funnel_conversion,
+        "heavy_tokens": q_heavy_tokens,
+        "ivfpq_topk": q_ivfpq_topk,
+        "json_props_buckets": q_hashtag_extract,
+        "lang_id_counts": q_lang_id_counts,
+        "large_orders": q_large_orders,
+        "local_supplier_volume": q_local_supplier_volume,
+        "lone_problem_suppliers": q_lone_problem_suppliers,
+        "media_frame_sample": q_media_frame_sample,
+        "minhash_near_dups": q_minhash_near_dups,
+        "nation_trade_volume": q_nation_trade_volume,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_novelty": q_ngram_novelty,
+        "order_priority_counts": q_order_priority_counts,
+        "priority_status_rollup": q_priority_status_rollup,
+        "promo_revenue_share": q_promo_revenue_share,
+        "rolling_sketch_users": q_rolling_sketch_users,
+        "running_revenue": q_running_revenue,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "split_leakage": q_split_leakage,
+        "streaming_sliding_windows": q_streaming_sliding_windows,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        # demoted tier: last driver evidence r9
+        "asof_last_purchase": q_asof_last_purchase,
+        "bracket_revenue": q_bracket_revenue,
+        "centroid_separation": q_centroid_separation,
+        "cluster_safe_split": q_cluster_safe_split,
+        "cohort_retention_salted": q_cohort_retention_salted,
+        "corpus_attrition": q_corpus_attrition,
+        "cosine_pairs_sample": q_cosine_pairs_sample,
+        "counts_by_source": q_counts_by_source,
+        "daily_new_vs_returning": q_daily_new_vs_returning,
+        "dsir_importance_weights": q_dsir_importance_weights,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "duplicate_span_removal": q_duplicate_span_removal,
+        "event_transitions": q_event_transitions,
+        "event_type_lift": q_event_type_lift,
+        "events_profile": q_events_profile,
+        "first_touch_attribution": q_first_touch_attribution,
+        "fk_integrity_audit": q_fk_integrity_audit,
+        "flagship_event_summary": q_flagship_event_summary,
+        "global_stats": q_global_stats,
+        "head_events": q_head_events,
+        "interarrival_stats": q_interarrival_stats,
+        "ivf_topk": q_ivf_topk,
+        "key_skew_audit": q_key_skew_audit,
+        "label_centroids": q_label_centroids,
+        "label_cosine_report": q_label_cosine_report,
+        "lang_confusion": q_lang_confusion,
+        "packed_sequences": q_packed_sequences,
+        "pii_redaction": q_pii_redaction,
+        "posts_enrichment": q_posts_enrichment,
+        "pq_topk": q_pq_topk,
+        "pricing_summary": q_pricing_summary,
+        "repetition_stats": q_repetition_stats,
+        "rfm_segments": q_rfm_segments,
+        "sentiment_label_counts": q_sentiment_label_counts,
+        "session_stats": q_session_stats,
+        "shipping_priority": q_shipping_priority,
+        "simhash_near_dups": q_simhash_near_dups,
+        "similarity_join_exact": q_similarity_join_exact,
+        "similarity_topk": q_similarity_topk,
+        "streaming_posts_enrichment": q_streaming_posts_enrichment,
+        "streaming_time_series": q_streaming_time_series,
+        "streaming_user_sessions": q_streaming_user_sessions,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "time_series": q_time_series,
+        "token_count_stats": q_token_count_stats,
+        "token_topk": q_token_topk,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "top_customers": q_top_customers,
+        "url_domain_stats": q_url_domain_stats,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
     return {name: _released(fn) for name, fn in raw.items()}
 
@@ -3574,6 +3636,83 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Same strict-> argmax chain as lang_id_col: es, then de, then fr
         # challenge the running best (initial 'en'); CJK chars force zh.
+        # r10: per-paragraph LID — same split/trim/marker chain as the
+        # Spark operator; dominant pick via ROW_NUMBER (count desc, lang
+        # asc), identical tiebreak to Spark's min_by((-n, lang)).
+        "paragraph_lang_profile": f"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN chr(10) || chr(10) ||
+                                    'el la los las que de es una que de la el es una los'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN chr(10) || chr(10) ||
+                                    'der die das und ist nicht ein ich der und die das ist'
+                               ELSE '' END AS text
+                FROM documents
+            ), paras AS (
+                SELECT doc_id, unnest(regexp_split_to_array(text, '\n{{2,}}')) AS para
+                FROM planted
+            ), ok AS (
+                SELECT doc_id, para FROM paras WHERE len(trim(para)) >= 20
+            ), s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(para), '{_marker_re("en")}', 1)) AS s_en,
+                       len(regexp_extract_all(lower(para), '{_marker_re("es")}', 1)) AS s_es,
+                       len(regexp_extract_all(lower(para), '{_marker_re("de")}', 1)) AS s_de,
+                       len(regexp_extract_all(lower(para), '{_marker_re("fr")}', 1)) AS s_fr,
+                       len(regexp_extract_all(para, '[一-鿿]', 0)) AS cjk
+                FROM ok
+            ), step1 AS (
+                SELECT *, CASE WHEN s_es > s_en THEN 'es' ELSE 'en' END AS b1,
+                          CASE WHEN s_es > s_en THEN s_es ELSE s_en END AS v1
+                FROM s
+            ), step2 AS (
+                SELECT *, CASE WHEN s_de > v1 THEN 'de' ELSE b1 END AS b2,
+                          CASE WHEN s_de > v1 THEN s_de ELSE v1 END AS v2
+                FROM step1
+            ), pick AS (
+                SELECT doc_id,
+                       CASE WHEN cjk > 0 THEN 'zh'
+                            WHEN s_fr > v2 THEN 'fr' ELSE b2 END AS para_lang
+                FROM step2
+            ), counts AS (
+                SELECT doc_id, para_lang, COUNT(*) AS n
+                FROM pick GROUP BY doc_id, para_lang
+            ), ranked AS (
+                SELECT doc_id, para_lang, n,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY n DESC, para_lang ASC) AS rk,
+                       SUM(n) OVER (PARTITION BY doc_id) AS n_paragraphs,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS n_languages
+                FROM counts
+            )
+            SELECT doc_id,
+                   CAST(n_paragraphs AS BIGINT) AS n_paragraphs,
+                   CAST(n_languages AS BIGINT) AS n_languages,
+                   para_lang AS dominant_lang,
+                   ROUND(n / CAST(n_paragraphs AS DOUBLE), 6) AS dominant_share,
+                   n_languages >= 2 AS mixed_language
+            FROM ranked WHERE rk = 1 ORDER BY doc_id
+        """,
+        # r10: per-dimension moments; float32 -> double widening is exact
+        # and identical in both engines, stddev_pop on both sides.
+        "embedding_dim_stats": """
+            WITH e AS (
+                SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                       unnest(CAST(embedding AS DOUBLE[])) AS x
+                FROM embeddings
+            )
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   COUNT(*) AS n,
+                   ROUND(AVG(x), 6) AS mean,
+                   ROUND(stddev_pop(x), 6) AS std,
+                   ROUND(MIN(x), 6) AS min_x,
+                   ROUND(MAX(x), 6) AS max_x
+            FROM e GROUP BY dim ORDER BY dim
+        """,
         "lang_id_counts": f"""
             WITH s AS (
                 SELECT len(regexp_extract_all(lower(text), '{_marker_re("en")}', 1)) AS s_en,
@@ -6073,10 +6212,16 @@ def oracle_sql() -> dict[str, str]:
         # approx_distinct_users omitted: HyperLogLog++ is approximate by
         # construction (exact twin: daily_distinct_users).
         # minhash_near_dups / simhash_near_dups / ngram_jaccard_pairs
-        # intentionally omitted: xxhash64-based signatures are not
-        # expressible in DuckDB → the driver records the weaker rows-only
-        # check; unit tests cover correctness with known near-duplicate
-        # fixtures (tests/test_dedup.py).
+        # intentionally omitted — CONCRETE impossibility (r9 VERDICT item
+        # 6): every signature bit depends on Spark's xxhash64(token, seed)
+        # output, and DuckDB exposes no xxhash64 — its hash() is an
+        # unrelated internal 64-bit hash, so no SQL twin can reproduce a
+        # single signature bit, let alone the banded pair set. The driver
+        # records the weaker rows-only check, pinned by in-row evidence
+        # instead: simhash carries jaccard_evidence + planted verbatim-copy
+        # pairs (hamming 0) per row, minhash full-outer-joins the exact
+        # Jaccard pair set (found_by_lsh/in_exact), and unit tests cover
+        # known near-duplicate fixtures (tests/test_dedup.py).
         # cosine_near_dups / lsh_similarity_topk omitted: ANN recall is
         # probabilistic (bucketed candidates), exact parity is not the
         # contract; similarity_topk above is the exact, oracle-checked twin.
@@ -6139,7 +6284,7 @@ def oracle_sql() -> dict[str, str]:
         # r8: eval-leakage audit — planted verbatim copies (ids +1e6) of
         # docs 0-7, 50/50 id-hash split (cut '8000' = split_thresholds);
         # a group leaks when it spans >1 split.
-        "split_leakage": """
+        "split_leakage": r"""
             WITH planted AS (
                 SELECT doc_id, text FROM documents
                 UNION ALL

@@ -208,6 +208,9 @@ HEADLINE = [
     "streaming_posts_enrichment",
     "epoch_shard_plan",
     "semantic_decontamination",
+    # r10 additions
+    "paragraph_lang_profile",
+    "embedding_dim_stats",
 ]
 
 
@@ -257,6 +260,8 @@ def main() -> None:
         return s
 
     spark.range(1_000).select(_warm(col("id"))).collect()
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark import caching
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -269,6 +274,17 @@ def main() -> None:
             reps.append(time.time() - t0)
         timings[name] = round(min(reps), 3)
         spreads[name] = round(max(reps) - min(reps), 3)
+        # Between-query isolation (r9 VERDICT item 3): the 166-query session
+        # accumulated tracked-persist cache occupancy + GC pressure that made
+        # late queries measure 3-4x their fresh-session time
+        # (local_supplier_volume 6.26 s in-session vs 1.3-1.8 s isolated).
+        # Release tracked persists AFTER a query's reps (rep 2 still reuses
+        # rep 1's caches — the min stays a warm measurement) and nudge the
+        # JVM GC so each query starts from a comparable heap. The ANN index
+        # memo survives release_all: its revival guard re-persists evicted
+        # index frames on the next hit.
+        caching.release_all()
+        spark.sparkContext._jvm.System.gc()
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

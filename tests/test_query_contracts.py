@@ -114,11 +114,19 @@ def test_semantic_near_dups_query_contract(spark):
 def test_simhash_pairs_evidence_contract(spark):
     """Every simhash pair's exact shingle Jaccard rides along as evidence;
     hamming<=3 pairs must be real near-dups (high Jaccard), not banding
-    noise."""
+    noise — and all 5 planted verbatim copies must surface with their
+    originals at hamming 0 / jaccard 1.0 (recall floor: identical
+    signatures collide in every band)."""
     rows = entrymod.q_simhash_near_dups(spark, SF_SMOKE).collect()
     assert rows, "no simhash pairs at smoke SF — contract vacuous"
     vals = [r.jaccard_evidence for r in rows]
     assert sum(vals) / len(vals) > 0.5, vals
+    planted = {(r.id_a, r.id_b): r for r in rows if r.planted}
+    for i in range(5):
+        r = planted.get((i, i + 2_000_000))
+        assert r is not None, f"planted copy of doc {i} missing from pairs"
+        assert r.hamming == 0 and r.jaccard_evidence == 1.0, r
+    assert all(r.id_b == r.id_a + 2_000_000 for r in planted.values())
 
 
 def test_approx_distinct_error_contract(spark):
@@ -475,3 +483,16 @@ def test_epoch_shard_plan_is_valid_permutation(spark):
             assert sorted(poss) == list(range(1, len(poss) + 1)), (ep, shard)
     moved = sum(1 for (ep, d), s in shard_of.items() if ep == 1 and shard_of[(2, d)] != s)
     assert moved > n_docs // 2  # epochs reshuffle independently
+
+
+def test_paragraph_lang_profile_planted_mixture_contract(spark):
+    """Every doc with a planted foreign paragraph must flag mixed_language;
+    docs with BOTH plants (doc_id % 77 == 0) must count >= 3 languages when
+    the base paragraph qualifies, >= 2 regardless."""
+    rows = entrymod.q_paragraph_lang_profile(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r.doc_id % 7 == 0 or r.doc_id % 11 == 0:
+            assert r.mixed_language, r
+        if r.doc_id % 77 == 0:
+            assert r.n_languages >= 2, r
