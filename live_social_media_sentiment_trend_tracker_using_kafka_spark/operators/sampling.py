@@ -324,8 +324,11 @@ def capped_group_sample(
     partitions of ≤ n_range_parts rows each — the r9 sweep removed the
     |chunks|×|groups| driver collect here, same fix as
     distributed_cume_dist: at 100 TB ``group_col`` is a DOMAIN with
-    millions of values), broadcast-joined back, and a chunk-LOCAL
-    row_number + offset. Chunks whose offset already exceeds ``cap``
+    millions of values), joined back WITHOUT a broadcast hint (r10: a
+    forced broadcast of a |groups|-row table contradicts the
+    millions-of-domains regime — AQE broadcasts it at runtime while it
+    is actually small and otherwise shuffle-joins on the high-cardinality
+    (chunk, group) key), and a chunk-LOCAL row_number + offset. Chunks whose offset already exceeds ``cap``
     are dropped BEFORE their sort — at 100 TB a hot domain's tail
     chunks never even sort. Keys are unique ((md5, id) collisions
     impossible within a group), so ranks are total and exact.
@@ -347,13 +350,19 @@ def capped_group_sample(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     # renamed keys: the grouping attributes keep their expression ids
-    # through the aggregate, so an un-aliased self-join would be ambiguous
-    off_df = F.broadcast(
-        counts.select(
-            F.col("_chunk").alias("_off_chunk"),
-            F.col(group_col).alias("_off_g"),
-            F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset"),
-        )
+    # through the aggregate, so an un-aliased self-join would be ambiguous.
+    # NO forced broadcast here (unlike distributed_cume_dist, whose
+    # contract bounds it to few groups): THIS operator's regime is
+    # millions of domains, where |off_df| ≈ |groups| rows is itself a
+    # multi-GB forced broadcast — the r10 relational.py hazard class. AQE
+    # picks the join: it converts to broadcast at runtime whenever the
+    # materialized offsets side is actually small (every sf tested here),
+    # and keeps a fully parallel shuffle join on (_chunk, group) — high
+    # key cardinality, no serialization — when it is not.
+    off_df = counts.select(
+        F.col("_chunk").alias("_off_chunk"),
+        F.col(group_col).alias("_off_g"),
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset"),
     )
     join_cond = (chunked["_chunk"] == off_df["_off_chunk"]) & chunked[group_col].eqNullSafe(
         off_df["_off_g"]
