@@ -87,6 +87,9 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.streaming impor
     run_available_now_to_memory,
     stream_static_enrich,
 )
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.streaming import (
+    pipeline as streaming_pipeline,
+)
 
 # Fixed query vector for similarity queries: embeddings row vec_id=0 is the
 # query; both engines look it up from the same table, so no literals drift.
@@ -2969,6 +2972,79 @@ def _released(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSe
 
 
 
+
+def q_streaming_update_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 UPDATE-mode streaming upsert sink, driver-checked end to end
+    (streaming/pipeline.run_update_sink_to_parquet — the deployable shape
+    for a windowed aggregate feeding a file-based dashboard; complete-mode
+    memory sinks rebuild everything per trigger and don't scale).
+
+    Chain under test: events re-staged as FOUR files → file stream with
+    maxFilesPerTrigger=1 under Trigger.AvailableNow (a genuine MULTI-batch
+    drain, so later batches really upsert over earlier output) →
+    watermarked DAILY (bucket, event_type) counts in update mode → each
+    micro-batch foreachBatch-rewrites exactly the key partitions it
+    changes (dynamic partition overwrite) → the final parquet read back.
+    The watermark delay exceeds the data span, so no row drops regardless
+    of file arrival order — the result is deterministic and must equal
+    the plain batch aggregate, which the DuckDB twin hash-checks.
+
+    The bucket key is rendered 'd'+yyyyMMdd: partition values round-trip
+    through directory names, and a digit-only or date-like rendering would
+    be re-typed by partition-column inference on read-back."""
+    import shutil
+    import tempfile
+
+    ev_batch = _t(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="upsert_stage_")
+    out = tempfile.mkdtemp(prefix="upsert_out_")
+    ckpt = tempfile.mkdtemp(prefix="upsert_ckpt_")
+    try:
+        ev_batch.repartitionByRange(4, "ts").write.mode("overwrite").parquet(stage)
+        with _session_tz(spark, "UTC"), _stateful_stream_partitions(spark):
+            src = (
+                spark.readStream.schema(ev_batch.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+            )
+            ev = normalize_ts(src).withColumn("ts", F.col("ts").cast("timestamp"))
+            agg = (
+                ev.withWatermark("ts", "3650 days")
+                # DAILY buckets: (days x types) partition dirs stay ~150 at
+                # any tested sf — hourly keys would write thousands of tiny
+                # partition dirs per upsert batch (small-files antipattern)
+                .groupBy(F.window("ts", "1 day"), "event_type")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .select(
+                    F.concat(
+                        F.lit("d"), F.date_format("window.start", "yyyyMMdd")
+                    ).alias("bucket"),
+                    "event_type",
+                    "cnt",
+                )
+            )
+            q = streaming_pipeline.run_update_sink_to_parquet(
+                agg, out, ckpt, key_cols=["bucket", "event_type"], available_now=True
+            )
+            try:
+                finished = q.awaitTermination(300)
+            finally:
+                if q.isActive:
+                    q.stop()
+            if not finished:
+                raise TimeoutError("update-upsert drain did not finish")
+        return (
+            spark.read.parquet(out)
+            .select("bucket", "event_type", "cnt")
+            .orderBy("bucket", "event_type")
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        # NOTE: `out` is NOT removed here — the returned DataFrame lazily
+        # reads it; the OS tmp reaper owns it after the session.
+
+
 def q_paragraph_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 per-PARAGRAPH language segmentation
     (corpus.paragraph_language_profile — CCNet runs LID per paragraph
@@ -3019,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 additions, hash-checkable on first drive
         "paragraph_lang_profile": q_paragraph_lang_profile,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "streaming_update_upsert": q_streaming_update_upsert,
         "last_events": q_last_events,
         "last_touch_attribution": q_last_touch_attribution,
         "lexical_diversity": q_lexical_diversity,
@@ -3064,8 +3141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_shipment_suppliers": q_excess_shipment_suppliers,
         "hash_split": q_hash_split,
         "incremental_near_dups": q_incremental_near_dups,
-        "knn_graph": q_knn_graph,
         # ---- driver window boundary (first 50 above) ------------------
+        "knn_graph": q_knn_graph,
         "latest_events_display": q_latest_events_display,
         "line_dedup": q_line_dedup,
         "lsh_similarity_topk": q_lsh_similarity_topk,
@@ -3636,6 +3713,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Same strict-> argmax chain as lang_id_col: es, then de, then fr
         # challenge the running best (initial 'en'); CJK chars force zh.
+        # r10: update-mode upsert chain — the final upserted table must
+        # equal the plain hourly batch aggregate (no row drops: watermark
+        # delay exceeds the data span).
+        "streaming_update_upsert": """
+            SELECT 'd' || strftime(time_bucket(INTERVAL '1 day', ts), '%Y%m%d') AS bucket,
+                   event_type,
+                   COUNT(*) AS cnt
+            FROM events
+            GROUP BY bucket, event_type
+            ORDER BY bucket, event_type
+        """,
         # r10: per-paragraph LID — same split/trim/marker chain as the
         # Spark operator; dominant pick via ROW_NUMBER (count desc, lang
         # asc), identical tiebreak to Spark's min_by((-n, lang)).

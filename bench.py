@@ -211,6 +211,7 @@ HEADLINE = [
     # r10 additions
     "paragraph_lang_profile",
     "embedding_dim_stats",
+    "streaming_update_upsert",
 ]
 
 
