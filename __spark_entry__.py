@@ -3045,6 +3045,23 @@ def q_streaming_update_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # reads it; the OS tmp reaper owns it after the session.
 
 
+
+def q_weighted_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 weighted sampling WITHOUT replacement
+    (sampling.weighted_sample — Efraimidis-Spirakis A-ES): 100 documents
+    drawn with probability proportional to BPE token count, the
+    token-proportional document sampling quota mixes can't express.
+    Fully deterministic (u from md5(id)) and hash-checked: the DuckDB
+    twin computes the identical keys; the output is integer-only
+    (rank, id, weight), so the float key decides membership but never
+    enters the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return sampling.weighted_sample(weighted, "n_tokens", n=100)
+
+
 def q_paragraph_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 per-PARAGRAPH language segmentation
     (corpus.paragraph_language_profile — CCNet runs LID per paragraph
@@ -3096,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_lang_profile": q_paragraph_lang_profile,
         "embedding_dim_stats": q_embedding_dim_stats,
         "streaming_update_upsert": q_streaming_update_upsert,
+        "weighted_token_sample": q_weighted_token_sample,
         "last_events": q_last_events,
         "last_touch_attribution": q_last_touch_attribution,
         "lexical_diversity": q_lexical_diversity,
@@ -3140,8 +3158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": q_event_type_pivot,
         "excess_shipment_suppliers": q_excess_shipment_suppliers,
         "hash_split": q_hash_split,
-        "incremental_near_dups": q_incremental_near_dups,
         # ---- driver window boundary (first 50 above) ------------------
+        "incremental_near_dups": q_incremental_near_dups,
         "knn_graph": q_knn_graph,
         "latest_events_display": q_latest_events_display,
         "line_dedup": q_line_dedup,
@@ -3713,6 +3731,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Same strict-> argmax chain as lang_id_col: es, then de, then fr
         # challenge the running best (initial 'en'); CJK chars force zh.
+        # r10: Efraimidis-Spirakis weighted sample — identical u/key
+        # construction; integer-only output so the hash never touches the
+        # float key (it only orders/selects, where adjacent-key gaps dwarf
+        # last-ulp ln() differences between libm and the JVM).
+        "weighted_token_sample": rf"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{TOKEN_PATTERN}', 0)) AS n_tokens
+                FROM documents
+            ), k AS (
+                SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                       ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+                          / 4294967296.0) / n_tokens AS key
+                FROM t WHERE n_tokens > 0
+            ), top AS (
+                SELECT * FROM k ORDER BY key DESC, doc_id LIMIT 100
+            )
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS INT) AS sample_rank,
+                   doc_id, n_tokens
+            FROM top ORDER BY sample_rank
+        """,
         # r10: update-mode upsert chain — the final upserted table must
         # equal the plain hourly batch aggregate (no row drops: watermark
         # delay exceeds the data span).

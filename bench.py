@@ -212,6 +212,7 @@ HEADLINE = [
     "paragraph_lang_profile",
     "embedding_dim_stats",
     "streaming_update_upsert",
+    "weighted_token_sample",
 ]
 
 

@@ -517,3 +517,53 @@ def epoch_shard_plan(
         .select(id_col, "epoch", "shard", "pos")
         .orderBy("epoch", "shard", "pos")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): row i draws u_i ∈ (0,1) from its id
+    hash and ranks by key_i = ln(u_i) / w_i descending; the top ``n`` are
+    an exact weighted sample without replacement — the primitive behind
+    token-proportional document sampling, where quota mixes
+    (temperature_mix) can't express per-ROW weights.
+
+    Everything is engine-neutral and replayable: u_i = (first 8 md5 hex
+    digits + 0.5) / 2^32 (strictly inside (0,1), so ln never sees 0), the
+    optional ``seed`` prefixes the hash so resamples are independent.
+    Non-positive weights are excluded (they have no sampling mass; ln/w
+    would flip the order's meaning).
+
+    Scale shape: one narrow map to attach the key, then a single
+    TakeOrdered(n) — per-partition top-n heaps, the driver merges n·P
+    candidates; no shuffle, no full sort, no state proportional to the
+    corpus. The rank window after the take runs over ≤ n rows (one tiny
+    partition by construction — not a scale hazard).
+
+    Returns (sample_rank, id, weight) — integer-only output, so the
+    cross-engine hash never depends on float rendering; the float key
+    only decides membership/order, where the gap between adjacent keys
+    dwarfs any last-ulp ln() difference between libm and the JVM.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    u = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    top = (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), key.alias("_key"))
+        .orderBy(F.desc("_key"), F.asc(id_col))
+        .limit(n)
+    )
+    w = Window.orderBy(F.desc("_key"), F.asc(id_col))
+    return (
+        top.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .select("sample_rank", id_col, weight_col)
+        .orderBy("sample_rank")
+    )

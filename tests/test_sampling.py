@@ -251,3 +251,42 @@ def test_epoch_shard_plan_rejects_degenerate_inputs(spark):
         epoch_shard_plan(docs, n_shards=4, epochs=0)
     with pytest.raises(ValueError, match="n_shards"):
         epoch_shard_plan(docs, n_shards=0, epochs=1)
+
+
+def test_weighted_sample_matches_reference_implementation(spark):
+    """The A-ES draw must agree row-for-row with an independent local
+    implementation of the same construction (md5-derived u, key=ln(u)/w,
+    top-n) — pinning the algorithm, not just determinism."""
+    import hashlib
+    import math
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, (i * 37) % 23 + (0 if i % 11 else -5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [(r.sample_rank, r.doc_id, r.w) for r in weighted_sample(df, "w", n=25, id_col="doc_id").collect()]
+
+    def key(i, w):
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 0.5) / 2**32
+        return math.log(u) / w
+
+    ref = sorted(((i, w) for i, w in rows if w > 0), key=lambda t: (-key(*t), t[0]))[:25]
+    want = [(rk + 1, i, w) for rk, (i, w) in enumerate(ref)]
+    assert got == want
+    # non-positive weights never sampled
+    assert all(w > 0 for _, _, w in got)
+
+
+def test_weighted_sample_is_weight_sensitive(spark):
+    """A heavy row must displace light rows it would lose to uniformly:
+    give one row 1000x the weight of the rest and it must be sampled."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, 100000 if i == 123 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r.doc_id for r in weighted_sample(df, "w", n=10).collect()}
+    assert 123 in got
