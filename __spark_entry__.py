@@ -2338,6 +2338,58 @@ def q_streaming_posts_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_project(out)
 
 
+
+def q_streaming_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DUAL-SINK architecture driven end to end — and
+    fixed: spark_streaming_job.py:139-161 starts TWO queries from one
+    lineage, so the whole enrichment chain (sentiment included) runs once
+    per sink; streaming/pipeline.fan_out_sinks is ONE query whose
+    foreachBatch persists each micro-batch and hands the cached result to
+    every writer (SURVEY §3.2/§4). Here the enriched post stream fans out
+    to two parquet sinks; sink A comes back dashboard-normalized with a
+    per-row ``twin_matched`` flag (its doc_id also landed in sink B —
+    must be all-true), hash-checked against posts_enrichment's oracle
+    wrapped with TRUE AS twin_matched. The driver row therefore proves
+    fan-out delivery AND stream==batch enrichment in one hash."""
+    import shutil
+    import tempfile
+
+    raw = _synth_raw_posts(spark, sf_dir)
+    stage = tempfile.mkdtemp(prefix="fanout_stage_")
+    ckpt = tempfile.mkdtemp(prefix="fanout_ckpt_")
+    sink_a = tempfile.mkdtemp(prefix="fanout_a_")
+    sink_b = tempfile.mkdtemp(prefix="fanout_b_")
+    try:
+        raw.write.mode("overwrite").parquet(stage)
+        stream = spark.readStream.schema(raw.schema).parquet(stage)
+        scored = _lexicon_enrich(stream).drop("processing_timestamp", "event_ts")
+        writers = {
+            "a": lambda b: b.write.mode("append").parquet(sink_a),
+            "b": lambda b: b.write.mode("append").parquet(sink_b),
+        }
+        q = streaming_pipeline.fan_out_sinks(
+            scored, writers, checkpoint=ckpt, available_now=True
+        )
+        try:
+            finished = q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
+        if not finished:
+            raise TimeoutError("fan-out drain did not finish")
+        a = _normalize_project(spark.read.parquet(sink_a))
+        b_ids = spark.read.parquet(sink_b).select("doc_id").distinct()
+        return a.join(
+            b_ids.withColumn("twin_matched", F.lit(True)), "doc_id", "left"
+        ).withColumn("twin_matched", F.coalesce("twin_matched", F.lit(False)))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        # sink dirs are read lazily by the returned DataFrame — the OS tmp
+        # reaper owns them after the session (same contract as the upsert
+        # query's output dir).
+
+
 def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 leakage-proof splitting (sampling.cluster_safe_split): split
     assignment by near-dup COMPONENT (connected components over exact
@@ -3114,6 +3166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": q_embedding_dim_stats,
         "streaming_update_upsert": q_streaming_update_upsert,
         "weighted_token_sample": q_weighted_token_sample,
+        "streaming_fanout_sinks": q_streaming_fanout_sinks,
         "last_events": q_last_events,
         "last_touch_attribution": q_last_touch_attribution,
         "lexical_diversity": q_lexical_diversity,
@@ -3157,8 +3210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "event_type_pivot": q_event_type_pivot,
         "excess_shipment_suppliers": q_excess_shipment_suppliers,
-        "hash_split": q_hash_split,
         # ---- driver window boundary (first 50 above) ------------------
+        "hash_split": q_hash_split,
         "incremental_near_dups": q_incremental_near_dups,
         "knn_graph": q_knn_graph,
         "latest_events_display": q_latest_events_display,
@@ -6457,4 +6510,11 @@ def oracle_sql() -> dict[str, str]:
     # batch — semantics-preserving by construction, so the SAME oracle
     # verifies both plans: the hash match IS the stream==batch proof.
     oracles["streaming_posts_enrichment"] = oracles["posts_enrichment"]
+    # The dual-sink fan-out re-reads sink A (same enrichment chain) plus a
+    # per-row sink-B delivery flag that must be uniformly TRUE.
+    oracles["streaming_fanout_sinks"] = (
+        "SELECT t.*, TRUE AS twin_matched FROM ("
+        + oracles["posts_enrichment"]
+        + ") t"
+    )
     return oracles

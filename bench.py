@@ -213,6 +213,7 @@ HEADLINE = [
     "embedding_dim_stats",
     "streaming_update_upsert",
     "weighted_token_sample",
+    "streaming_fanout_sinks",
 ]
 
 
