@@ -1614,7 +1614,16 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     paired with their original at hamming 0 / jaccard 1.0 — identical
     signatures collide in every pigeonhole band, so a missing ``planted``
     row is a recall bug, in-row in the driver record."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # The evidence fixture scopes itself to doc_id < 2M so the +2M copy
+    # ids can NEVER collide with a genuine doc_id at any scale factor (a
+    # collision would put two texts under one id and corrupt both the
+    # jaccard joins and the planted flag). The production operator takes
+    # the full corpus; only this planted-evidence wrapper clips.
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 2_000_000)
+    )
     copies = docs.filter(F.col("doc_id") < 5).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
     )
@@ -2346,11 +2355,13 @@ def q_streaming_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     per sink; streaming/pipeline.fan_out_sinks is ONE query whose
     foreachBatch persists each micro-batch and hands the cached result to
     every writer (SURVEY §3.2/§4). Here the enriched post stream fans out
-    to two parquet sinks; sink A comes back dashboard-normalized with a
-    per-row ``twin_matched`` flag (its doc_id also landed in sink B —
-    must be all-true), hash-checked against posts_enrichment's oracle
-    wrapped with TRUE AS twin_matched. The driver row therefore proves
-    fan-out delivery AND stream==batch enrichment in one hash."""
+    to two parquet sinks; BOTH come back dashboard-normalized: rows in B
+    that A lacks raise (a driver-visible error), and each A row's
+    ``twin_matched`` flag requires a FULL-CONTENT match in B — extra,
+    missing, duplicated, or corrupted rows in either sink break the
+    oracle hash (TRUE AS twin_matched over posts_enrichment's oracle).
+    The driver row therefore proves symmetric fan-out delivery AND
+    stream==batch enrichment in one hash."""
     import shutil
     import tempfile
 
@@ -2378,10 +2389,30 @@ def q_streaming_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not finished:
             raise TimeoutError("fan-out drain did not finish")
         a = _normalize_project(spark.read.parquet(sink_a))
-        b_ids = spark.read.parquet(sink_b).select("doc_id").distinct()
-        return a.join(
-            b_ids.withColumn("twin_matched", F.lit(True)), "doc_id", "left"
-        ).withColumn("twin_matched", F.coalesce("twin_matched", F.lit(False)))
+        b = _normalize_project(spark.read.parquet(sink_b)).withColumn(
+            "twin_matched", F.lit(True)
+        )
+        # SYMMETRIC delivery proof: rows B has that A lacks fail loudly
+        # (the driver records the error); A rows match on FULL CONTENT,
+        # not just id, so a corrupted column in sink B flips twin_matched
+        # and the oracle hash; a duplicated B row fans the join out and
+        # breaks the row count. All comparisons are NULL-SAFE — the
+        # fixture plants nullable city/country rows, and a plain equi-join
+        # would silently unmatch them. Both reads are bounded micro-batch
+        # output — the anti-join count is one small job.
+        cond = None
+        for c in a.columns:
+            e = a[c].eqNullSafe(b[c])
+            cond = e if cond is None else cond & e
+        extra_in_b = b.join(a, cond, "left_anti").count()
+        if extra_in_b:
+            raise ValueError(
+                f"fan-out sink B carries {extra_in_b} rows sink A lacks"
+            )
+        return a.join(b, cond, "left").select(
+            *[a[c] for c in a.columns],
+            F.coalesce(b["twin_matched"], F.lit(False)).alias("twin_matched"),
+        )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)

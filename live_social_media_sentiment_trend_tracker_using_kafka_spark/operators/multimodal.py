@@ -71,16 +71,24 @@ def synthetic_media_df(spark, n: int = 64, kind: str = "image") -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _black_frame(meta: dict) -> np.ndarray:
+    """The nullable-payload contract, in ONE place: null/empty payloads
+    decode to a metadata-sized black frame instead of crashing the whole
+    mapInPandas task. Every shipped codec delegates here so the contract
+    cannot silently diverge between decoders."""
+    w = int(meta.get("width") or 16)
+    h = int(meta.get("height") or 16)
+    return np.zeros((h, w), dtype=np.uint8)
+
+
 def fake_image_decode(payload: bytes, meta: dict) -> np.ndarray:
     """Deterministic stand-in for a real image decode: reinterpret the payload
     bytes as a (h, w) uint8 array per the metadata dims."""
+    if not payload:
+        return _black_frame(meta)
     w = int(meta.get("width") or 16)
     h = int(meta.get("height") or 16)
     need = w * h
-    if not payload:
-        # null/empty payloads decode to a black frame instead of crashing
-        # the whole mapInPandas task (payload is nullable by schema)
-        return np.zeros((h, w), dtype=np.uint8)
     buf = (payload * ((need // max(len(payload), 1)) + 1))[:need]
     return np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
 
@@ -95,9 +103,7 @@ def png_image_decode(payload: bytes, meta: dict) -> np.ndarray:
     from ..functions.png_codec import png_decode
 
     if not payload:
-        w = int(meta.get("width") or 16)
-        h = int(meta.get("height") or 16)
-        return np.zeros((h, w), dtype=np.uint8)
+        return _black_frame(meta)
     return png_decode(bytes(payload))
 
 

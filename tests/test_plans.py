@@ -666,29 +666,57 @@ def test_dim_broadcast_gate_falls_back_above_threshold(spark):
         # supplier fall back to shuffle joins
         assert count_plan_nodes(df, "BroadcastHashJoin") == 2, plan
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
-        # semantics unchanged by the fallback: same result as the hinted plan
-        hinted = entrymod.q_local_supplier_volume(spark, SF)
     finally:
         spark.conf.unset(DIM_BROADCAST_THRESHOLD_CONF)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # semantics unchanged by the fallback: same result as the hinted plan —
+    # built AFTER the conf restore, so it genuinely carries the hints (the
+    # gate reads the conf eagerly at construction; building it inside the
+    # try block would compare the un-hinted plan against itself)
+    hinted = entrymod.q_local_supplier_volume(spark, SF)
+    assert_broadcast_join(hinted, expected=3)
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, hinted.collect()))
 
 
 def test_dim_broadcast_gate_estimates_are_scan_level(spark):
     """The gate's stats probe must be sane where we rely on it: parquet
-    dim scans report file-derived estimates (small at sf0.01), and the
-    helper leaves unknown-stats frames (in-memory relations) unhinted
-    rather than forcing a blind broadcast."""
+    dim scans report file-derived estimates (small at sf0.01), and an
+    in-memory frame's default-inflated estimate exceeds any sane gate, so
+    it is refused via the over-threshold branch (warning names the
+    excess)."""
+    import warnings as warnings_mod
+
     part = spark.read.parquet(f"{SF}/part.parquet")
     est = estimated_plan_bytes(part.select("p_partkey", "p_brand"))
     assert 0 < est < 64 * 1024 * 1024, est
     mem = spark.range(10).toDF("k")  # LogicalRDD/LocalRelation-backed
-    import warnings as warnings_mod
-
-    with warnings_mod.catch_warnings(record=True):
+    with warnings_mod.catch_warnings(record=True) as caught:
         warnings_mod.simplefilter("always")
         hinted = broadcast_dim(mem, max_bytes=1)
     assert hinted is mem  # returned unhinted, AQE keeps authority
+    assert any("exceeds" in str(w.message) for w in caught), caught
+
+
+def test_dim_broadcast_gate_no_estimate_branch_stays_unhinted(monkeypatch, spark):
+    """When Catalyst can't produce a size estimate at all (the except
+    branch — e.g. a plan shape whose stats visitor raises), broadcast_dim
+    must warn 'no size estimate' and return the frame unhinted rather
+    than force a blind broadcast. The branch is unreachable with healthy
+    batch frames, so simulate the failure at the probe seam."""
+    import warnings as warnings_mod
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.plans import hints
+
+    def boom(df):
+        raise RuntimeError("stats unavailable")
+
+    monkeypatch.setattr(hints, "estimated_plan_bytes", boom)
+    mem = spark.range(10).toDF("k")
+    with warnings_mod.catch_warnings(record=True) as caught:
+        warnings_mod.simplefilter("always")
+        out = hints.broadcast_dim(mem, max_bytes=1 << 30)
+    assert out is mem
+    assert any("no size estimate" in str(w.message) for w in caught), caught
 
 
 def test_order_value_bands_distributed_not_per_segment_window(spark):

@@ -486,13 +486,50 @@ def test_epoch_shard_plan_is_valid_permutation(spark):
 
 
 def test_paragraph_lang_profile_planted_mixture_contract(spark):
-    """Every doc with a planted foreign paragraph must flag mixed_language;
-    docs with BOTH plants (doc_id % 77 == 0) must count >= 3 languages when
-    the base paragraph qualifies, >= 2 regardless."""
+    """Every doc with a planted foreign paragraph must flag mixed_language,
+    and for both-plants docs (doc_id % 77 == 0) the EXACT paragraph and
+    language counts are derived from the unplanted fixture — the Spanish
+    and German paragraphs must count as two distinct extra languages, so
+    a broken paragraph split (merging the two appended paragraphs) fails
+    here instead of hiding inside a >= 2 tautology."""
+    from pyspark.sql import functions as F
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.text import (
+        lang_id_col,
+    )
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import (
+        table,
+    )
+
     rows = entrymod.q_paragraph_lang_profile(spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
         if r.doc_id % 7 == 0 or r.doc_id % 11 == 0:
             assert r.mixed_language, r
-        if r.doc_id % 77 == 0:
-            assert r.n_languages >= 2, r
+    # both-plants docs: base text has no blank-line breaks in the fixture,
+    # so the expected profile is computable exactly from the base doc
+    base = {
+        b.doc_id: b
+        for b in table(spark, "documents", SF_SMOKE)
+        .filter(F.col("doc_id") % 77 == 0)
+        .select(
+            "doc_id",
+            (F.length(F.trim("text")) >= 20).alias("qualifies"),
+            lang_id_col(F.col("text")).alias("base_lang"),
+            F.col("text").contains("\n\n").alias("has_breaks"),
+        )
+        .collect()
+    }
+    assert base, "no %77 docs at smoke SF — contract vacuous"
+    checked = 0
+    for r in rows:
+        if r.doc_id % 77 != 0 or r.doc_id not in base:
+            continue
+        b = base[r.doc_id]
+        if b.has_breaks:
+            continue  # exact count underdetermined; plants still asserted above
+        expected_langs = {"es", "de"} | ({b.base_lang} if b.qualifies else set())
+        assert r.n_paragraphs == (3 if b.qualifies else 2), (r, b)
+        assert r.n_languages == len(expected_langs), (r, b, expected_langs)
+        checked += 1
+    assert checked > 0, "every %77 doc skipped — exact contract vacuous"
