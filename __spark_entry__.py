@@ -61,10 +61,12 @@ from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.norma
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
     analytics,
     asof,
+    cdc,
     cluster,
     contamination,
     corpus,
     dedup,
+    linkage,
     multimodal,
     pipeline,
     rangejoin,
@@ -3179,6 +3181,124 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dim_stats(_t(spark, sf_dir, "embeddings"))
 
 
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 HYBRID retrieval (similarity.rrf_fuse — reciprocal-rank
+    fusion, Cormack et al. 2009): BM25 sparse top-50 and exact-cosine
+    dense top-50 fused into one ranked list, the standard two-tower RAG
+    retrieval combiner. Testdata contract: embeddings.vec_id is aligned
+    with documents.doc_id (both 0..N-1), so the two retrievers rank the
+    same id space. Per-list ranks ride along (NULL where one retriever
+    missed); rrf_score = 1/(60+bm25_rank) + 1/(60+cos_rank) in fixed
+    term order, rounded — fully hash-checked. Fusion is k-row-scale by
+    contract; the candidate generators carry the corpus-size cost."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head().embedding
+    sparse = corpus.bm25_search(docs, ["spark", "join", "window"], k=50)
+    dense = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID), qvec, 50
+    ).withColumnRenamed("vec_id", "doc_id")
+    fused = similarity.rrf_fuse(
+        [(sparse, "doc_id", "score"), (dense, "doc_id", "cosine")], k_const=60, topk=20
+    )
+    return fused.select(
+        F.col("id").alias("doc_id"),
+        F.col("rank_0").alias("bm25_rank"),
+        F.col("rank_1").alias("cos_rank"),
+        "rrf_score",
+    )
+
+
+def q_customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 entity resolution (linkage.blocked_edit_resolve): a dirty
+    registry — every customer name corrupted one of three deterministic
+    ways (o-drop, K-substitution, trailing dot; each edit distance 1) —
+    resolved back against the clean customer table by blocking on
+    (nation, last-4 id digits) + Levenshtein ≤ 2 + best-match min_by.
+    The ``correct`` column is in-row ground truth (matched key must equal
+    the corrupted row's source key: the true match is the unique
+    distance-1 candidate, any same-block impostor differs in ≥1 digit so
+    sits at ≥2). Fully hash-checked — DuckDB's levenshtein() is the same
+    edit distance. One block-key hash join + one min_by agg; no window,
+    no cross join."""
+    cust = _t(spark, sf_dir, "customer")
+    mod = F.col("c_custkey") % 3
+    dirty_name = (
+        F.when(mod == 0, F.regexp_replace("c_name", "^Customer", "Custmer"))
+        .when(mod == 1, F.regexp_replace("c_name", "^Customer", "Kustomer"))
+        .otherwise(F.concat(F.col("c_name"), F.lit(".")))
+    )
+
+    def blk(name: F.Column) -> F.Column:
+        return F.substring(F.regexp_extract(name, "([0-9]+)", 1), 6, 4)
+
+    dirty = cust.select(
+        "c_nationkey",
+        (F.col("c_custkey") + 10_000_000).alias("dirty_id"),
+        dirty_name.alias("dirty_name"),
+    ).withColumn("blk", blk(F.col("dirty_name")))
+    clean = cust.select("c_nationkey", "c_custkey", "c_name").withColumn(
+        "blk", blk(F.col("c_name"))
+    )
+    resolved = linkage.blocked_edit_resolve(
+        dirty,
+        clean,
+        block_cols=["c_nationkey", "blk"],
+        dirty_id="dirty_id",
+        dirty_name="dirty_name",
+        clean_id="c_custkey",
+        clean_name="c_name",
+        max_distance=2,
+    )
+    return resolved.select(
+        "dirty_id",
+        "dirty_name",
+        F.col("c_custkey").alias("matched_custkey"),
+        F.col("c_name").alias("matched_name"),
+        "distance",
+        (F.col("c_custkey") == F.col("dirty_id") - 10_000_000).alias("correct"),
+    ).orderBy("dirty_id")
+
+
+def q_scd2_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 SCD2 dimension build (cdc.scd2_history): each user's purchase
+    value band (<20 low / <60 mid / high) collapsed into validity
+    intervals — consecutive same-band purchases merge, ``valid_to`` is
+    the next regime's start, the open regime flags ``is_current``. One
+    Exchange on user_id shared by both windows (lag change-detect + lead
+    interval-close; pinned in tests/test_plans.py). Fully hash-checked:
+    intervals are raw event timestamps, bands are exact double
+    comparisons both engines share."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    band = (
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 60, "mid")
+        .otherwise("high")
+    )
+    return cdc.scd2_history(
+        ev, "user_id", "ts", band, "event_id", attr_name="value_band"
+    ).orderBy("user_id", "valid_from")
+
+
+def q_cdc_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 upsert+tombstone compaction (cdc.latest_snapshot — Kafka
+    log-compaction / CDC MERGE semantics): per user the last event by
+    (ts, event_id) wins; users whose LAST event is an error are
+    tombstoned out (a later non-error would resurrect them). ONE
+    map-side-combinable max_by hash agg — shuffle volume O(|users|), not
+    O(|events|) (the row_number-window phrasing the oracle uses would
+    shuffle every row). Fully hash-checked."""
+    snap = cdc.latest_snapshot(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        delete_predicate=F.col("event_type") == "error",
+        value_cols=["event_type", "value"],
+    )
+    return snap.orderBy("user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks the FIRST
     # 50 entries each round; COVERAGE.md (machine-derived) shows per-query
@@ -3198,6 +3318,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_update_upsert": q_streaming_update_upsert,
         "weighted_token_sample": q_weighted_token_sample,
         "streaming_fanout_sinks": q_streaming_fanout_sinks,
+        # r10 late additions (new capability families: hybrid retrieval,
+        # record linkage, CDC compaction), all hash-checkable first drive
+        "hybrid_search_rrf": q_hybrid_search_rrf,
+        "customer_entity_resolution": q_customer_entity_resolution,
+        "scd2_value_band": q_scd2_value_band,
+        "cdc_user_snapshot": q_cdc_user_snapshot,
         "last_events": q_last_events,
         "last_touch_attribution": q_last_touch_attribution,
         "lexical_diversity": q_lexical_diversity,
@@ -3237,11 +3363,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dups": q_cosine_near_dups,
         "cusum_changepoints": q_cusum_changepoints,
         "daily_distinct_users": q_daily_distinct_users,
+        # ---- driver window boundary (first 50 above) ------------------
+        # (the 4 rows below were displaced from the window by the 4 r10
+        #  late additions; they are r7-green and rotate in r11)
         "discount_quantity_corr": q_discount_quantity_corr,
         "embedding_outliers": q_embedding_outliers,
         "event_type_pivot": q_event_type_pivot,
         "excess_shipment_suppliers": q_excess_shipment_suppliers,
-        # ---- driver window boundary (first 50 above) ------------------
         "hash_split": q_hash_split,
         "incremental_near_dups": q_incremental_near_dups,
         "knn_graph": q_knn_graph,
@@ -3923,6 +4051,149 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MIN(x), 6) AS min_x,
                    ROUND(MAX(x), 6) AS max_x
             FROM e GROUP BY dim ORDER BY dim
+        """,
+        "hybrid_search_rrf": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(regexp_replace(text, '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+                       t -> t <> '') AS t
+              FROM documents
+            ), r AS (
+              SELECT doc_id, len(t) AS dl,
+                     len(list_filter(t, x -> x = 'spark')) AS tf0,
+                     len(list_filter(t, x -> x = 'join')) AS tf1,
+                     len(list_filter(t, x -> x = 'window')) AS tf2
+              FROM toks WHERE len(t) > 0
+            ), st AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_dl,
+                     CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                     CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                     CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+              FROM r
+            ), sc AS (
+              SELECT doc_id,
+                     CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+                          + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+                          + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS INT)
+                         AS matched_terms,
+                     (ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                        * (tf0 * 2.2)) / (tf0 + 1.2 * (1.0 - 0.75
+                        + 0.75 * (dl * n_docs) / CAST(total_dl AS DOUBLE)))
+                     + (ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                        * (tf1 * 2.2)) / (tf1 + 1.2 * (1.0 - 0.75
+                        + 0.75 * (dl * n_docs) / CAST(total_dl AS DOUBLE)))
+                     + (ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                        * (tf2 * 2.2)) / (tf2 + 1.2 * (1.0 - 0.75
+                        + 0.75 * (dl * n_docs) / CAST(total_dl AS DOUBLE)))
+                         AS score
+              FROM r CROSS JOIN st
+            ), bm AS (
+              SELECT doc_id, ROUND(score, 6) AS score FROM sc
+              WHERE matched_terms > 0
+              ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 50
+            ), bmr AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+                         AS bm25_rank
+              FROM bm
+            ), q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+              WHERE vec_id = {_QUERY_VEC_ID}
+            ), den AS (
+              SELECT e.vec_id AS doc_id,
+                     ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                       (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+              FROM embeddings e, q
+              WHERE e.vec_id != {_QUERY_VEC_ID}
+              ORDER BY cosine DESC, e.vec_id ASC LIMIT 50
+            ), denr AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT)
+                         AS cos_rank
+              FROM den
+            ), fused AS (
+              SELECT COALESCE(bmr.doc_id, denr.doc_id) AS doc_id,
+                     bm25_rank, cos_rank
+              FROM bmr FULL OUTER JOIN denr ON bmr.doc_id = denr.doc_id
+            )
+            SELECT doc_id, bm25_rank, cos_rank,
+                   ROUND((CASE WHEN bm25_rank IS NOT NULL
+                               THEN 1.0 / (60.0 + bm25_rank) ELSE 0.0 END)
+                         + (CASE WHEN cos_rank IS NOT NULL
+                                 THEN 1.0 / (60.0 + cos_rank) ELSE 0.0 END), 6)
+                       AS rrf_score
+            FROM fused
+            ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+        """,
+        "customer_entity_resolution": """
+            WITH dirty AS (
+              SELECT c_nationkey,
+                     c_custkey + 10000000 AS dirty_id,
+                     CASE WHEN c_custkey % 3 = 0
+                            THEN regexp_replace(c_name, '^Customer', 'Custmer')
+                          WHEN c_custkey % 3 = 1
+                            THEN regexp_replace(c_name, '^Customer', 'Kustomer')
+                          ELSE c_name || '.' END AS dirty_name
+              FROM customer
+            ), d AS (
+              SELECT *, substring(regexp_extract(dirty_name, '([0-9]+)', 1), 6, 4) AS blk
+              FROM dirty
+            ), c AS (
+              SELECT c_nationkey, c_custkey, c_name,
+                     substring(regexp_extract(c_name, '([0-9]+)', 1), 6, 4) AS blk
+              FROM customer
+            ), pairs AS (
+              SELECT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name,
+                     levenshtein(d.dirty_name, c.c_name) AS dist
+              FROM d JOIN c ON d.c_nationkey = c.c_nationkey AND d.blk = c.blk
+              WHERE levenshtein(d.dirty_name, c.c_name) <= 2
+            ), best AS (
+              SELECT *, row_number() OVER (PARTITION BY dirty_id
+                                           ORDER BY dist, c_custkey) AS rn
+              FROM pairs
+            )
+            SELECT dirty_id, dirty_name,
+                   c_custkey AS matched_custkey, c_name AS matched_name,
+                   CAST(dist AS INT) AS distance,
+                   (c_custkey = dirty_id - 10000000) AS correct
+            FROM best WHERE rn = 1 ORDER BY dirty_id
+        """,
+        "scd2_value_band": """
+            WITH p AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN value < 20 THEN 'low'
+                          WHEN value < 60 THEN 'mid' ELSE 'high' END AS value_band
+              FROM events WHERE event_type = 'purchase'
+            ), ch AS (
+              SELECT *, lag(value_band) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS prev
+              FROM p
+            ), k AS (
+              SELECT user_id, value_band, ts AS valid_from, event_id
+              FROM ch WHERE prev IS NULL OR value_band <> prev
+            )
+            SELECT user_id, value_band, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from, event_id) AS valid_to,
+                   (lead(valid_from) OVER (PARTITION BY user_id
+                                           ORDER BY valid_from, event_id) IS NULL)
+                       AS is_current
+            FROM k ORDER BY user_id, valid_from
+        """,
+        "cdc_user_snapshot": """
+            WITH ranked AS (
+              SELECT user_id, ts, event_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            )
+            SELECT user_id, ts, event_id, event_type, value
+            FROM ranked WHERE rn = 1 AND event_type <> 'error'
+            ORDER BY user_id
         """,
         "lang_id_counts": f"""
             WITH s AS (

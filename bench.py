@@ -214,6 +214,11 @@ HEADLINE = [
     "streaming_update_upsert",
     "weighted_token_sample",
     "streaming_fanout_sinks",
+    # r10 late additions: hybrid retrieval, record linkage, CDC compaction
+    "hybrid_search_rrf",
+    "customer_entity_resolution",
+    "scd2_value_band",
+    "cdc_user_snapshot",
 ]
 
 

@@ -1319,3 +1319,61 @@ def embedding_dim_stats(embeddings: DataFrame, vec_col: str = "embedding") -> Da
         )
         .orderBy("dim")
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str, str]],
+    k_const: int = 60,
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of multiple
+    bounded retrieval result lists — the standard hybrid-search combiner
+    (sparse BM25 + dense ANN) for RAG retrieval stacks.
+
+    ``rankings`` is a list of (df, id_col, score_col) triples. Each df
+    MUST already be a bounded top-k list (the output of bm25_search /
+    brute_force_topk / ivf_search-style operators) — fusion is a
+    k-row-scale post-process by contract, the heavy lifting lives in the
+    candidate generators, exactly as in production hybrid stacks. Ranks
+    are assigned per list by (score desc, id asc) — callers should
+    pre-round engine-dependent float scores so rank assignment is
+    reproducible cross-engine (bm25_search and brute_force_topk already
+    emit rounded scores).
+
+    Returns (id, rank_0..rank_{m-1}, rrf_score) — per-list ranks ride
+    along (NULL where a list missed the id) so the fused record shows
+    WHY each id surfaced; rrf_score = Σ_i 1/(k_const + rank_i) over the
+    lists that contain the id, summed in fixed list order and rounded to
+    6 digits so cross-engine double addition agrees.
+
+    Plan shape: each input is ≤ k rows, so the rank windows sort k-row
+    frames and the full-outer join chain touches ≤ m·k rows total —
+    negligible beside candidate generation at any corpus size.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    from pyspark.sql import Window
+
+    fused = None
+    terms: list[F.Column] = []
+    for i, (df, id_col, score_col) in enumerate(rankings):
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        r = df.select(
+            F.col(id_col).alias("id"),
+            F.row_number().over(w).cast("long").alias(f"rank_{i}"),
+        )
+        fused = r if fused is None else fused.join(r, on="id", how="full_outer")
+        terms.append(
+            F.when(
+                F.col(f"rank_{i}").isNotNull(),
+                F.lit(1.0) / (F.lit(float(k_const)) + F.col(f"rank_{i}")),
+            ).otherwise(F.lit(0.0))
+        )
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    return (
+        fused.withColumn("rrf_score", F.round(score, 6))
+        .orderBy(F.desc("rrf_score"), F.asc("id"))
+        .limit(topk)
+    )

@@ -1,0 +1,101 @@
+"""Semantics tests for CDC compaction operators (operators/cdc.py).
+
+Oracle parity (test_oracle_parity) hash-checks the registered queries;
+here we pin the PROMISED semantics on hand-built change logs: regime
+collapse, interval chaining, tombstones, and resurrection.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import cdc
+
+
+def _ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+def _log(spark):
+    rows = [
+        # user 1: gold -> gold -> silver -> silver -> gold
+        (1, _ts("2024-01-01 00:00:00"), 10, "gold"),
+        (1, _ts("2024-01-02 00:00:00"), 11, "gold"),
+        (1, _ts("2024-01-03 00:00:00"), 12, "silver"),
+        (1, _ts("2024-01-04 00:00:00"), 13, "silver"),
+        (1, _ts("2024-01-05 00:00:00"), 14, "gold"),
+        # user 2: single row
+        (2, _ts("2024-02-01 00:00:00"), 20, "bronze"),
+        # user 3: same-ts tie broken by event_id (21 then 22)
+        (3, _ts("2024-03-01 00:00:00"), 22, "silver"),
+        (3, _ts("2024-03-01 00:00:00"), 21, "gold"),
+    ]
+    return spark.createDataFrame(rows, ["user_id", "ts", "event_id", "tier"])
+
+
+def test_scd2_collapses_consecutive_regimes(spark):
+    hist = cdc.scd2_history(_log(spark), "user_id", "ts", "tier", "event_id", "tier").collect()
+    u1 = sorted([r for r in hist if r.user_id == 1], key=lambda r: r.valid_from)
+    assert [r.tier for r in u1] == ["gold", "silver", "gold"]
+    # intervals chain exactly: each valid_to equals the next valid_from
+    assert u1[0].valid_to == u1[1].valid_from
+    assert u1[1].valid_to == u1[2].valid_from
+    assert u1[2].valid_to is None and u1[2].is_current
+    assert not u1[0].is_current and not u1[1].is_current
+
+
+def test_scd2_single_row_user_is_current(spark):
+    hist = cdc.scd2_history(_log(spark), "user_id", "ts", "tier", "event_id", "tier")
+    u2 = hist.filter(F.col("user_id") == 2).collect()
+    assert len(u2) == 1 and u2[0].is_current and u2[0].valid_to is None
+
+
+def test_scd2_equal_ts_ties_break_on_tiebreak_column(spark):
+    hist = cdc.scd2_history(_log(spark), "user_id", "ts", "tier", "event_id", "tier")
+    u3 = sorted(hist.filter(F.col("user_id") == 3).collect(), key=lambda r: r.tier)
+    # event 21 (gold) sorts before 22 (silver): gold is the closed first
+    # regime, silver the current one
+    gold = [r for r in u3 if r.tier == "gold"][0]
+    silver = [r for r in u3 if r.tier == "silver"][0]
+    assert not gold.is_current and silver.is_current
+
+
+def test_latest_snapshot_tombstone_drops_key(spark):
+    rows = [
+        (1, _ts("2024-01-01 00:00:00"), 1, "upsert", 1.0),
+        (1, _ts("2024-01-02 00:00:00"), 2, "delete", 0.0),
+        (2, _ts("2024-01-01 00:00:00"), 3, "upsert", 2.0),
+    ]
+    log = spark.createDataFrame(rows, ["k", "ts", "event_id", "op", "v"])
+    snap = cdc.latest_snapshot(
+        log, "k", "ts", "event_id", F.col("op") == "delete", ["op", "v"]
+    ).collect()
+    assert {r.k for r in snap} == {2}
+
+
+def test_latest_snapshot_later_upsert_resurrects(spark):
+    rows = [
+        (1, _ts("2024-01-01 00:00:00"), 1, "upsert", 1.0),
+        (1, _ts("2024-01-02 00:00:00"), 2, "delete", 0.0),
+        (1, _ts("2024-01-03 00:00:00"), 3, "upsert", 9.0),
+    ]
+    log = spark.createDataFrame(rows, ["k", "ts", "event_id", "op", "v"])
+    snap = cdc.latest_snapshot(
+        log, "k", "ts", "event_id", F.col("op") == "delete", ["op", "v"]
+    ).collect()
+    assert len(snap) == 1 and snap[0].v == 9.0 and snap[0].event_id == 3
+
+
+def test_latest_snapshot_equal_ts_highest_tiebreak_wins(spark):
+    rows = [
+        (1, _ts("2024-01-01 00:00:00"), 5, "upsert", 5.0),
+        (1, _ts("2024-01-01 00:00:00"), 7, "upsert", 7.0),
+        (1, _ts("2024-01-01 00:00:00"), 6, "upsert", 6.0),
+    ]
+    log = spark.createDataFrame(rows, ["k", "ts", "event_id", "op", "v"])
+    snap = cdc.latest_snapshot(
+        log, "k", "ts", "event_id", F.col("op") == "delete", ["op", "v"]
+    ).collect()
+    assert len(snap) == 1 and snap[0].event_id == 7 and snap[0].v == 7.0

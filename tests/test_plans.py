@@ -803,3 +803,47 @@ def test_duplicate_span_removal_linear_jvm_side(spark):
     assert_no_python_udf(df)
     plan = plan_text(df)
     assert "partial_count" in plan or "partial_min" in plan, plan
+
+
+def test_scd2_both_windows_share_one_data_exchange(spark):
+    # cdc.scd2_history promises: lag (change-detect) and lead (interval
+    # close) run over ONE Exchange on the key — the display orderBy adds
+    # a final rangepartitioning Exchange, so exactly 2 total and 2 Windows
+    df = entrymod.q_scd2_value_band(spark, SF)
+    assert count_plan_nodes(df, "Window") == 2
+    assert count_plan_nodes(df, "Exchange") == 2
+    assert_no_python_udf(df)
+
+
+def test_cdc_snapshot_aggregates_partially_before_shuffle(spark):
+    # cdc.latest_snapshot promises a partial+final agg (shuffle carries
+    # ~|keys| pre-reduced rows) — NOT a row_number window over all rows
+    df = entrymod.q_cdc_user_snapshot(spark, SF)
+    plan = plan_text(df)
+    assert count_plan_nodes(df, "Window") == 0, plan
+    # partial + final (SortAggregate: max_by over struct is order-based) +
+    # the display orderBy exchange
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2, plan
+    assert count_plan_nodes(df, "Exchange") == 2, plan
+    assert_no_python_udf(df)
+
+
+def test_entity_resolution_join_is_not_forced_broadcast(spark):
+    # linkage.blocked_edit_resolve must leave the join strategy to
+    # Catalyst stats/AQE (clean registries are corpus-proportional at
+    # 100 TB): at sf0.01 the parquet stats make it a broadcast join, but
+    # no ResolvedHint may appear in the analyzed plan
+    df = entrymod.q_customer_entity_resolution(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    plan = plan_text(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert_no_python_udf(df)
+
+
+def test_rrf_fusion_inputs_stay_bounded_topk(spark):
+    # hybrid_search_rrf: both retriever branches must end in a bounded
+    # top-k (TakeOrderedAndProject), so the fusion windows sort <= k rows
+    df = entrymod.q_hybrid_search_rrf(spark, SF)
+    assert count_plan_nodes(df, "TakeOrderedAndProject") >= 2
+    assert_no_python_udf(df)

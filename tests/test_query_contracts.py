@@ -533,3 +533,30 @@ def test_paragraph_lang_profile_planted_mixture_contract(spark):
         assert r.n_languages == len(expected_langs), (r, b, expected_langs)
         checked += 1
     assert checked > 0, "every %77 doc skipped — exact contract vacuous"
+
+
+def test_entity_resolution_planted_ground_truth(spark):
+    # every corruption is distance-1 and block-preserving by construction,
+    # so recall must be TOTAL and every best-match must be the source row
+    rows = entrymod.q_customer_entity_resolution(spark, SF_SMOKE).collect()
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import table
+
+    n = table(spark, "customer", SF_SMOKE).count()
+    assert len(rows) == n, f"recall {len(rows)}/{n} — a corruption broke its block key"
+    assert all(r.correct for r in rows), "an impostor out-ranked the true match"
+    assert all(r.distance == 1 for r in rows)
+
+
+def test_hybrid_rrf_dual_membership_outranks_single(spark):
+    # any doc found by BOTH retrievers at rank r must outscore a doc found
+    # by one retriever at the same best rank — the RRF property the fused
+    # ordering exists to deliver
+    rows = entrymod.q_hybrid_search_rrf(spark, SF_SMOKE).collect()
+    assert rows, "fusion returned nothing"
+    both = [r for r in rows if r.bm25_rank is not None and r.cos_rank is not None]
+    single = [r for r in rows if (r.bm25_rank is None) != (r.cos_rank is None)]
+    for b in both:
+        for s in single:
+            s_rank = s.bm25_rank if s.bm25_rank is not None else s.cos_rank
+            if min(b.bm25_rank, b.cos_rank) <= s_rank:
+                assert b.rrf_score > s.rrf_score

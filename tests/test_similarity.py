@@ -362,3 +362,35 @@ def test_embedding_dim_stats_matches_numpy(spark):
         assert abs(r.std - round(float(Xd[:, r.dim].std()), 6)) < 1e-9
         assert r.min_x == round(float(Xd[:, r.dim].min()), 6)
         assert r.max_x == round(float(Xd[:, r.dim].max()), 6)
+
+
+def test_rrf_fuse_scores_and_ranks(spark):
+    # list A ranks: 10,11,12 ; list B ranks: 12,13 — fixed-order RRF sums
+    a = spark.createDataFrame(
+        [(10, 0.9), (11, 0.5), (12, 0.1)], "id long, score double"
+    )
+    b = spark.createDataFrame([(12, 0.8), (13, 0.7)], "id long, cos double")
+    out = {
+        r.id: r
+        for r in similarity.rrf_fuse([(a, "id", "score"), (b, "id", "cos")]).collect()
+    }
+    assert out[10].rank_0 == 1 and out[10].rank_1 is None
+    assert out[12].rank_0 == 3 and out[12].rank_1 == 1
+    assert out[13].rank_0 is None and out[13].rank_1 == 2
+    assert out[12].rrf_score == round(1 / 63 + 1 / 61, 6)
+    assert out[10].rrf_score == round(1 / 61, 6)
+    # both-list membership beats a single higher rank here
+    assert out[12].rrf_score > out[10].rrf_score
+
+
+def test_rrf_fuse_rank_ties_break_on_id(spark):
+    a = spark.createDataFrame([(7, 0.5), (3, 0.5)], "id long, score double")
+    out = {r.id: r.rank_0 for r in similarity.rrf_fuse([(a, "id", "score")]).collect()}
+    assert out[3] == 1 and out[7] == 2
+
+
+def test_rrf_fuse_topk_and_empty_input(spark):
+    a = spark.createDataFrame([(i, float(-i)) for i in range(9)], "id long, score double")
+    assert similarity.rrf_fuse([(a, "id", "score")], topk=4).count() == 4
+    with pytest.raises(ValueError):
+        similarity.rrf_fuse([])
