@@ -219,6 +219,9 @@ HEADLINE = [
     "customer_entity_resolution",
     "scd2_value_band",
     "cdc_user_snapshot",
+    "inverted_index",
+    "embedding_covariance",
+    "orders_snapshot_diff",
 ]
 
 

@@ -3,7 +3,7 @@ warehouse-shaped tables from an append-only change log — the lakehouse
 MERGE/compaction shapes a 100 TB event-sourced pipeline needs, expressed
 without any table-format dependency (pure DataFrame ops over parquet).
 
-Two shapes:
+Three shapes:
 
 - ``scd2_history``: slowly-changing-dimension type-2 — collapse an
   attribute change log into validity intervals (valid_from, valid_to,
@@ -11,6 +11,9 @@ Two shapes:
 - ``latest_snapshot``: upsert + tombstone compaction — per key, the last
   write wins; if the last write is a delete, the key vanishes. This is
   exactly Kafka log-compaction / CDC MERGE semantics.
+- ``snapshot_diff``: derive the changelog two snapshots imply — the
+  added / removed / changed classification MERGE pipelines start from
+  when no CDC stream exists.
 
 Scale shapes:
 
@@ -121,3 +124,50 @@ def latest_snapshot(
             *[F.col(f"w.{c}").alias(c) for c in value_cols],
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Diff two snapshots of the same table on a key: classify every key
+    as added / removed / changed (/ unchanged) and carry both versions
+    of the compared columns — the operator that DERIVES a changelog when
+    no CDC stream exists (the inverse of latest_snapshot).
+
+    One full-outer shuffle join on the key (sort-merge at scale — no
+    broadcast assumption; snapshots are the SAME table at two times, so
+    neither side is small). Change detection is null-safe per column
+    (``<=>``), so NULL→value and value→NULL count as changes; unchanged
+    rows are dropped before any downstream shuffle unless
+    ``include_unchanged`` — at 100 TB the diff is typically ≪ the
+    snapshots, so filtering here keeps everything after the join
+    diff-sized.
+    """
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, on=key_cols, how="full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    diff_type = (
+        F.when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(~same, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.withColumn("diff_type", diff_type).drop("_in_old", "_in_new")
+    if not include_unchanged:
+        out = out.filter(F.col("diff_type") != "unchanged")
+    return out

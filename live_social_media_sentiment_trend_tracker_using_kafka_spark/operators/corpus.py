@@ -1384,3 +1384,71 @@ def paragraph_language_profile(
         )
         .orderBy(id_col)
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 100,
+    min_df: int = 2,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Build an inverted index over the corpus: per term, document
+    frequency, collection frequency, and a doc_id-ordered posting list
+    (parallel ``postings_docs`` / ``postings_tfs`` arrays) capped at
+    ``max_postings`` — the index-construction side of bm25_search, and
+    the classic skewed-key stress test (stopword terms touch most of the
+    corpus).
+
+    Skew containment is TWO-LEVEL on purpose: per-(term, salt) partial
+    collect (salt = doc_id % n_salts) caps any single task's aggregation
+    state at |hottest term| / n_salts, then the per-term merge flattens
+    at most n_salts × max_postings pre-capped rows — the same
+    salted-partial pattern as skew.salted_join, applied to collect_list.
+    A single-level ``collect_list`` per term would hold the hottest
+    term's ENTIRE posting list in one task; raise ``n_salts`` with
+    corpus size to keep the bound flat.
+
+    Shuffles: one (term, doc_id) hash agg (map-side combinable tf), one
+    (term, salt) agg, one |terms|-row merge agg. df/cf are exact longs;
+    postings sort by doc_id, so the cap keeps the SMALLEST doc_ids —
+    deterministic on any engine (doc_id is unique per term after the tf
+    agg).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens_col(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    local = (
+        tf.withColumn("salt", F.col("doc_id") % n_salts)
+        .groupBy("term", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("df_part"),
+            F.sum("tf").alias("cf_part"),
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("doc_id", "tf"))),
+                1,
+                max_postings,
+            ).alias("p"),
+        )
+    )
+    merged = local.groupBy("term").agg(
+        F.sum("df_part").cast("long").alias("df"),
+        F.sum("cf_part").cast("long").alias("cf"),
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("p"))), 1, max_postings
+        ).alias("p"),
+    )
+    return (
+        merged.filter(F.col("df") >= min_df)
+        .select(
+            "term",
+            "df",
+            "cf",
+            F.transform("p", lambda x: x["doc_id"]).alias("postings_docs"),
+            F.transform("p", lambda x: x["tf"].cast("long")).alias("postings_tfs"),
+        )
+        .orderBy("term")
+    )

@@ -1377,3 +1377,62 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc("id"))
         .limit(topk)
     )
+
+
+def embedding_covariance(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding dimensions —
+    the PCA/whitening-prep companion to embedding_dim_stats (which gives
+    the diagonal's inputs): cov(i, j) for every i ≤ j.
+
+    Shape: one narrow map fans each vector to its dim·(dim+1)/2 index
+    pairs (i, j, x_i·x_j, x_i, x_j), then ONE hash aggregation reduces
+    to dim·(dim+1)/2 rows — PARTIAL map-side, so the exchange carries
+    O(partitions × dim²) pre-reduced rows regardless of corpus size. No
+    join, no window. The dim² fan-out is in-task and streams through
+    the aggregator; for dim ≳ 512 prefer the grouped-GEMM Arrow kernel
+    (knn_graph's pattern) where the fan-out cost dominates — same
+    output contract.
+
+    Determinism: float32 widens to double BEFORE any product (both
+    engines agree exactly on widening and products); the final moments
+    divide in one fixed expression and round — summation-order drift
+    sits ~8 digits below the rounding cutoff at tested scales. Rounded
+    covariances add +0.0 at the end: near-zero covariances carry a
+    NOISE sign, so one engine can round to -0.0 and another to +0.0,
+    and IEEE ``-0.0 + 0.0 = +0.0`` canonicalizes both (caught live at
+    sf0.01 — dimension pairs with |cov| < 5e-7 flipped sign between
+    Spark and DuckDB).
+    """
+    pairs = embeddings.select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    ).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(v)-1), i ->"
+                " transform(sequence(i, size(v)-1), j ->"
+                " struct(i as i, j as j, v[i]*v[j] as xy, v[i] as xi, v[j] as xj))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    n = F.col("n").cast("double")
+    return (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xy").alias("sxy"),
+            F.sum("xi").alias("sxi"),
+            F.sum("xj").alias("sxj"),
+        )
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.col("n").cast("long").alias("n"),
+            (
+                F.round(
+                    F.col("sxy") / n - (F.col("sxi") / n) * (F.col("sxj") / n), 6
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )

@@ -99,3 +99,30 @@ def test_latest_snapshot_equal_ts_highest_tiebreak_wins(spark):
         log, "k", "ts", "event_id", F.col("op") == "delete", ["op", "v"]
     ).collect()
     assert len(snap) == 1 and snap[0].event_id == 7 and snap[0].v == 7.0
+
+
+def test_snapshot_diff_classifies_all_classes(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, 20.0, "F"), (3, 30.0, "O"), (4, None, "O")],
+        "k long, price double, status string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, 25.0, "F"), (5, 50.0, "O"), (4, 40.0, "O")],
+        "k long, price double, status string",
+    )
+    out = {
+        r.k: r
+        for r in cdc.snapshot_diff(old, new, ["k"], ["price", "status"]).collect()
+    }
+    assert 1 not in out  # unchanged dropped
+    assert out[2].diff_type == "changed" and out[2].new_price == 25.0
+    assert out[3].diff_type == "removed" and out[3].new_price is None
+    assert out[5].diff_type == "added" and out[5].old_price is None
+    # null -> value counts as a change (null-safe comparison)
+    assert out[4].diff_type == "changed"
+
+
+def test_snapshot_diff_include_unchanged(spark):
+    old = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    out = cdc.snapshot_diff(old, old, ["k"], ["v"], include_unchanged=True).collect()
+    assert len(out) == 1 and out[0].diff_type == "unchanged"

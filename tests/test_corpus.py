@@ -589,3 +589,34 @@ def test_paragraph_language_profile_segments_and_flags_mixture(spark):
     assert out[3].n_paragraphs == 3 and out[3].dominant_lang == "en"
     assert abs(out[3].dominant_share - 2 / 3) < 1e-6 and out[3].mixed_language
     assert out[5].dominant_lang == "es" and out[5].dominant_share == 1.0
+
+
+def test_inverted_index_semantics_and_cap(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "common common rare" + (" unique" if i == 0 else "")) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = {r.term: r for r in inverted_index(docs, max_postings=4, min_df=1).collect()}
+    assert out["common"].df == 10 and out["common"].cf == 20
+    # cap keeps the SMALLEST doc_ids, tfs stay aligned
+    assert out["common"].postings_docs == [0, 1, 2, 3]
+    assert out["common"].postings_tfs == [2, 2, 2, 2]
+    assert out["rare"].df == 10 and out["rare"].cf == 10
+    assert out["unique"].df == 1 and out["unique"].postings_docs == [0]
+
+
+def test_inverted_index_salting_invariant(spark):
+    # the two-level salted merge must produce the same result at any n_salts
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import inverted_index
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import table
+
+    from conftest import SF_SMOKE
+
+    docs = table(spark, "documents", SF_SMOKE)
+    a = inverted_index(docs, max_postings=7, min_df=3, n_salts=1).collect()
+    b = inverted_index(docs, max_postings=7, min_df=3, n_salts=64).collect()
+    ka = {(r.term, tuple(r.postings_docs), tuple(r.postings_tfs), r.df, r.cf) for r in a}
+    kb = {(r.term, tuple(r.postings_docs), tuple(r.postings_tfs), r.df, r.cf) for r in b}
+    assert ka == kb and ka

@@ -847,3 +847,37 @@ def test_rrf_fusion_inputs_stay_bounded_topk(spark):
     df = entrymod.q_hybrid_search_rrf(spark, SF)
     assert count_plan_nodes(df, "TakeOrderedAndProject") >= 2
     assert_no_python_udf(df)
+
+
+def test_inverted_index_two_level_aggregation(spark):
+    # corpus.inverted_index promises three agg levels ((term,doc) tf,
+    # (term,salt) partial collect, term merge) with partial map-side
+    # combines — no window, no join anywhere
+    df = entrymod.q_inverted_index(spark, SF)
+    plan = plan_text(df)
+    assert count_plan_nodes(df, "Window") == 0, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") + plan.count(
+        "ObjectHashAggregate"
+    ) >= 6, plan  # 3 logical aggs x (partial + final)
+    assert_no_python_udf(df)
+
+
+def test_embedding_covariance_single_partial_agg(spark):
+    # one partial+final hash agg after the in-task pair fan-out; the
+    # exchange carries O(partitions x dim^2) pre-reduced rows
+    df = entrymod.q_embedding_covariance(spark, SF)
+    plan = plan_text(df)
+    assert count_plan_nodes(df, "Window") == 0 and "Join" not in plan, plan
+    assert count_plan_nodes(df, "Exchange") == 2, plan  # agg + display sort
+    assert_no_python_udf(df)
+
+
+def test_snapshot_diff_join_not_broadcast(spark):
+    # full-outer on two same-table snapshots: neither side may broadcast
+    # (full outer can't broadcast-hash anyway — pin it stays that way)
+    df = entrymod.q_orders_snapshot_diff(spark, SF)
+    plan = plan_text(df)
+    assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert_no_python_udf(df)

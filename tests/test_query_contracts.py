@@ -560,3 +560,18 @@ def test_hybrid_rrf_dual_membership_outranks_single(spark):
             s_rank = s.bm25_rank if s.bm25_rank is not None else s.cos_rank
             if min(b.bm25_rank, b.cos_rank) <= s_rank:
                 assert b.rrf_score > s.rrf_score
+
+
+def test_snapshot_diff_planted_classes_complete(spark):
+    # every diff class is planted by construction: %13 keys removed,
+    # surviving %7 keys changed (+10.0), %11 re-inserted at +10M
+    rows = entrymod.q_orders_snapshot_diff(spark, SF_SMOKE).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.diff_type, []).append(r)
+    assert set(by_type) == {"removed", "added", "changed"}
+    assert all(r.o_orderkey % 13 == 0 for r in by_type["removed"])
+    assert all(r.o_orderkey >= 10_000_000 for r in by_type["added"])
+    for r in by_type["changed"]:
+        assert r.o_orderkey % 7 == 0 and r.o_orderkey % 13 != 0
+        assert r.new_o_totalprice == r.old_o_totalprice + 10.0

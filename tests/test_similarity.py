@@ -394,3 +394,24 @@ def test_rrf_fuse_topk_and_empty_input(spark):
     assert similarity.rrf_fuse([(a, "id", "score")], topk=4).count() == 4
     with pytest.raises(ValueError):
         similarity.rrf_fuse([])
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    rng = np.random.RandomState(11)
+    X = rng.normal(size=(60, 6)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.embedding_covariance(df).collect()
+    assert len(rows) == 6 * 7 // 2
+    Xd = X.astype("float64")
+    n = Xd.shape[0]
+    for r in rows:
+        ref = (Xd[:, r.i] * Xd[:, r.j]).sum() / n - Xd[:, r.i].mean() * Xd[:, r.j].mean()
+        assert r.n == n
+        assert abs(r.cov - round(ref, 6)) < 2e-6, (r.i, r.j, r.cov, ref)
+    # diagonal is the population variance
+    diag = {r.i: r.cov for r in rows if r.i == r.j}
+    for i in range(6):
+        assert abs(diag[i] - round(float(Xd[:, i].var()), 6)) < 2e-6
