@@ -3349,6 +3349,39 @@ def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 MMR diversity re-rank (similarity.mmr_rerank — Carbonell &
+    Goldstein 1998), the third retrieval-stack stage after candidate
+    generation (similarity_topk/ivf) and fusion (hybrid_search_rrf).
+    Rows-only BY DESIGN: the greedy argmax is inherently sequential —
+    no SQL can express it — so the evidence is in-row instead: a
+    direction-identical twin of the top-1 result is PLANTED (id +3M,
+    same rounded relevance); MMR must select the original first (id
+    tie-break) and then hold the twin out of the entire top-10 because
+    its similarity-to-selected is 1.0 (``planted_redundant`` +
+    ``max_sim_to_selected`` columns carry the proof, pinned in
+    tests/test_query_contracts.py). Candidates are a bounded top-50 by
+    contract; the greedy loop runs in ONE numpy-vectorized Arrow batch."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != _QUERY_VEC_ID)
+    qvec = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .head()
+        .embedding
+    )
+    top1_id = similarity.brute_force_topk(emb, qvec, 1).head().vec_id
+    twin = emb.filter(F.col("vec_id") == top1_id).select(
+        (F.col("vec_id") + 3_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.9)).alias("embedding"),
+    )
+    corpus_p = emb.select("vec_id", "embedding").unionByName(twin)
+    cands = similarity.brute_force_topk(corpus_p, qvec, 50).join(
+        corpus_p, on="vec_id", how="inner"
+    )
+    out = similarity.mmr_rerank(cands, k=10, lam=0.7, score_col="cosine")
+    return out.withColumn("planted_redundant", F.col("vec_id") >= 3_000_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks the FIRST
     # 50 entries each round; COVERAGE.md (machine-derived) shows per-query
@@ -3377,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "embedding_covariance": q_embedding_covariance,
         "orders_snapshot_diff": q_orders_snapshot_diff,
+        "mmr_rerank": q_mmr_rerank,
         "last_events": q_last_events,
         "last_touch_attribution": q_last_touch_attribution,
         "lexical_diversity": q_lexical_diversity,
@@ -3412,10 +3446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "clean_corpus": q_clean_corpus,
         "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
-        "corpus_drift": q_corpus_drift,
         # ---- driver window boundary (first 50 above) ------------------
-        # (the 7 rows below were displaced from the window by the 7 r10
+        # (the 8 rows below were displaced from the window by the 8 r10
         #  late additions; they are r7-green and rotate in r11)
+        "corpus_drift": q_corpus_drift,
         "cosine_near_dups": q_cosine_near_dups,
         "cusum_changepoints": q_cusum_changepoints,
         "daily_distinct_users": q_daily_distinct_users,

@@ -222,6 +222,7 @@ HEADLINE = [
     "inverted_index",
     "embedding_covariance",
     "orders_snapshot_diff",
+    "mmr_rerank",
 ]
 
 

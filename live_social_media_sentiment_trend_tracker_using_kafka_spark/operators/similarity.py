@@ -1436,3 +1436,76 @@ def embedding_covariance(embeddings: DataFrame, vec_col: str = "embedding") -> D
         )
         .orderBy("i", "j")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "relevance",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) of
+    a BOUNDED candidate list: greedily pick the candidate maximizing
+    ``lam·relevance − (1−lam)·max_sim_to_already_selected`` — the
+    diversity stage between retrieval and consumption (RAG context
+    packing, dedup-aware search results).
+
+    ``candidates`` must be a bounded top-k list (≤ a few hundred rows —
+    the output of brute_force_topk/ivf_search + a vector join), same
+    contract as rrf_fuse: the corpus-size work lives in the candidate
+    generator, and MMR's inherently sequential greedy loop runs over ONE
+    Arrow batch (single-group applyInPandas, numpy-vectorized inner
+    argmax — no per-row Python, no driver collect).
+
+    Returns (id, mmr_rank, relevance, max_sim_to_selected) for the k
+    selected candidates; ``max_sim_to_selected`` is the diversity
+    penalty AT SELECTION TIME (0 for the first pick) — in-row evidence
+    that the selection traded relevance for diversity. Deterministic:
+    relevance and pairwise sims round to ``round_digits`` before the
+    argmax; ties break on the smaller id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, mmr_rank long, relevance double, max_sim_to_selected double"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        rel = np.round(pdf[score_col].to_numpy(dtype=np.float64), round_digits)
+        X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0
+        Xn = X / norms[:, None]
+        sims = np.round(Xn @ Xn.T, round_digits)
+        n = len(ids)
+        picked: list[int] = []
+        penalty = np.zeros(n)  # max sim to selected so far
+        selected = np.zeros(n, dtype=bool)
+        rows = []
+        for rank in range(1, min(k, n) + 1):
+            mmr = lam * rel - (1.0 - lam) * penalty
+            mmr[selected] = -np.inf
+            best = np.round(mmr, round_digits)
+            m = best.max()
+            # deterministic tie-break: smallest id among the argmax set
+            cand = np.where(best == m)[0]
+            i = cand[np.argmin(ids[cand])]
+            rows.append((int(ids[i]), rank, float(rel[i]), float(penalty[i])))
+            selected[i] = True
+            picked.append(i)
+            penalty = np.maximum(penalty, sims[:, i])
+        return pd.DataFrame(
+            rows, columns=[id_col, "mmr_rank", "relevance", "max_sim_to_selected"]
+        )
+
+    one = candidates.select(id_col, vec_col, F.col(score_col).alias(score_col))
+    return (
+        one.groupBy(F.lit(0).alias("_g"))
+        .applyInPandas(lambda key, pdf: _mmr(pdf), schema=out_schema)
+        .orderBy("mmr_rank")
+    )

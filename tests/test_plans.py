@@ -881,3 +881,12 @@ def test_snapshot_diff_join_not_broadcast(spark):
     assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan, plan
     assert "CartesianProduct" not in plan
     assert_no_python_udf(df)
+
+
+def test_mmr_rerank_candidates_bounded_before_python(spark):
+    # the only Python boundary is the single-group Arrow batch over the
+    # bounded candidate list — the corpus-side work ends in a top-k
+    df = entrymod.q_mmr_rerank(spark, SF)
+    plan = plan_text(df)
+    assert count_plan_nodes(df, "TakeOrderedAndProject") >= 1, plan
+    assert count_plan_nodes(df, "FlatMapGroupsInPandas") == 1, plan

@@ -575,3 +575,18 @@ def test_snapshot_diff_planted_classes_complete(spark):
     for r in by_type["changed"]:
         assert r.o_orderkey % 7 == 0 and r.o_orderkey % 13 != 0
         assert r.new_o_totalprice == r.old_o_totalprice + 10.0
+
+
+def test_mmr_rerank_planted_redundant_held_out(spark):
+    # the planted direction-identical twin of the top-1 (same rounded
+    # relevance) must never enter the MMR top-10: after the original is
+    # picked (id tie-break), the twin's penalty is 1.0
+    rows = entrymod.q_mmr_rerank(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    assert all(not r.planted_redundant for r in rows)
+    # ranks are a complete 1..10 chain and the first pick pays no penalty
+    assert sorted(r.mmr_rank for r in rows) == list(range(1, 11))
+    first = [r for r in rows if r.mmr_rank == 1][0]
+    assert first.max_sim_to_selected == 0.0
+    # later picks carry a real diversity penalty (non-vacuous evidence)
+    assert any(r.max_sim_to_selected > 0.0 for r in rows)

@@ -415,3 +415,42 @@ def test_embedding_covariance_matches_numpy(spark):
     diag = {r.i: r.cov for r in rows if r.i == r.j}
     for i in range(6):
         assert abs(diag[i] - round(float(Xd[:, i].var()), 6)) < 2e-6
+
+
+def _mmr_fixture(spark):
+    # 1 query-relevant axis; candidates: a, its exact twin b, and a
+    # diverse c — relevance a = b > c
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0.99),
+        (2, [1.0, 0.0, 0.0], 0.99),   # redundant twin of 1
+        (3, [0.0, 1.0, 0.0], 0.50),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, relevance double")
+
+
+def test_mmr_rerank_prefers_diversity_over_redundancy(spark):
+    cands = _mmr_fixture(spark)
+    out = similarity.mmr_rerank(cands, k=3, lam=0.7)
+    rows = sorted(out.collect(), key=lambda r: r.mmr_rank)
+    # first pick: highest relevance, id tie-break -> 1
+    assert rows[0].vec_id == 1 and rows[0].max_sim_to_selected == 0.0
+    # second pick: the twin (sim 1.0 to selected) scores 0.7*0.99-0.3*1.0
+    # = 0.393 < the diverse c at 0.7*0.5-0.3*0.0 = 0.35? no: 0.393 > 0.35
+    # -> with lam=0.7 the twin still wins; with lam=0.5 diversity must win
+    out2 = similarity.mmr_rerank(cands, k=2, lam=0.5)
+    rows2 = sorted(out2.collect(), key=lambda r: r.mmr_rank)
+    assert [r.vec_id for r in rows2] == [1, 3]
+    assert rows2[1].max_sim_to_selected == 0.0  # c is orthogonal to a
+
+
+def test_mmr_rerank_rank_and_penalty_evidence(spark):
+    cands = _mmr_fixture(spark)
+    out = {r.vec_id: r for r in similarity.mmr_rerank(cands, k=3, lam=0.5).collect()}
+    assert out[2].mmr_rank == 3  # twin selected LAST under lam=0.5
+    assert out[2].max_sim_to_selected == 1.0  # and carries the proof
+    assert out[1].relevance == 0.99
+
+
+def test_mmr_rerank_k_larger_than_candidates(spark):
+    cands = _mmr_fixture(spark)
+    assert similarity.mmr_rerank(cands, k=10).count() == 3
