@@ -1379,10 +1379,20 @@ def rrf_fuse(
     )
 
 
-def embedding_covariance(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def embedding_covariance(
+    embeddings: DataFrame, vec_col: str = "embedding", use_kernel: bool = False
+) -> DataFrame:
     """Upper-triangle covariance matrix of the embedding dimensions —
     the PCA/whitening-prep companion to embedding_dim_stats (which gives
     the diagonal's inputs): cov(i, j) for every i ≤ j.
+
+    ``use_kernel=True`` swaps the Catalyst per-pair fan-out for an Arrow
+    GEMM partial (one ``X.T @ X`` per Arrow batch inside mapInPandas,
+    emitting dim·(dim+1)/2 PARTIAL-SUM rows per batch) feeding the same
+    final aggregation — the scale path when dim² × corpus fan-out
+    dominates (measured probe in PLANS.md; the kernels.py policy:
+    Catalyst twin stays the oracle-checked reference, parity pinned in
+    tests/test_similarity.py).
 
     Shape: one narrow map fans each vector to its dim·(dim+1)/2 index
     pairs (i, j, x_i·x_j, x_i, x_j), then ONE hash aggregation reduces
@@ -1403,26 +1413,66 @@ def embedding_covariance(embeddings: DataFrame, vec_col: str = "embedding") -> D
     sf0.01 — dimension pairs with |cov| < 5e-7 flipped sign between
     Spark and DuckDB).
     """
-    pairs = embeddings.select(
-        F.col(vec_col).cast("array<double>").alias("v")
-    ).select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, size(v)-1), i ->"
-                " transform(sequence(i, size(v)-1), j ->"
-                " struct(i as i, j as j, v[i]*v[j] as xy, v[i] as xi, v[j] as xj))))"
-            )
-        ).alias("p")
-    ).select("p.*")
-    n = F.col("n").cast("double")
-    return (
-        pairs.groupBy("i", "j")
-        .agg(
+    if use_kernel:
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.kernels import _stack_vectors
+
+        def _gemm_partials(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X, mask = _stack_vectors(pdf[vec_col])
+                X = X[mask]
+                if X.size == 0:
+                    continue
+                d = X.shape[1]
+                iu, ju = np.triu_indices(d)
+                G = X.T @ X
+                s = X.sum(axis=0)
+                yield pd.DataFrame(
+                    {
+                        "i": iu.astype("int64"),
+                        "j": ju.astype("int64"),
+                        "n_part": np.full(len(iu), len(X), dtype="int64"),
+                        "xy": G[iu, ju],
+                        "xi": s[iu],
+                        "xj": s[ju],
+                    }
+                )
+
+        partials = embeddings.select(F.col(vec_col).alias(vec_col)).mapInPandas(
+            _gemm_partials,
+            schema="i long, j long, n_part long, xy double, xi double, xj double",
+        )
+        grouped = partials.groupBy("i", "j").agg(
+            F.sum("n_part").alias("n"),
+            F.sum("xy").alias("sxy"),
+            F.sum("xi").alias("sxi"),
+            F.sum("xj").alias("sxj"),
+        )
+    else:
+        pairs = embeddings.select(
+            F.col(vec_col).cast("array<double>").alias("v")
+        ).select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(v)-1), i ->"
+                    " transform(sequence(i, size(v)-1), j ->"
+                    " struct(i as i, j as j, v[i]*v[j] as xy, v[i] as xi, v[j] as xj))))"
+                )
+            ).alias("p")
+        ).select("p.*")
+        grouped = pairs.groupBy("i", "j").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("xy").alias("sxy"),
             F.sum("xi").alias("sxi"),
             F.sum("xj").alias("sxj"),
         )
+    n = F.col("n").cast("double")
+    return (
+        grouped
         .select(
             F.col("i").cast("long").alias("i"),
             F.col("j").cast("long").alias("j"),

@@ -454,3 +454,23 @@ def test_mmr_rerank_rank_and_penalty_evidence(spark):
 def test_mmr_rerank_k_larger_than_candidates(spark):
     cands = _mmr_fixture(spark)
     assert similarity.mmr_rerank(cands, k=10).count() == 3
+
+
+def test_embedding_covariance_kernel_parity(spark):
+    # the Arrow GEMM partial path must match the Catalyst fan-out path
+    # (both round to 6; summation-order drift sits ~8 digits lower)
+    rng = np.random.RandomState(5)
+    X = rng.normal(size=(300, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    ).repartition(7)
+    a = {(r.i, r.j): (r.n, r.cov) for r in similarity.embedding_covariance(df).collect()}
+    b = {
+        (r.i, r.j): (r.n, r.cov)
+        for r in similarity.embedding_covariance(df, use_kernel=True).collect()
+    }
+    assert a.keys() == b.keys() and len(a) == 36
+    for k in a:
+        assert a[k][0] == b[k][0]
+        assert abs(a[k][1] - b[k][1]) <= 1e-6, (k, a[k], b[k])
