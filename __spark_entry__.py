@@ -3382,6 +3382,27 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("planted_redundant", F.col("vec_id") >= 3_000_000)
 
 
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 fixed-iteration PageRank (cluster.pagerank) over the part
+    CO-PURCHASE graph (parts sharing an order, both directions — a
+    symmetric graph, so no dangling mass by construction): which parts
+    sit at the center of the catalog's basket structure. 3 iterations,
+    per-iteration round-9 — the fixed-point trajectory is engine-exact,
+    so the DuckDB twin (the same 3 steps unrolled as CTEs) hash-matches
+    step for step: an ITERATIVE algorithm under a full value-hash gate,
+    not a rows-only pass. Scale: 2 linear shuffles per iteration, scores
+    persist per tier with bounded lineage; |V| rides as a broadcast
+    1-row frame."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, on="l_orderkey").filter(F.col("src") != F.col("dst"))
+    pr = cluster.pagerank(edges, iterations=3)
+    return pr.select(
+        F.col("vertex").alias("part_id"), "pagerank"
+    ).orderBy(F.desc("pagerank"), "part_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks the FIRST
     # 50 entries each round; COVERAGE.md (machine-derived) shows per-query
@@ -3411,6 +3432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": q_embedding_covariance,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "mmr_rerank": q_mmr_rerank,
+        "part_pagerank": q_part_pagerank,
         "last_events": q_last_events,
         "last_touch_attribution": q_last_touch_attribution,
         "lexical_diversity": q_lexical_diversity,
@@ -3445,10 +3467,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "chunk_documents": q_chunk_documents,
         "clean_corpus": q_clean_corpus,
-        "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
         # ---- driver window boundary (first 50 above) ------------------
-        # (the 8 rows below were displaced from the window by the 8 r10
+        # (the 9 rows below were displaced from the window by the 9 r10
         #  late additions; they are r7-green and rotate in r11)
+        "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
         "corpus_drift": q_corpus_drift,
         "cosine_near_dups": q_cosine_near_dups,
         "cusum_changepoints": q_cusum_changepoints,
@@ -4215,6 +4237,51 @@ def oracle_sql() -> dict[str, str]:
                        AS rrf_score
             FROM fused
             ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+        """,
+        "part_pagerank": """
+            WITH e AS (
+              SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+              WHERE a.l_partkey != b.l_partkey
+            ), deg AS (
+              SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd FROM e GROUP BY src
+            ), verts AS (
+              SELECT DISTINCT src AS v FROM e
+              UNION SELECT DISTINCT dst AS v FROM e
+            ), n AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM verts
+            ), pr0 AS (
+              SELECT v, ROUND(1.0 / nv, 9) AS pr FROM verts, n
+            ), it1 AS (
+              SELECT vv.v,
+                     ROUND((1.0 - 0.85) / n.nv
+                           + 0.85 * COALESCE(SUM(p.pr / d.outd), 0), 9) AS pr
+              FROM verts vv CROSS JOIN n
+              LEFT JOIN e ON e.dst = vv.v
+              LEFT JOIN pr0 p ON p.v = e.src
+              LEFT JOIN deg d ON d.src = e.src
+              GROUP BY vv.v, n.nv
+            ), it2 AS (
+              SELECT vv.v,
+                     ROUND((1.0 - 0.85) / n.nv
+                           + 0.85 * COALESCE(SUM(p.pr / d.outd), 0), 9) AS pr
+              FROM verts vv CROSS JOIN n
+              LEFT JOIN e ON e.dst = vv.v
+              LEFT JOIN it1 p ON p.v = e.src
+              LEFT JOIN deg d ON d.src = e.src
+              GROUP BY vv.v, n.nv
+            ), it3 AS (
+              SELECT vv.v,
+                     ROUND((1.0 - 0.85) / n.nv
+                           + 0.85 * COALESCE(SUM(p.pr / d.outd), 0), 9) AS pr
+              FROM verts vv CROSS JOIN n
+              LEFT JOIN e ON e.dst = vv.v
+              LEFT JOIN it2 p ON p.v = e.src
+              LEFT JOIN deg d ON d.src = e.src
+              GROUP BY vv.v, n.nv
+            )
+            SELECT v AS part_id, pr AS pagerank
+            FROM it3 ORDER BY pagerank DESC, part_id
         """,
         "inverted_index": """
             WITH toks AS (

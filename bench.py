@@ -223,6 +223,7 @@ HEADLINE = [
     "embedding_covariance",
     "orders_snapshot_diff",
     "mmr_rerank",
+    "part_pagerank",
 ]
 
 

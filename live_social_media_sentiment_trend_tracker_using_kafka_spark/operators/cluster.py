@@ -145,3 +145,76 @@ def cluster_dedup(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (Page/Brin 1998,
+    simplified: no dangling-mass redistribution — callers whose graphs
+    have sinks should symmetrize or pre-drop them; the co-purchase /
+    similarity graphs this engine builds are symmetric, where every
+    vertex has out-degree ≥ 1).
+
+    Returns (vertex, pagerank) for every vertex appearing as a source or
+    destination. Each iteration's scores round to ``round_digits`` —
+    that makes the fixed-point trajectory IDENTICAL on any engine
+    (summation-order noise sits ~9 digits below the cutoff), so a k-step
+    unrolled SQL twin hash-matches step for step.
+
+    Scale shape: one up-front degree aggregation (persisted with the
+    degree-annotated edge list), then per iteration ONE join of the edge
+    list to the |V|-row score frame (shuffle on src) and ONE hash agg to
+    destinations (shuffle on dst) — both linear in |E|, both map-side
+    combinable. Score frames persist per iteration and release the
+    previous one (bounded lineage — the same localCheckpoint rationale
+    as connected_components; K iterations = 2K linear shuffles, never a
+    widening join). |V| rides as a broadcast 1-row frame, not a driver
+    scalar.
+    """
+    from ..caching import tracked_persist
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outd"))
+    ed = tracked_persist(e.join(deg, on="src"))
+    verts = tracked_persist(
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    nv = verts.agg(F.count(F.lit(1)).cast("double").alias("nv"))
+    pr = tracked_persist(
+        verts.crossJoin(F.broadcast(nv)).select(
+            "v", F.round(F.lit(1.0) / F.col("nv"), round_digits).alias("pr")
+        )
+    )
+    base = F.lit(1.0 - damping)
+    for _ in range(iterations):
+        contrib = (
+            ed.join(pr, ed["src"] == pr["v"], "inner")
+            .select(F.col("dst"), (F.col("pr") / F.col("outd")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        nxt = (
+            verts.crossJoin(F.broadcast(nv))
+            .join(contrib, verts["v"] == contrib["dst"], "left")
+            .select(
+                "v",
+                F.round(
+                    base / F.col("nv")
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                    round_digits,
+                ).alias("pr"),
+            )
+        )
+        nxt = tracked_persist(nxt)
+        nxt.count()  # materialize before releasing the previous tier
+        pr.unpersist()
+        pr = nxt
+    return pr.select(F.col("v").alias("vertex"), F.col("pr").alias("pagerank"))

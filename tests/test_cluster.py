@@ -73,3 +73,43 @@ def test_empty_pairs(spark):
     assert cluster.connected_components(pairs).count() == 0
     docs = spark.range(0, 5).withColumnRenamed("id", "doc_id")
     assert cluster.cluster_dedup(docs, pairs).count() == 5
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    # a directed 4-cycle is regular: PR stays exactly uniform at 1/4
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.cluster import pagerank
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    rows = pagerank(e, iterations=4).collect()
+    assert {r.vertex for r in rows} == {0, 1, 2, 3}
+    assert all(r.pagerank == 0.25 for r in rows), rows
+
+
+def test_pagerank_hub_dominates_and_mass_conserves(spark):
+    # spokes -> hub, hub -> spokes (symmetric star): the hub must rank
+    # strictly above every spoke, spokes tie, total mass stays ~1
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.cluster import pagerank
+
+    edges = [(i, 9) for i in range(4)] + [(9, i) for i in range(4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r.vertex: r.pagerank for r in pagerank(e, iterations=6).collect()}
+    hub, spokes = rows[9], [rows[i] for i in range(4)]
+    assert all(hub > s for s in spokes)
+    assert len(set(spokes)) == 1  # symmetry -> exact tie (rounded trajectory)
+    assert abs(sum(rows.values()) - 1.0) < 1e-6  # no dangling loss here
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    # the operator contracts on a DISTINCT edge set: multi-edges must not
+    # double a neighbor's influence
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.cluster import pagerank
+
+    e1 = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    e2 = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 0), (1, 0)], "src long, dst long"
+    )
+    a = sorted((r.vertex, r.pagerank) for r in pagerank(e1, iterations=3).collect())
+    b = sorted((r.vertex, r.pagerank) for r in pagerank(e2, iterations=3).collect())
+    assert a == b
