@@ -3328,20 +3328,34 @@ def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried. The "new" snapshot is a deterministic perturbation of
     orders — orderkey%13==0 deleted, surviving %7==0 rows get +10.00
     price (exact double addition, no rounding drift), %11==0 re-inserted
-    under +10M keys — so every diff class is planted and the whole
-    classification is hash-checked. One full-outer sort-merge join on
-    the key; unchanged rows drop before anything downstream."""
+    under max(o_orderkey)+1 offset keys (collision-proof at any scale
+    factor; a fixed +10M literal would alias real orderkeys at sf ≳ 1.7
+    and silently corrupt the planted classes on BOTH engines at once) —
+    so every diff class is planted and the whole classification is
+    hash-checked. One full-outer sort-merge join on the key; unchanged
+    rows drop before anything downstream; the offset rides as a
+    broadcast 1-row max aggregate, identical in the SQL twin."""
     orders = _t(spark, sf_dir, "orders")
     old = orders
     survivors = orders.filter(F.col("o_orderkey") % 13 != 0)
-    updated = survivors.withColumn(
-        "o_totalprice",
+    updated = survivors.select(
+        "o_orderkey",
         F.when(
             F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(10.0)
-        ).otherwise(F.col("o_totalprice")),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
     )
-    inserts = orders.filter(F.col("o_orderkey") % 11 == 0).withColumn(
-        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    mx = orders.agg(F.max("o_orderkey").alias("mx"))
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 11 == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("mx") + F.lit(1)).alias("o_orderkey"),
+            "o_totalprice",
+            "o_orderstatus",
+        )
     )
     new = updated.unionByName(inserts)
     return cdc.snapshot_diff(
@@ -3355,10 +3369,12 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation (similarity_topk/ivf) and fusion (hybrid_search_rrf).
     Rows-only BY DESIGN: the greedy argmax is inherently sequential —
     no SQL can express it — so the evidence is in-row instead: a
-    direction-identical twin of the top-1 result is PLANTED (id +3M,
-    same rounded relevance); MMR must select the original first (id
-    tie-break) and then hold the twin out of the entire top-10 because
-    its similarity-to-selected is 1.0 (``planted_redundant`` +
+    BIT-IDENTICAL twin of the top-1 result is PLANTED (id = max(vec_id)
+    + 1 — collision-proof at any scale factor; the vector is copied
+    unscaled so both cosines are the same floats and the id tie-break
+    is guaranteed, not rounding-probable); MMR must select the original
+    first and then hold the twin out of the entire top-10 because its
+    similarity-to-selected is 1.0 (``planted_redundant`` +
     ``max_sim_to_selected`` columns carry the proof, pinned in
     tests/test_query_contracts.py). Candidates are a bounded top-50 by
     contract; the greedy loop runs in ONE numpy-vectorized Arrow batch."""
@@ -3370,16 +3386,16 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .embedding
     )
     top1_id = similarity.brute_force_topk(emb, qvec, 1).head().vec_id
+    twin_id = _t(spark, sf_dir, "embeddings").agg(F.max("vec_id")).head()[0] + 1
     twin = emb.filter(F.col("vec_id") == top1_id).select(
-        (F.col("vec_id") + 3_000_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(0.9)).alias("embedding"),
+        F.lit(twin_id).cast("long").alias("vec_id"), F.col("embedding")
     )
     corpus_p = emb.select("vec_id", "embedding").unionByName(twin)
     cands = similarity.brute_force_topk(corpus_p, qvec, 50).join(
         corpus_p, on="vec_id", how="inner"
     )
     out = similarity.mmr_rerank(cands, k=10, lam=0.7, score_col="cosine")
-    return out.withColumn("planted_redundant", F.col("vec_id") >= 3_000_000)
+    return out.withColumn("planted_redundant", F.col("vec_id") == F.lit(twin_id))
 
 
 def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4332,8 +4348,11 @@ def oracle_sql() -> dict[str, str]:
                      o_orderstatus
               FROM orders WHERE o_orderkey % 13 != 0
             ), inserts AS (
-              SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice, o_orderstatus
-              FROM orders WHERE o_orderkey % 11 = 0
+              SELECT o.o_orderkey + m.mx + 1 AS o_orderkey,
+                     o.o_totalprice, o.o_orderstatus
+              FROM orders o
+              CROSS JOIN (SELECT MAX(o_orderkey) AS mx FROM orders) m
+              WHERE o.o_orderkey % 11 = 0
             ), new AS (
               SELECT * FROM survivors UNION ALL SELECT * FROM inserts
             ), j AS (

@@ -79,3 +79,20 @@ def trim(keep: int = 24) -> int:
             # session already stopped — nothing left to release
             pass
     return n
+
+
+def release(df: DataFrame) -> bool:
+    """Unpersist ONE tracked intermediate and drop its handle (identity
+    match). For operators that own short-lived intermediates with a
+    deterministic end-of-life (e.g. pagerank's degree/vertex tables):
+    leaving the dead handle in ``_TRACKED`` burns a ``trim()`` window
+    slot and evicts a genuinely live neighbor's cache early."""
+    for i, d in enumerate(_TRACKED):
+        if d is df:
+            _TRACKED.pop(i)
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+            return True
+    return False

@@ -62,6 +62,12 @@ def scd2_history(
     the post-filter ``lead`` closes intervals — same partitioning and
     ordering, so the second window reuses the first's shuffle (pinned in
     tests/test_plans.py). The filter between them is narrow.
+
+    NULL is a legal regime value: change detection is null-safe
+    (``eqNullSafe`` + an explicit first-row flag), so value→NULL,
+    NULL→value, and a history STARTING at NULL all open regimes —
+    ``lag IS NULL`` alone cannot distinguish "first row" from "previous
+    attribute was NULL" and would silently drop those transitions.
     """
     attr = F.col(attr_col) if isinstance(attr_col, str) else attr_col
     w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
@@ -73,7 +79,10 @@ def scd2_history(
             attr.alias(attr_name),
         )
         .withColumn("_prev", F.lag(attr_name).over(w))
-        .filter(F.col("_prev").isNull() | (F.col(attr_name) != F.col("_prev")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(
+            (F.col("_rn") == 1) | ~F.col(attr_name).eqNullSafe(F.col("_prev"))
+        )
     )
     w2 = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
     return (
@@ -146,6 +155,12 @@ def snapshot_diff(
     ``include_unchanged`` — at 100 TB the diff is typically ≪ the
     snapshots, so filtering here keeps everything after the join
     diff-sized.
+
+    Precondition: ``key_cols`` must be non-null on both sides (the
+    full-outer join matches keys with PLAIN equality, so a NULL key
+    never joins and would classify as both removed and added). Filter
+    or repair null keys upstream — a table keyed on a nullable column
+    has no well-defined diff identity to begin with.
     """
     o = old.select(
         *key_cols,

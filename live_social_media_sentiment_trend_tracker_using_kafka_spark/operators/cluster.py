@@ -168,16 +168,20 @@ def pagerank(
     unrolled SQL twin hash-matches step for step.
 
     Scale shape: one up-front degree aggregation (persisted with the
-    degree-annotated edge list), then per iteration ONE join of the edge
-    list to the |V|-row score frame (shuffle on src) and ONE hash agg to
-    destinations (shuffle on dst) — both linear in |E|, both map-side
-    combinable. Score frames persist per iteration and release the
-    previous one (bounded lineage — the same localCheckpoint rationale
-    as connected_components; K iterations = 2K linear shuffles, never a
-    widening join). |V| rides as a broadcast 1-row frame, not a driver
-    scalar.
+    degree-annotated edge list, released before return via
+    caching.release so no dead handle burns a trim() slot), then per
+    iteration ONE join of the edge list to the |V|-row score frame
+    (shuffle on src) and ONE hash agg to destinations (shuffle on dst) —
+    both linear in |E|, both map-side combinable. Each score tier is
+    ``localCheckpoint``-ed (eager), exactly like connected_components:
+    persist() alone would NOT truncate lineage, and K nested tiers
+    recreate the exponential-plan-depth problem; the tradeoff (block
+    loss fails the job instead of recomputing) is the documented one —
+    use a reliable checkpoint dir on a fault-sensitive cluster. K
+    iterations = 2K linear shuffles, never a widening join. |V| rides
+    as a broadcast 1-row frame, not a driver scalar.
     """
-    from ..caching import tracked_persist
+    from ..caching import release, tracked_persist
 
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outd"))
@@ -188,10 +192,10 @@ def pagerank(
         .distinct()
     )
     nv = verts.agg(F.count(F.lit(1)).cast("double").alias("nv"))
-    pr = tracked_persist(
-        verts.crossJoin(F.broadcast(nv)).select(
-            "v", F.round(F.lit(1.0) / F.col("nv"), round_digits).alias("pr")
-        )
+    pr = (
+        verts.crossJoin(F.broadcast(nv))
+        .select("v", F.round(F.lit(1.0) / F.col("nv"), round_digits).alias("pr"))
+        .localCheckpoint()
     )
     base = F.lit(1.0 - damping)
     for _ in range(iterations):
@@ -201,7 +205,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        nxt = (
+        pr = (
             verts.crossJoin(F.broadcast(nv))
             .join(contrib, verts["v"] == contrib["dst"], "left")
             .select(
@@ -212,9 +216,8 @@ def pagerank(
                     round_digits,
                 ).alias("pr"),
             )
+            .localCheckpoint()  # eager: truncates the tier's lineage
         )
-        nxt = tracked_persist(nxt)
-        nxt.count()  # materialize before releasing the previous tier
-        pr.unpersist()
-        pr = nxt
+    release(ed)
+    release(verts)
     return pr.select(F.col("v").alias("vertex"), F.col("pr").alias("pagerank"))

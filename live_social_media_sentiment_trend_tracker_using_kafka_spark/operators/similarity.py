@@ -1401,7 +1401,9 @@ def embedding_covariance(
     join, no window. The dim² fan-out is in-task and streams through
     the aggregator; for dim ≳ 512 prefer the grouped-GEMM Arrow kernel
     (knn_graph's pattern) where the fan-out cost dominates — same
-    output contract.
+    output contract. Input vectors must share one width (the
+    embedding-table contract throughout this module); NULL/empty rows
+    are dropped on both paths.
 
     Determinism: float32 widens to double BEFORE any product (both
     engines agree exactly on widening and products); the final moments
@@ -1453,9 +1455,14 @@ def embedding_covariance(
             F.sum("xj").alias("sxj"),
         )
     else:
+        # NULL/empty vectors must not fan out: Spark's sequence(0, -1)
+        # DEFAULTS TO STEP -1 and yields [0, -1] for an empty array —
+        # phantom (0,0)/(0,-1)/(-1,-1) groups with NULL products that
+        # inflate n and break the DuckDB twin (whose range() is empty).
+        # The kernel path drops the same rows via _stack_vectors' mask.
         pairs = embeddings.select(
             F.col(vec_col).cast("array<double>").alias("v")
-        ).select(
+        ).filter(F.col("v").isNotNull() & (F.size("v") > 0)).select(
             F.explode(
                 F.expr(
                     "flatten(transform(sequence(0, size(v)-1), i ->"
@@ -1533,7 +1540,6 @@ def mmr_rerank(
         Xn = X / norms[:, None]
         sims = np.round(Xn @ Xn.T, round_digits)
         n = len(ids)
-        picked: list[int] = []
         penalty = np.zeros(n)  # max sim to selected so far
         selected = np.zeros(n, dtype=bool)
         rows = []
@@ -1547,7 +1553,6 @@ def mmr_rerank(
             i = cand[np.argmin(ids[cand])]
             rows.append((int(ids[i]), rank, float(rel[i]), float(penalty[i])))
             selected[i] = True
-            picked.append(i)
             penalty = np.maximum(penalty, sims[:, i])
         return pd.DataFrame(
             rows, columns=[id_col, "mmr_rank", "relevance", "max_sim_to_selected"]

@@ -126,3 +126,26 @@ def test_snapshot_diff_include_unchanged(spark):
     old = spark.createDataFrame([(1, 1.0)], "k long, v double")
     out = cdc.snapshot_diff(old, old, ["k"], ["v"], include_unchanged=True).collect()
     assert len(out) == 1 and out[0].diff_type == "unchanged"
+
+
+def test_scd2_null_is_a_regime(spark):
+    # value -> NULL -> value must produce three regimes, and a history
+    # STARTING at NULL must open a regime (r10 review finding: plain
+    # `attr != lag(attr)` drops every transition touching NULL)
+    rows = [
+        (1, _ts("2024-01-01 00:00:00"), 1, "gold"),
+        (1, _ts("2024-01-02 00:00:00"), 2, None),
+        (1, _ts("2024-01-03 00:00:00"), 3, "gold"),
+        (2, _ts("2024-01-01 00:00:00"), 4, None),
+        (2, _ts("2024-01-02 00:00:00"), 5, None),
+        (2, _ts("2024-01-03 00:00:00"), 6, "bronze"),
+    ]
+    log = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, tier string")
+    hist = cdc.scd2_history(log, "user_id", "ts", "tier", "event_id", "tier")
+    u1 = sorted(hist.filter(F.col("user_id") == 1).collect(), key=lambda r: r.valid_from)
+    assert [r.tier for r in u1] == ["gold", None, "gold"]
+    assert u1[0].valid_to == u1[1].valid_from and u1[1].valid_to == u1[2].valid_from
+    u2 = sorted(hist.filter(F.col("user_id") == 2).collect(), key=lambda r: r.valid_from)
+    # consecutive NULLs collapse into ONE opening NULL regime
+    assert [r.tier for r in u2] == [None, "bronze"]
+    assert u2[0].valid_from == _ts("2024-01-01 00:00:00")

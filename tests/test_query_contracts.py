@@ -564,14 +564,19 @@ def test_hybrid_rrf_dual_membership_outranks_single(spark):
 
 def test_snapshot_diff_planted_classes_complete(spark):
     # every diff class is planted by construction: %13 keys removed,
-    # surviving %7 keys changed (+10.0), %11 re-inserted at +10M
+    # surviving %7 keys changed (+10.0), %11 re-inserted above
+    # max(o_orderkey) (collision-proof at any sf)
+    from pyspark.sql import functions as F
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import table
+
+    mx = table(spark, "orders", SF_SMOKE).agg(F.max("o_orderkey")).head()[0]
     rows = entrymod.q_orders_snapshot_diff(spark, SF_SMOKE).collect()
     by_type = {}
     for r in rows:
         by_type.setdefault(r.diff_type, []).append(r)
     assert set(by_type) == {"removed", "added", "changed"}
     assert all(r.o_orderkey % 13 == 0 for r in by_type["removed"])
-    assert all(r.o_orderkey >= 10_000_000 for r in by_type["added"])
+    assert all(r.o_orderkey > mx for r in by_type["added"])
     for r in by_type["changed"]:
         assert r.o_orderkey % 7 == 0 and r.o_orderkey % 13 != 0
         assert r.new_o_totalprice == r.old_o_totalprice + 10.0

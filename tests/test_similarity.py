@@ -474,3 +474,19 @@ def test_embedding_covariance_kernel_parity(spark):
     for k in a:
         assert a[k][0] == b[k][0]
         assert abs(a[k][1] - b[k][1]) <= 1e-6, (k, a[k], b[k])
+
+
+def test_embedding_covariance_ignores_null_and_empty_vectors(spark):
+    # r10 review finding: Spark sequence(0, -1) defaults to step -1 and
+    # yields [0, -1] for empty arrays — phantom pairs + inflated n
+    rng = np.random.RandomState(2)
+    X = rng.normal(size=(20, 3)).astype("float32")
+    rows = [(i, [float(x) for x in X[i]]) for i in range(20)]
+    rows += [(100, None), (101, [])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.embedding_covariance(df).collect()
+    assert len(out) == 6  # 3*(3+1)/2 — no phantom (0,-1)/(-1,-1) groups
+    assert all(r.n == 20 for r in out)
+    assert all(r.i >= 0 and r.j >= 0 for r in out)
+    kern = similarity.embedding_covariance(df, use_kernel=True).collect()
+    assert {(r.i, r.j, r.n) for r in kern} == {(r.i, r.j, r.n) for r in out}
