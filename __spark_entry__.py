@@ -3419,6 +3419,20 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("pagerank"), "part_id")
 
 
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 hard-negative mining (similarity.hard_negatives) for
+    contrastive training: per anchor (vec_ids 0-9, a bounded broadcast
+    batch), the 5 most-cosine-similar corpus vectors with a DIFFERENT
+    label — the negatives that actually move a contrastive loss. One
+    corpus scan (anchors broadcast, no corpus shuffle before the
+    candidate rows), per-anchor top-k window; fully hash-checked. Scale
+    path documented on the operator: swap candidate generation for the
+    cell-pruned ivf_search_join at production anchor counts."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    return similarity.hard_negatives(emb, anchors, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks the FIRST
     # 50 entries each round; COVERAGE.md (machine-derived) shows per-query
@@ -3449,6 +3463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "mmr_rerank": q_mmr_rerank,
         "part_pagerank": q_part_pagerank,
+        "hard_negative_mining": q_hard_negative_mining,
         "last_events": q_last_events,
         "last_touch_attribution": q_last_touch_attribution,
         "lexical_diversity": q_lexical_diversity,
@@ -3482,10 +3497,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontamination": q_bloom_decontamination,
         "bm25_search": q_bm25_search,
         "chunk_documents": q_chunk_documents,
-        "clean_corpus": q_clean_corpus,
         # ---- driver window boundary (first 50 above) ------------------
-        # (the 9 rows below were displaced from the window by the 9 r10
+        # (the 10 rows below were displaced from the window by the 10 r10
         #  late additions; they are r7-green and rotate in r11)
+        "clean_corpus": q_clean_corpus,
         "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
         "corpus_drift": q_corpus_drift,
         "cosine_near_dups": q_cosine_near_dups,
@@ -4253,6 +4268,31 @@ def oracle_sql() -> dict[str, str]:
                        AS rrf_score
             FROM fused
             ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+        """,
+        "hard_negative_mining": """
+            WITH a AS (
+              SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av,
+                     label AS anchor_label
+              FROM embeddings WHERE vec_id < 10
+            ), c AS (
+              SELECT vec_id AS neg_id, CAST(embedding AS DOUBLE[]) AS nv,
+                     label AS neg_label
+              FROM embeddings
+            ), p AS (
+              SELECT anchor_id, anchor_label, neg_id, neg_label,
+                     ROUND(list_dot_product(av, nv)
+                           / (sqrt(list_dot_product(av, av))
+                              * sqrt(list_dot_product(nv, nv))), 6) AS cosine
+              FROM a JOIN c ON neg_id != anchor_id
+              WHERE neg_label != anchor_label
+            ), r AS (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY anchor_id
+                       ORDER BY cosine DESC, neg_id) AS BIGINT) AS rank
+              FROM p
+            )
+            SELECT anchor_id, anchor_label, neg_id, neg_label, cosine, rank
+            FROM r WHERE rank <= 5 ORDER BY anchor_id, rank
         """,
         "part_pagerank": """
             WITH e AS (

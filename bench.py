@@ -224,6 +224,7 @@ HEADLINE = [
     "orders_snapshot_diff",
     "mmr_rerank",
     "part_pagerank",
+    "hard_negative_mining",
 ]
 
 

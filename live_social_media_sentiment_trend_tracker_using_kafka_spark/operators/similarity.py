@@ -24,7 +24,7 @@ from __future__ import annotations
 import warnings
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity_col, dot_col
@@ -1563,4 +1563,66 @@ def mmr_rerank(
         one.groupBy(F.lit(0).alias("_g"))
         .applyInPandas(lambda key, pdf: _mmr(pdf), schema=out_schema)
         .orderBy("mmr_rank")
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the k most-similar corpus vectors with a DIFFERENT label — the
+    negatives that actually teach a contrastive encoder something
+    (random negatives are trivially separable; the hard ones sit near
+    the anchor in embedding space).
+
+    ``anchors`` must be a BOUNDED batch (same contract as rrf_fuse /
+    ann_search_join's query side): it broadcasts against the corpus, so
+    the join is one corpus scan with no corpus-side shuffle; per-anchor
+    top-k is a window over (anchor, rounded cosine desc, id) — shuffle
+    O(|anchors| × |corpus|) candidate rows. At production anchor counts,
+    swap candidate generation for ivf_search_join (cell-pruned) and keep
+    the same label-mismatch filter + top-k tail; this exact path is the
+    oracle-checkable reference tier.
+
+    Self-exclusion: an anchor never returns itself (id inequality), and
+    same-label rows are filtered BEFORE the top-k, so the output is
+    k true negatives per anchor (fewer only if the corpus runs out).
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("anchor_vec"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).alias("neg_vec"),
+        F.col(label_col).alias("neg_label"),
+    )
+    pairs = (
+        c.join(F.broadcast(a), F.col("neg_id") != F.col("anchor_id"))
+        .filter(F.col("neg_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            F.round(
+                cosine_similarity_col(F.col("anchor_vec"), F.col("neg_vec")),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("neg_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("anchor_id", "rank")
     )

@@ -490,3 +490,20 @@ def test_embedding_covariance_ignores_null_and_empty_vectors(spark):
     assert all(r.i >= 0 and r.j >= 0 for r in out)
     kern = similarity.embedding_covariance(df, use_kernel=True).collect()
     assert {(r.i, r.j, r.n) for r in kern} == {(r.i, r.j, r.n) for r in out}
+
+
+def test_hard_negatives_semantics(spark):
+    # anchor 0 (label A) must surface the near-identical label-B vector
+    # first, never itself, never a same-label vector
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.14], 1),   # hard negative (close, different label)
+        (2, [0.0, 1.0], 1),     # easy negative
+        (3, [1.0, 0.01], 0),    # same label — excluded however close
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.hard_negatives(df, df.filter("vec_id = 0"), k=2).collect()
+    assert [r.neg_id for r in out] == [1, 2]
+    assert [r.rank for r in out] == [1, 2]
+    assert all(r.neg_label != r.anchor_label for r in out)
+    assert all(r.neg_id != 0 and r.neg_id != 3 for r in out)
