@@ -183,7 +183,12 @@ def pagerank(
     """
     from ..caching import release, tracked_persist
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # the distinct edge list feeds the degree agg, the vertex union AND
+    # every iteration's join — persist it once (upstream may be an
+    # expensive generator, e.g. the co-purchase self-join)
+    e = tracked_persist(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outd"))
     ed = tracked_persist(e.join(deg, on="src"))
     verts = tracked_persist(
@@ -220,4 +225,5 @@ def pagerank(
         )
     release(ed)
     release(verts)
+    release(e)
     return pr.select(F.col("v").alias("vertex"), F.col("pr").alias("pagerank"))
