@@ -108,6 +108,46 @@ def read_posts_json(spark: SparkSession, path: str, multiline: bool = False) -> 
     return reader.json(path)
 
 
+def read_posts_csv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+    """Batch scan of CSV post exports, returning the SAME canonical typed
+    shape as the JSON reader — format breadth beyond the reference's
+    JSON/Kafka surface (spreadsheet exports are how ops teams actually
+    hand data over).
+
+    CSV cannot hold POST_SCHEMA's nested ``location`` struct, so the
+    file contract is the flat export (``location_city``/
+    ``location_country`` columns) and the struct reassembles on read.
+    The explicit flat schema keeps the scan single-pass (no inferSchema
+    double read — an anti-pattern at 100 TB) and splittable; malformed
+    lines null out under the default PERMISSIVE mode exactly like the
+    JSON reader.
+    """
+    from pyspark.sql import types as T
+
+    flat = T.StructType()
+    for f in POST_SCHEMA.fields:
+        if isinstance(f.dataType, T.StructType):
+            for sub in f.dataType.fields:
+                flat.add(f"{f.name}_{sub.name}", sub.dataType, True)
+        else:
+            flat.add(f.name, f.dataType, True)
+    df = spark.read.schema(flat).option("header", header).csv(path)
+    cols = []
+    for f in POST_SCHEMA.fields:
+        if isinstance(f.dataType, T.StructType):
+            cols.append(
+                F.struct(
+                    *[
+                        F.col(f"{f.name}_{sub.name}").alias(sub.name)
+                        for sub in f.dataType.fields
+                    ]
+                ).alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
 def posts_file_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
     """Streaming file source over JSON-lines post files.
 

@@ -427,3 +427,110 @@ def test_remove_duplicate_spans_invariants(spark, docs):
         others = set().union(*(g for j, g in grams_of.items() if j != i), set())
         if not (grams_of[i] & others):
             assert r.n_removed == 0, (i, t, clean)
+
+
+# ---- CDC family properties (r10) -------------------------------------
+
+CDC_LOG = st.lists(
+    st.tuples(
+        st.integers(0, 4),                  # key
+        st.integers(0, 20),                 # ts offset (collisions likely)
+        st.sampled_from(["a", "b", None]),  # attribute incl. NULL regimes
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=CDC_LOG)
+@settings(**SETTINGS)
+def test_scd2_intervals_partition_each_key_history(spark, rows):
+    """SCD2 invariants for ANY log: per key, intervals chain exactly
+    (valid_to == next valid_from), exactly one open interval, the first
+    regime starts at the key's min ts, and consecutive regimes always
+    differ (null-safely)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.cdc import scd2_history
+
+    data = [
+        (k, BASE + dt.timedelta(hours=off), i, attr)
+        for i, (k, off, attr) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "k long, ts timestamp, event_id long, attr string"
+    )
+    hist = scd2_history(df, "k", "ts", "attr", "event_id", "attr").collect()
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(r)
+    first_ts = {}
+    for k, ts, _i, _a in data:
+        first_ts[k] = min(first_ts.get(k, ts), ts)
+    for k, regimes in by_key.items():
+        regimes.sort(key=lambda r: r.valid_from)
+        assert regimes[0].valid_from == first_ts[k]
+        assert sum(1 for r in regimes if r.is_current) == 1
+        assert regimes[-1].is_current and regimes[-1].valid_to is None
+        for a, b in zip(regimes, regimes[1:]):
+            assert a.valid_to == b.valid_from  # contiguous, no gap/overlap
+            assert a.attr != b.attr or (a.attr is None) != (b.attr is None)
+
+
+@given(rows=CDC_LOG)
+@settings(**SETTINGS)
+def test_latest_snapshot_agrees_with_scd2_current_regime(spark, rows):
+    """Cross-operator consistency: latest_snapshot's surviving attribute
+    equals the scd2 open regime's attribute for every non-tombstoned key
+    (two independent phrasings of 'the latest state')."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.cdc import (
+        latest_snapshot,
+        scd2_history,
+    )
+
+    data = [
+        (k, BASE + dt.timedelta(hours=off), i, attr)
+        for i, (k, off, attr) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "k long, ts timestamp, event_id long, attr string"
+    )
+    snap = {
+        r.k: r.attr
+        for r in latest_snapshot(
+            df, "k", "ts", "event_id", F.lit(False), ["attr"]
+        ).collect()
+    }
+    current = {
+        r.k: r.attr
+        for r in scd2_history(df, "k", "ts", "attr", "event_id", "attr")
+        .filter(F.col("is_current"))
+        .collect()
+    }
+    assert snap == current
+
+
+@given(rows=CDC_LOG)
+@settings(**SETTINGS)
+def test_snapshot_diff_applied_to_old_reproduces_new(spark, rows):
+    """Roundtrip: apply the diff to the old snapshot (drop removed,
+    upsert changed, insert added) and you MUST get the new snapshot —
+    the defining property of a changelog."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.cdc import snapshot_diff
+
+    # derive two snapshots from the random log: old = even event_ids,
+    # new = odd event_ids (arbitrary, overlapping key sets, NULL attrs)
+    old_rows = {k: attr for i, (k, _o, attr) in enumerate(rows) if i % 2 == 0}
+    new_rows = {k: attr for i, (k, _o, attr) in enumerate(rows) if i % 2 == 1}
+    old = spark.createDataFrame(
+        [(k, v) for k, v in old_rows.items()], "k long, attr string"
+    )
+    new = spark.createDataFrame(
+        [(k, v) for k, v in new_rows.items()], "k long, attr string"
+    )
+    diff = snapshot_diff(old, new, ["k"], ["attr"]).collect()
+    applied = dict(old_rows)
+    for r in diff:
+        if r.diff_type == "removed":
+            applied.pop(r.k)
+        elif r.diff_type in ("added", "changed"):
+            applied[r.k] = r.new_attr
+    assert applied == new_rows

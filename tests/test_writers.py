@@ -60,3 +60,45 @@ def test_compact_controls_file_count(spark, tmp_path):
     compact(ev, 3).write.mode("overwrite").parquet(out)
     files = [p for p in __import__("pathlib").Path(out).glob("part-*.parquet")]
     assert len(files) == 3
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    # format breadth: the partitioned writer + pruning path works for ORC
+    # (builtin) exactly as for parquet
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.writers import write_partitioned
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import table
+
+    from conftest import SF_SMOKE
+
+    docs = table(spark, "documents", SF_SMOKE).limit(200)
+    out = str(tmp_path / "docs_orc")
+    write_partitioned(docs, out, ["lang"], fmt="orc")
+    back = spark.read.orc(out)
+    assert back.count() == 200
+    a = sorted((r.doc_id, r.n_chars) for r in docs.select("doc_id", "n_chars").collect())
+    b = sorted((r.doc_id, r.n_chars) for r in back.select("doc_id", "n_chars").collect())
+    assert a == b
+
+
+def test_csv_posts_read_typed_and_permissive(spark, tmp_path):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.sources.readers import read_posts_csv
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.schema import POST_SCHEMA
+
+    p = tmp_path / "posts.csv"
+    p.write_text(
+        "text,user,platform,user_followers,likes,retweets,"
+        "location_city,location_country,timestamp\n"
+        "hello world,alice,twitter,100,5,2,berlin,de,2024-01-01T00:00:00\n"
+        "not_an_int_row,bob,reddit,notint,1,1,paris,fr,2024-01-02T00:00:00\n"
+    )
+    df = read_posts_csv(spark, str(p))
+    # canonical shape: same columns and types as the JSON reader
+    assert df.schema == POST_SCHEMA or [f.name for f in df.schema.fields] == [
+        f.name for f in POST_SCHEMA.fields
+    ]
+    rows = {r.user: r for r in df.collect()}
+    assert rows["alice"].location.city == "berlin"
+    assert rows["alice"].user_followers == 100
+    # PERMISSIVE: the malformed int nulls out, the row survives
+    assert rows["bob"].user_followers is None
+    assert rows["bob"].location.country == "fr"
