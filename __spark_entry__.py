@@ -3433,6 +3433,17 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(emb, anchors, k=5)
 
 
+def q_sq8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 SQ8 storage-quantization audit (similarity.sq8_error_audit):
+    per-dimension max-abs and mean-squared reconstruction error of
+    uint8 min/max scalar quantization — the 4×-compression storage path
+    PQ is too lossy for, audited before flipping storage formats. Two
+    linear passes (per-dim stats agg → 1-row broadcast → zip_with
+    encode/decode/error → per-dim agg); fully hash-checked (HALF-UP
+    spelled as floor(x+0.5) so both engines tie-break identically)."""
+    return similarity.sq8_error_audit(_t(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks the FIRST
     # 50 entries each round; COVERAGE.md (machine-derived) shows per-query
@@ -3464,6 +3475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "part_pagerank": q_part_pagerank,
         "hard_negative_mining": q_hard_negative_mining,
+        "sq8_quantization_error": q_sq8_quantization_error,
         "last_events": q_last_events,
         "last_touch_attribution": q_last_touch_attribution,
         "lexical_diversity": q_lexical_diversity,
@@ -3496,10 +3508,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "bloom_decontamination": q_bloom_decontamination,
         "bm25_search": q_bm25_search,
-        "chunk_documents": q_chunk_documents,
         # ---- driver window boundary (first 50 above) ------------------
-        # (the 10 rows below were displaced from the window by the 10 r10
+        # (the 11 rows below were displaced from the window by the 11 r10
         #  late additions; they are r7-green and rotate in r11)
+        "chunk_documents": q_chunk_documents,
         "clean_corpus": q_clean_corpus,
         "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
         "corpus_drift": q_corpus_drift,
@@ -4268,6 +4280,28 @@ def oracle_sql() -> dict[str, str]:
                        AS rrf_score
             FROM fused
             ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+        """,
+        "sq8_quantization_error": """
+            WITH e AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE embedding IS NOT NULL AND len(embedding) > 0
+            ), s AS (
+              SELECT generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM e
+            ), st AS (
+              SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM s GROUP BY dim
+            ), err AS (
+              SELECT s.dim,
+                     CASE WHEN st.mx = st.mn THEN abs(s.x - st.mn)
+                          ELSE abs(s.x - (st.mn
+                               + floor((s.x - st.mn) / (st.mx - st.mn) * 255.0 + 0.5)
+                               * (st.mx - st.mn) / 255.0)) END AS ae
+              FROM s JOIN st ON s.dim = st.dim
+            )
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(256 AS INT) AS q_levels,
+                   ROUND(MAX(ae), 6) AS max_abs_err,
+                   ROUND(AVG(ae * ae), 9) + 0.0 AS mse
+            FROM err GROUP BY dim ORDER BY dim
         """,
         "hard_negative_mining": """
             WITH a AS (

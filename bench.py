@@ -225,6 +225,7 @@ HEADLINE = [
     "mmr_rerank",
     "part_pagerank",
     "hard_negative_mining",
+    "sq8_quantization_error",
 ]
 
 

@@ -1626,3 +1626,71 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .orderBy("anchor_id", "rank")
     )
+
+
+def sq8_error_audit(
+    embeddings: DataFrame, vec_col: str = "embedding", round_digits: int = 6
+) -> DataFrame:
+    """Scalar-quantization (SQ8) audit: encode every vector to uint8 by
+    per-dimension min/max scaling, decode back, and report per-dimension
+    reconstruction error — the storage-path companion to PQ (SQ8 is the
+    standard 4× embedding compression where PQ's codebook loss is too
+    aggressive; FAISS's ScalarQuantizer is the public reference).
+
+    Returns one row per dimension: (dim, q_levels, max_abs_err, mse) —
+    the audit a pipeline runs BEFORE flipping storage to uint8, proving
+    the reconstruction-error bound (max_abs_err ≤ span/510 + fp noise).
+
+    Shape: per-dim min/max is ONE partial hash agg (embedding_dim_stats'
+    plan) collapsed to a single broadcast row of min/max arrays; encode/
+    decode/error is a narrow zip_with map; the error reduction is one
+    partial hash agg to |dim| rows. Two linear passes, no window, no
+    join wider than the 1-row broadcast.
+
+    Determinism: quantization uses floor(x*255 + 0.5) — HALF-UP spelled
+    in floor() so Spark and any SQL oracle agree even at exact .5
+    boundaries (F.round / SQL round() differ in tie rules across
+    engines); degenerate dims (max == min) encode to 0 and decode to
+    min exactly.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    ex = embeddings.select(v.alias("v")).filter(
+        F.col("v").isNotNull() & (F.size("v") > 0)
+    )
+    stats = (
+        ex.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mn", "mx"))
+            ).alias("s")
+        )
+        .select(
+            F.transform("s", lambda t: t["mn"]).alias("mn"),
+            F.transform("s", lambda t: t["mx"]).alias("mx"),
+        )
+    )
+    # encode: q = floor((x-mn)/(mx-mn)*255 + 0.5); decode: mn + q*(mx-mn)/255
+    err = (
+        ex.crossJoin(F.broadcast(stats))
+        .select(
+            F.expr(
+                "transform(v, (x, i) -> CASE WHEN mx[i] = mn[i] THEN abs(x - mn[i]) "
+                "ELSE abs(x - (mn[i] + floor((x - mn[i]) / (mx[i] - mn[i]) * 255.0 + 0.5) "
+                "* (mx[i] - mn[i]) / 255.0)) END)"
+            ).alias("e")
+        )
+        .select(F.posexplode("e").alias("dim", "ae"))
+    )
+    return (
+        err.groupBy("dim")
+        .agg(
+            F.lit(256).cast("int").alias("q_levels"),
+            F.round(F.max("ae"), round_digits).alias("max_abs_err"),
+            (F.round(F.avg(F.col("ae") * F.col("ae")), 9) + F.lit(0.0)).alias("mse"),
+        )
+        .select(F.col("dim").cast("long").alias("dim"), "q_levels", "max_abs_err", "mse")
+        .orderBy("dim")
+    )

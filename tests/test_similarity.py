@@ -507,3 +507,22 @@ def test_hard_negatives_semantics(spark):
     assert [r.rank for r in out] == [1, 2]
     assert all(r.neg_label != r.anchor_label for r in out)
     assert all(r.neg_id != 0 and r.neg_id != 3 for r in out)
+
+
+def test_sq8_error_bound_and_degenerate_dim(spark):
+    rng = np.random.RandomState(7)
+    X = rng.normal(size=(100, 4)).astype("float32")
+    X[:, 3] = 1.5  # degenerate dim: max == min
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.dim: r for r in similarity.sq8_error_audit(df).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for d in range(3):
+        span = float(X[:, d].astype("float64").max() - X[:, d].astype("float64").min())
+        # uint8 min/max scaling reconstructs within half a quantization step
+        assert rows[d].max_abs_err <= span / 510 + 1e-9, (d, rows[d], span)
+        assert rows[d].mse > 0
+    # constant dim reconstructs exactly
+    assert rows[3].max_abs_err == 0.0 and rows[3].mse == 0.0
