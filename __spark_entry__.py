@@ -3444,6 +3444,28 @@ def q_sq8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sq8_error_audit(_t(spark, sf_dir, "embeddings"))
 
 
+def q_quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 cross-source score calibration (sampling.quantile_normalize):
+    each doc's within-SOURCE percentile rank mapped onto the GLOBAL
+    quality-score distribution — per-source scorers aren't comparable,
+    and thresholding raw scores over-prunes whichever source's scorer
+    runs pessimistic. One global exact-percentile grid (broadcast 1-row
+    array) + one per-source percent_rank window; fully hash-checked
+    (percent_rank is tie-stable, Spark percentile and DuckDB
+    quantile_cont share the p·(n−1) linear-interpolation definition,
+    fixed-form grid arithmetic, round+0.0)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score_cols(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(q["quality_score"], 6).alias("score"),
+    )
+    return sampling.quantile_normalize(
+        scored, score_col="score", group_col="source", id_col="doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness run checks the FIRST
     # 50 entries each round; COVERAGE.md (machine-derived) shows per-query
@@ -3476,6 +3498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pagerank": q_part_pagerank,
         "hard_negative_mining": q_hard_negative_mining,
         "sq8_quantization_error": q_sq8_quantization_error,
+        "quality_quantile_normalize": q_quality_quantile_normalize,
         "last_events": q_last_events,
         "last_touch_attribution": q_last_touch_attribution,
         "lexical_diversity": q_lexical_diversity,
@@ -3507,10 +3530,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_next_purchase": q_asof_next_purchase,
         "bigram_logprob": q_bigram_logprob,
         "bloom_decontamination": q_bloom_decontamination,
-        "bm25_search": q_bm25_search,
         # ---- driver window boundary (first 50 above) ------------------
-        # (the 11 rows below were displaced from the window by the 11 r10
+        # (the 12 rows below were displaced from the window by the 12 r10
         #  late additions; they are r7-green and rotate in r11)
+        "bm25_search": q_bm25_search,
         "chunk_documents": q_chunk_documents,
         "clean_corpus": q_clean_corpus,
         "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
@@ -4280,6 +4303,36 @@ def oracle_sql() -> dict[str, str]:
                        AS rrf_score
             FROM fused
             ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+        """,
+        "quality_quantile_normalize": rf"""
+            WITH scored AS (
+                SELECT doc_id, source,
+                       len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
+                       len(regexp_extract_all(lower(text), '{_STOPWORD_RE}', 1)) AS n_stop,
+                       len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
+                       length(text) AS n_chars
+                FROM documents
+            ), q AS (
+                SELECT doc_id, source,
+                       ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
+                       + LEAST((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 5.0, 1.0) * 0.4
+                       + (1.0 - LEAST((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 5.0, 1.0)) * 0.2, 6)
+                           AS score
+                FROM scored
+            ), grid AS (
+                SELECT quantile_cont(score, [0.0, 0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08, 0.09, 0.1, 0.11, 0.12, 0.13, 0.14, 0.15, 0.16, 0.17, 0.18, 0.19, 0.2, 0.21, 0.22, 0.23, 0.24, 0.25, 0.26, 0.27, 0.28, 0.29, 0.3, 0.31, 0.32, 0.33, 0.34, 0.35, 0.36, 0.37, 0.38, 0.39, 0.4, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46, 0.47, 0.48, 0.49, 0.5, 0.51, 0.52, 0.53, 0.54, 0.55, 0.56, 0.57, 0.58, 0.59, 0.6, 0.61, 0.62, 0.63, 0.64, 0.65, 0.66, 0.67, 0.68, 0.69, 0.7, 0.71, 0.72, 0.73, 0.74, 0.75, 0.76, 0.77, 0.78, 0.79, 0.8, 0.81, 0.82, 0.83, 0.84, 0.85, 0.86, 0.87, 0.88, 0.89, 0.9, 0.91, 0.92, 0.93, 0.94, 0.95, 0.96, 0.97, 0.98, 0.99, 1.0]) AS g FROM q
+            ), r AS (
+                SELECT doc_id, source, score,
+                       percent_rank() OVER (PARTITION BY source ORDER BY score) AS p
+                FROM q
+            )
+            SELECT r.doc_id, r.source, r.score,
+                   ROUND(grid.g[CAST(floor(r.p * 100) AS INT) + 1]
+                         + (r.p * 100 - floor(r.p * 100))
+                         * (grid.g[LEAST(CAST(floor(r.p * 100) AS INT) + 1, 100) + 1]
+                            - grid.g[CAST(floor(r.p * 100) AS INT) + 1]), 6)
+                       + 0.0 AS calibrated
+            FROM r CROSS JOIN grid ORDER BY r.doc_id
         """,
         "sq8_quantization_error": """
             WITH e AS (

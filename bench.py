@@ -226,6 +226,7 @@ HEADLINE = [
     "part_pagerank",
     "hard_negative_mining",
     "sq8_quantization_error",
+    "quality_quantile_normalize",
 ]
 
 

@@ -567,3 +567,70 @@ def weighted_sample(
         .select("sample_rank", id_col, weight_col)
         .orderBy("sample_rank")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str,
+    grid_points: int = 101,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cross-group quantile normalization of a score column: map each
+    row's WITHIN-group percentile rank onto the GLOBAL score
+    distribution, so scores from differently-calibrated scorers (one
+    quality model per source/language is the corpus-mixing norm) become
+    comparable before any global threshold or mixing step — filtering
+    raw scores across sources silently over-prunes whichever source's
+    scorer runs pessimistic.
+
+    Returns (id, group, score, calibrated): ``calibrated`` is the global
+    exact-percentile value at the row's within-group percent_rank,
+    linearly interpolated on a ``grid_points``-point global quantile
+    grid.
+
+    Scale shape: the global grid is ONE exact-percentile aggregate
+    (sort-based per partition, merged — Spark's ``percentile``) carried
+    as a broadcast 1-row array; per-group percent_rank is one window
+    shuffled on ``group_col`` (few-groups skew is the norm — the same
+    caveat as token_budget_mix: pre-aggregate per (group, md5-chunk) at
+    extreme scale). No global sort of the corpus — the grid bounds the
+    global-distribution cost at |grid| regardless of corpus size.
+
+    Determinism: percent_rank is tie-stable by definition (equal scores
+    share a rank); grid interpolation is fixed-form arithmetic on the
+    grid values, which both Spark ``percentile`` and an exact SQL
+    quantile (linear interpolation at p·(n−1)) compute identically;
+    output rounds (+0.0 canonicalizes negative zero).
+    """
+    ps = [i / (grid_points - 1) for i in range(grid_points)]
+    grid = df.agg(
+        F.expr(
+            f"percentile({score_col}, array({', '.join(repr(p) for p in ps)}))"
+        ).alias("grid")
+    )
+    w = Window.partitionBy(group_col).orderBy(score_col)
+    ranked = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        F.percent_rank().over(w).alias("_p"),
+    )
+    k = F.floor(F.col("_p") * (grid_points - 1)).cast("int")
+    k2 = F.least(k + 1, F.lit(grid_points - 1))
+    frac = F.col("_p") * (grid_points - 1) - k.cast("double")
+    cal = (
+        F.element_at("grid", k + 1)
+        + frac * (F.element_at("grid", k2 + 1) - F.element_at("grid", k + 1))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(grid))
+        .select(
+            id_col,
+            group_col,
+            score_col,
+            (F.round(cal, round_digits) + F.lit(0.0)).alias("calibrated"),
+        )
+        .orderBy(id_col)
+    )

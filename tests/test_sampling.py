@@ -290,3 +290,25 @@ def test_weighted_sample_is_weight_sensitive(spark):
     df = spark.createDataFrame(rows, "doc_id long, w long")
     got = {r.doc_id for r in weighted_sample(df, "w", n=10).collect()}
     assert 123 in got
+
+
+def test_quantile_normalize_calibrates_pessimistic_scorer(spark):
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import quantile_normalize
+
+    # group A scores ~ [0.8..0.95], group B's scorer is pessimistic:
+    # same underlying ranking but scores ~ [0.1..0.25]
+    rows = [(i, "A", 0.8 + i * 0.015) for i in range(11)]
+    rows += [(100 + i, "B", 0.1 + i * 0.015) for i in range(11)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {r.doc_id: r for r in quantile_normalize(df, "score", "source", "doc_id").collect()}
+    # within each group, calibration preserves the ranking (monotone)
+    for g, ids in (("A", range(11)), ("B", range(100, 111))):
+        cal = [out[i].calibrated for i in ids]
+        assert cal == sorted(cal), (g, cal)
+    # the two groups' TOP documents calibrate to the same global value
+    # (both sit at within-group percentile 1.0)
+    assert out[10].calibrated == out[110].calibrated
+    # ...and B's top doc is boosted far above its raw pessimistic score
+    assert out[110].calibrated > out[110].score + 0.3
+    # bottom docs likewise meet at percentile 0.0
+    assert out[0].calibrated == out[100].calibrated
