@@ -3306,11 +3306,23 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting doc_ids with their tfs. Skew containment is two-level
     (per-(term, doc_id%16) capped partial collect, then a ≤ 16×20-row
     merge per term) so no task ever holds a stopword's full posting
-    list. Fully hash-checked: DuckDB's ordered-list aggregate mirrors
-    the sort_array cap exactly."""
-    return corpus.inverted_index(
+    list. The posting arrays are serialized to CSV strings
+    (``array_join``, the hashtags_csv pattern) because the driver's
+    hash gate requires scalar-hashable output columns — the r10 drive
+    red-flagged the raw ``array<bigint>`` form (TypeError on list
+    cells), so the query contract is scalars-only; DuckDB's ordered
+    list aggregate mirrors the sort_array cap exactly before its own
+    array_to_string."""
+    idx = corpus.inverted_index(
         _t(spark, sf_dir, "documents"), max_postings=20, min_df=5
     )
+    return idx.select(
+        "term",
+        "df",
+        "cf",
+        F.array_join("postings_docs", ",").alias("postings_docs_csv"),
+        F.array_join("postings_tfs", ",").alias("postings_tfs_csv"),
+    ).orderBy("term")
 
 
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3472,67 +3484,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # staleness. Tiers below rotate the least-recently-driver-checked
     # queries into the window.
     raw = {
-        # -- r10 rotation window (first 50 = driver-checked this round):
-        #    the two never-driver-checked r9 additions (epoch_shard_plan,
-        #    semantic_decontamination), then every query stalest-first by
-        #    last green driver round (COVERAGE.md) -- the 27 r6-stale rows
-        #    and the 21 alphabetically-first r7 rows fill the window --
-        "epoch_shard_plan": q_epoch_shard_plan,
-        "semantic_decontamination": q_semantic_decontamination,
-        # r10 additions, hash-checkable on first drive
-        "paragraph_lang_profile": q_paragraph_lang_profile,
-        "embedding_dim_stats": q_embedding_dim_stats,
-        "streaming_update_upsert": q_streaming_update_upsert,
-        "weighted_token_sample": q_weighted_token_sample,
-        "streaming_fanout_sinks": q_streaming_fanout_sinks,
-        # r10 late additions (new capability families: hybrid retrieval,
-        # record linkage, CDC compaction), all hash-checkable first drive
-        "hybrid_search_rrf": q_hybrid_search_rrf,
-        "customer_entity_resolution": q_customer_entity_resolution,
-        "scd2_value_band": q_scd2_value_band,
-        "cdc_user_snapshot": q_cdc_user_snapshot,
+        # -- r11 rotation window (first 50 = stalest-first from
+        #    COVERAGE.md; regenerated by tools/rotate_window.py -- never
+        #    hand-curate this ordering) --
+        # tier: open red / never checked
         "inverted_index": q_inverted_index,
-        "embedding_covariance": q_embedding_covariance,
-        "orders_snapshot_diff": q_orders_snapshot_diff,
-        "mmr_rerank": q_mmr_rerank,
-        "part_pagerank": q_part_pagerank,
-        "hard_negative_mining": q_hard_negative_mining,
-        "sq8_quantization_error": q_sq8_quantization_error,
-        "quality_quantile_normalize": q_quality_quantile_normalize,
-        "last_events": q_last_events,
-        "last_touch_attribution": q_last_touch_attribution,
-        "lexical_diversity": q_lexical_diversity,
-        "media_metadata_stats": q_media_metadata_stats,
-        "monthly_order_mix": q_monthly_order_mix,
-        "nation_profit_by_year": q_nation_profit_by_year,
-        "part_supplier_counts": q_part_supplier_counts,
-        "priority_status_cube": q_priority_status_cube,
-        "quality_by_dup_status": q_quality_by_dup_status,
-        "repeat_purchase_intervals": q_repeat_purchase_intervals,
-        "returned_items": q_returned_items,
-        "rolling_active_users": q_rolling_active_users,
-        "session_bounce_rate": q_session_bounce_rate,
-        "ship_latency_audit": q_ship_latency_audit,
-        "stratified_sample": q_stratified_sample,
-        "streaming_props_buckets": q_streaming_props_buckets,
-        "supplier_diversity": q_supplier_diversity,
-        "time_to_conversion": q_time_to_conversion,
-        "token_pmi_pairs": q_token_pmi_pairs,
-        "top_event_paths": q_top_event_paths,
-        "user_concentration": q_user_concentration,
-        "user_stickiness": q_user_stickiness,
-        "users_purchase_and_error": q_users_purchase_and_error,
-        "users_purchase_no_error": q_users_purchase_no_error,
-        "value_trend_slope": q_value_trend_slope,
-        "weekly_revenue_growth": q_weekly_revenue_growth,
-        "zipf_alpha": q_zipf_alpha,
-        "approx_distinct_users": q_approx_distinct_users,
-        "asof_next_purchase": q_asof_next_purchase,
-        "bigram_logprob": q_bigram_logprob,
-        "bloom_decontamination": q_bloom_decontamination,
-        # ---- driver window boundary (first 50 above) ------------------
-        # (the 12 rows below were displaced from the window by the 12 r10
-        #  late additions; they are r7-green and rotate in r11)
+        # tier: last driver evidence r7
         "bm25_search": q_bm25_search,
         "chunk_documents": q_chunk_documents,
         "clean_corpus": q_clean_corpus,
@@ -3578,11 +3535,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers_mad": q_value_outliers_mad,
         "value_percentiles": q_value_percentiles,
         "vocab_coverage": q_vocab_coverage,
-        # demoted tier: last driver evidence r8
+        # tier: last driver evidence r8
         "ann_search_join": q_ann_search_join,
         "approx_value_percentiles": q_approx_value_percentiles,
         "benchmark_contamination": q_benchmark_contamination,
         "bpe_merge_candidates": q_bpe_merge_candidates,
+        # ---- driver window boundary (first 50 above) ------------------
+        # tier: last driver evidence r8
         "brand_market_share": q_brand_market_share,
         "brand_revenue": q_brand_revenue,
         "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
@@ -3628,7 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_windows": q_streaming_sliding_windows,
         "top_parts_per_brand": q_top_parts_per_brand,
         "top_supplier_revenue": q_top_supplier_revenue,
-        # demoted tier: last driver evidence r9
+        # tier: last driver evidence r9
         "asof_last_purchase": q_asof_last_purchase,
         "bracket_revenue": q_bracket_revenue,
         "centroid_separation": q_centroid_separation,
@@ -3679,6 +3638,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "url_domain_stats": q_url_domain_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
+        # tier: last driver evidence r10
+        "approx_distinct_users": q_approx_distinct_users,
+        "asof_next_purchase": q_asof_next_purchase,
+        "bigram_logprob": q_bigram_logprob,
+        "bloom_decontamination": q_bloom_decontamination,
+        "cdc_user_snapshot": q_cdc_user_snapshot,
+        "customer_entity_resolution": q_customer_entity_resolution,
+        "embedding_covariance": q_embedding_covariance,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "epoch_shard_plan": q_epoch_shard_plan,
+        "hard_negative_mining": q_hard_negative_mining,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
+        "last_events": q_last_events,
+        "last_touch_attribution": q_last_touch_attribution,
+        "lexical_diversity": q_lexical_diversity,
+        "media_metadata_stats": q_media_metadata_stats,
+        "mmr_rerank": q_mmr_rerank,
+        "monthly_order_mix": q_monthly_order_mix,
+        "nation_profit_by_year": q_nation_profit_by_year,
+        "orders_snapshot_diff": q_orders_snapshot_diff,
+        "paragraph_lang_profile": q_paragraph_lang_profile,
+        "part_pagerank": q_part_pagerank,
+        "part_supplier_counts": q_part_supplier_counts,
+        "priority_status_cube": q_priority_status_cube,
+        "quality_by_dup_status": q_quality_by_dup_status,
+        "quality_quantile_normalize": q_quality_quantile_normalize,
+        "repeat_purchase_intervals": q_repeat_purchase_intervals,
+        "returned_items": q_returned_items,
+        "rolling_active_users": q_rolling_active_users,
+        "scd2_value_band": q_scd2_value_band,
+        "semantic_decontamination": q_semantic_decontamination,
+        "session_bounce_rate": q_session_bounce_rate,
+        "ship_latency_audit": q_ship_latency_audit,
+        "sq8_quantization_error": q_sq8_quantization_error,
+        "stratified_sample": q_stratified_sample,
+        "streaming_fanout_sinks": q_streaming_fanout_sinks,
+        "streaming_props_buckets": q_streaming_props_buckets,
+        "streaming_update_upsert": q_streaming_update_upsert,
+        "supplier_diversity": q_supplier_diversity,
+        "time_to_conversion": q_time_to_conversion,
+        "token_pmi_pairs": q_token_pmi_pairs,
+        "top_event_paths": q_top_event_paths,
+        "user_concentration": q_user_concentration,
+        "user_stickiness": q_user_stickiness,
+        "users_purchase_and_error": q_users_purchase_and_error,
+        "users_purchase_no_error": q_users_purchase_no_error,
+        "value_trend_slope": q_value_trend_slope,
+        "weekly_revenue_growth": q_weekly_revenue_growth,
+        "weighted_token_sample": q_weighted_token_sample,
+        "zipf_alpha": q_zipf_alpha,
     }
     return {name: _released(fn) for name, fn in raw.items()}
 
@@ -4440,8 +4449,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT term,
                    CAST(COUNT(*) AS BIGINT) AS df,
                    CAST(SUM(tf) AS BIGINT) AS cf,
-                   list(doc_id ORDER BY doc_id)[1:20] AS postings_docs,
-                   list(tf ORDER BY doc_id)[1:20] AS postings_tfs
+                   array_to_string(list(doc_id ORDER BY doc_id)[1:20], ',')
+                       AS postings_docs_csv,
+                   array_to_string(list(tf ORDER BY doc_id)[1:20], ',')
+                       AS postings_tfs_csv
             FROM tf GROUP BY term
             HAVING COUNT(*) >= 5
             ORDER BY term

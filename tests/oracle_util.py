@@ -64,8 +64,42 @@ def assert_pandas_safe_types(con, sql: str):
     )
 
 
+# The driver's value hasher (pandas-based) dies with TypeError on list/dict
+# cells, so a hash-checked query must emit only scalar columns.  Round 10's
+# one red row (inverted_index) was exactly this: the local replica quietly
+# tuple-normalized array cells the driver rejects.  Mirror the driver:
+# refuse Array/Map on the Spark side and LIST/MAP/STRUCT on the DuckDB side.
+_DUCKDB_NONSCALAR_MARKERS = ("[]", "MAP(", "STRUCT(")
+
+
+def assert_hashable_schema(spark_df, con, sql: str):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad_s = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad_s, (
+        f"hash-checked query emits non-scalar Spark columns {bad_s} — the "
+        f"driver's hasher cannot digest list/map cells (r10 inverted_index "
+        f"red); array_join to CSV or explode to rows"
+    )
+    rel = con.sql(sql)
+    bad_d = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(m in str(t) for m in _DUCKDB_NONSCALAR_MARKERS)
+    ]
+    assert not bad_d, (
+        f"oracle result has non-scalar DuckDB columns {bad_d} — mirror the "
+        f"Spark side's scalar serialization (array_to_string)"
+    )
+
+
 def compare(spark_df, con, sql: str):
     assert_pandas_safe_types(con, sql)
+    assert_hashable_schema(spark_df, con, sql)
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     res = con.execute(sql)

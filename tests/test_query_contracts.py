@@ -595,3 +595,36 @@ def test_mmr_rerank_planted_redundant_held_out(spark):
     assert first.max_sim_to_selected == 0.0
     # later picks carry a real diversity penalty (non-vacuous evidence)
     assert any(r.max_sim_to_selected > 0.0 for r in rows)
+
+
+def test_compare_rejects_nonscalar_hash_checked_output(spark):
+    """r10's one red row: the driver's hasher dies on list cells, but the
+    local replica quietly tuple-normalized them, so q_inverted_index
+    passed locally and red-flagged on the driver.  Pin the divergence
+    shut: compare() must reject Array/Map/Struct columns on either side
+    BEFORE any value comparison runs."""
+    import duckdb
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from tests.oracle_util import compare
+
+    con = duckdb.connect()
+    spark_arr = spark.range(3).select("id", F.array(F.col("id")).alias("v"))
+    with _pytest.raises(AssertionError, match="non-scalar Spark"):
+        compare(spark_arr, con, "SELECT 1 AS id, 2 AS v")
+    spark_ok = spark.range(3).select("id", F.col("id").alias("v"))
+    with _pytest.raises(AssertionError, match="non-scalar DuckDB"):
+        compare(spark_ok, con, "SELECT 1 AS id, [1, 2] AS v")
+    con.close()
+
+
+def test_inverted_index_query_emits_only_scalar_columns(spark):
+    # the r10 red, fixed r11: posting arrays ride as CSV strings
+    df = entrymod.q_inverted_index(spark, SF_SMOKE)
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    assert not [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
