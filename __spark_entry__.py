@@ -3431,6 +3431,28 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("pagerank"), "part_id")
 
 
+def q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 PageRank with dangling-mass redistribution
+    (cluster.pagerank handle_dangling=True, r11): the order→part
+    bipartite graph is DIRECTED with genuine sinks — every part vertex
+    has out-degree 0, so without redistribution ~40% of the mass leaks
+    per iteration. Orders ride as negative vertex ids (orderkey ≥ 1 and
+    partkey ≥ 1, so -orderkey never collides with a partkey — no
+    sentinel-offset job needed). 3 iterations, per-iteration round-9:
+    the same unrolled-CTE hash-gating as part_pagerank, extended with a
+    per-iteration dangling-mass scalar (one 1-row aggregate per step on
+    both engines). Scale: identical to pagerank plus one linear
+    semi-join + 1-row agg per iteration."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = li.select(
+        (-F.col("l_orderkey")).alias("src"), F.col("l_partkey").alias("dst")
+    )
+    pr = cluster.pagerank(edges, iterations=3, handle_dangling=True)
+    return pr.select(
+        F.col("vertex").alias("node_id"), "pagerank"
+    ).orderBy(F.desc("pagerank"), "node_id")
+
+
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 hard-negative mining (similarity.hard_negatives) for
     contrastive training: per anchor (vec_ids 0-9, a bounded broadcast
@@ -3489,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    hand-curate this ordering) --
         # tier: open red / never checked
         "inverted_index": q_inverted_index,
+        "pagerank_dangling": q_pagerank_dangling,
         # tier: last driver evidence r7
         "bm25_search": q_bm25_search,
         "chunk_documents": q_chunk_documents,
@@ -3539,9 +3562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_search_join": q_ann_search_join,
         "approx_value_percentiles": q_approx_value_percentiles,
         "benchmark_contamination": q_benchmark_contamination,
-        "bpe_merge_candidates": q_bpe_merge_candidates,
         # ---- driver window boundary (first 50 above) ------------------
         # tier: last driver evidence r8
+        "bpe_merge_candidates": q_bpe_merge_candidates,
         "brand_market_share": q_brand_market_share,
         "brand_revenue": q_brand_revenue,
         "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
@@ -4434,6 +4457,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v AS part_id, pr AS pagerank
             FROM it3 ORDER BY pagerank DESC, part_id
+        """,
+        "pagerank_dangling": """
+            WITH e AS (
+              SELECT DISTINCT -l_orderkey AS src, l_partkey AS dst FROM lineitem
+            ), deg AS (
+              SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd FROM e GROUP BY src
+            ), verts AS (
+              SELECT DISTINCT src AS v FROM e
+              UNION SELECT DISTINCT dst AS v FROM e
+            ), n AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM verts
+            ), pr0 AS (
+              SELECT v, ROUND(1.0 / nv, 9) AS pr FROM verts, n
+            ), dm1 AS (
+              SELECT COALESCE(SUM(p.pr), 0) AS dm FROM pr0 p
+              LEFT JOIN deg d ON d.src = p.v WHERE d.src IS NULL
+            ), it1 AS (
+              SELECT vv.v,
+                     ROUND((1.0 - 0.85) / n.nv
+                           + 0.85 * COALESCE(SUM(p.pr / d.outd), 0)
+                           + 0.85 * dm1.dm / n.nv, 9) AS pr
+              FROM verts vv CROSS JOIN n CROSS JOIN dm1
+              LEFT JOIN e ON e.dst = vv.v
+              LEFT JOIN pr0 p ON p.v = e.src
+              LEFT JOIN deg d ON d.src = e.src
+              GROUP BY vv.v, n.nv, dm1.dm
+            ), dm2 AS (
+              SELECT COALESCE(SUM(p.pr), 0) AS dm FROM it1 p
+              LEFT JOIN deg d ON d.src = p.v WHERE d.src IS NULL
+            ), it2 AS (
+              SELECT vv.v,
+                     ROUND((1.0 - 0.85) / n.nv
+                           + 0.85 * COALESCE(SUM(p.pr / d.outd), 0)
+                           + 0.85 * dm2.dm / n.nv, 9) AS pr
+              FROM verts vv CROSS JOIN n CROSS JOIN dm2
+              LEFT JOIN e ON e.dst = vv.v
+              LEFT JOIN it1 p ON p.v = e.src
+              LEFT JOIN deg d ON d.src = e.src
+              GROUP BY vv.v, n.nv, dm2.dm
+            ), dm3 AS (
+              SELECT COALESCE(SUM(p.pr), 0) AS dm FROM it2 p
+              LEFT JOIN deg d ON d.src = p.v WHERE d.src IS NULL
+            ), it3 AS (
+              SELECT vv.v,
+                     ROUND((1.0 - 0.85) / n.nv
+                           + 0.85 * COALESCE(SUM(p.pr / d.outd), 0)
+                           + 0.85 * dm3.dm / n.nv, 9) AS pr
+              FROM verts vv CROSS JOIN n CROSS JOIN dm3
+              LEFT JOIN e ON e.dst = vv.v
+              LEFT JOIN it2 p ON p.v = e.src
+              LEFT JOIN deg d ON d.src = e.src
+              GROUP BY vv.v, n.nv, dm3.dm
+            )
+            SELECT v AS node_id, pr AS pagerank
+            FROM it3 ORDER BY pagerank DESC, node_id
         """,
         "inverted_index": """
             WITH toks AS (

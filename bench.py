@@ -227,6 +227,8 @@ HEADLINE = [
     "hard_negative_mining",
     "sq8_quantization_error",
     "quality_quantile_normalize",
+    # r11 additions
+    "pagerank_dangling",
 ]
 
 

@@ -96,3 +96,30 @@ def release(df: DataFrame) -> bool:
                 pass
             return True
     return False
+
+
+def free_local_checkpoint(df: DataFrame | None) -> bool:
+    """Free the executor-storage blocks behind a SUPERSEDED
+    ``localCheckpoint()`` tier (r10 ADVICE: pagerank accumulated K+1
+    checkpointed score tiers until GC). ``DataFrame.unpersist()`` cannot
+    reach them — localCheckpoint caches the RDD directly, outside the
+    CacheManager — so this walks the analyzed plan (a ``LogicalRDD``
+    after checkpointing) to the underlying RDD and unpersists it.
+
+    DESTRUCTIVE by design: a localCheckpointed frame has no lineage to
+    recompute from, so the freed frame must never be read again — only
+    call on a tier the next tier has already replaced (localCheckpoint
+    is eager, so the successor is materialized before the call). Best
+    effort: any internals change degrades to the old behavior (blocks
+    reclaimed by the ContextCleaner on GC), never an error.
+    """
+    if df is None:
+        return False
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if not plan.getClass().getName().endswith("LogicalRDD"):
+            return False
+        plan.rdd().unpersist(False)
+        return True
+    except Exception:
+        return False

@@ -91,9 +91,13 @@ def connected_components(
         ).head()
         return (row["n"], row["h"])
 
+    from ..caching import free_local_checkpoint
+
     prev = None
     for _ in range(max_iter):
+        prev_edges = edges
         edges = _small_star(_large_star(edges)).localCheckpoint()
+        free_local_checkpoint(prev_edges)  # superseded tier, blocks dead
         cur = _sig(edges)
         if cur == prev:
             break
@@ -154,12 +158,22 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     round_digits: int = 9,
+    handle_dangling: bool = False,
 ) -> DataFrame:
-    """Fixed-iteration PageRank over a directed edge list (Page/Brin 1998,
-    simplified: no dangling-mass redistribution — callers whose graphs
-    have sinks should symmetrize or pre-drop them; the co-purchase /
-    similarity graphs this engine builds are symmetric, where every
-    vertex has out-degree ≥ 1).
+    """Fixed-iteration PageRank over a directed edge list (Page/Brin 1998).
+
+    By default dangling (sink) vertices are NOT redistributed — the
+    co-purchase / similarity graphs this engine builds are symmetric,
+    where every vertex has out-degree ≥ 1, so the term is dead weight.
+    ``handle_dangling=True`` adds the standard redistribution for
+    arbitrary directed graphs: each iteration, the total score sitting
+    on out-degree-0 vertices is summed (one 1-row aggregate over the
+    |sinks|-row semi-join, carried as a broadcast scalar frame — never a
+    driver collect) and spread uniformly, so scores keep summing to ~1
+    instead of leaking mass into sinks. The extra cost is one linear
+    semi-join + 1-row agg per iteration; the per-iteration rounding
+    still pins the trajectory, so the unrolled SQL-twin hash-gating
+    technique extends to this variant unchanged.
 
     Returns (vertex, pagerank) for every vertex appearing as a source or
     destination. Each iteration's scores round to ``round_digits`` —
@@ -181,7 +195,7 @@ def pagerank(
     iterations = 2K linear shuffles, never a widening join. |V| rides
     as a broadcast 1-row frame, not a driver scalar.
     """
-    from ..caching import release, tracked_persist
+    from ..caching import free_local_checkpoint, release, tracked_persist
 
     # the distinct edge list feeds the degree agg, the vertex union AND
     # every iteration's join — persist it once (upstream may be an
@@ -202,6 +216,13 @@ def pagerank(
         .select("v", F.round(F.lit(1.0) / F.col("nv"), round_digits).alias("pr"))
         .localCheckpoint()
     )
+    dangling = None
+    if handle_dangling:
+        # sinks = vertices with no out-edge; persisted once, reused per
+        # iteration for the mass aggregate
+        dangling = tracked_persist(
+            verts.join(deg.select(F.col("src").alias("v")), on="v", how="left_anti")
+        )
     base = F.lit(1.0 - damping)
     for _ in range(iterations):
         contrib = (
@@ -210,20 +231,37 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
+        if handle_dangling:
+            dm = (
+                pr.join(dangling, on="v", how="left_semi")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+            )
+            extra = F.lit(damping) * F.col("dm") / F.col("nv")
+        else:
+            dm, extra = None, F.lit(0.0)
+        prev = pr
+        scored = verts.crossJoin(F.broadcast(nv))
+        if dm is not None:
+            scored = scored.crossJoin(F.broadcast(dm))
         pr = (
-            verts.crossJoin(F.broadcast(nv))
-            .join(contrib, verts["v"] == contrib["dst"], "left")
+            scored.join(contrib, scored["v"] == contrib["dst"], "left")
             .select(
                 "v",
                 F.round(
                     base / F.col("nv")
-                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                    + extra,
                     round_digits,
                 ).alias("pr"),
             )
             .localCheckpoint()  # eager: truncates the tier's lineage
         )
+        # the new tier is materialized; the superseded tier's blocks are
+        # dead weight in executor storage — free them now instead of at GC
+        free_local_checkpoint(prev)
     release(ed)
     release(verts)
     release(e)
+    if dangling is not None:
+        release(dangling)
     return pr.select(F.col("v").alias("vertex"), F.col("pr").alias("pagerank"))

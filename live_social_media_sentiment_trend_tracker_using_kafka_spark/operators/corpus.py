@@ -1386,13 +1386,41 @@ def paragraph_language_profile(
     )
 
 
+# Conf hooks for the inverted-index salt width (r10 VERDICT item 7: the
+# fixed n_salts=16 was the last hand-tuned skew constant).  Auto mode
+# derives one salt shard per INVERTED_INDEX_SALT_BYTES of Catalyst's input
+# size estimate: the hottest term's aggregation state is bounded by
+# N_docs / n_salts, and N_docs scales with input bytes, so bytes-per-salt
+# keeps the per-task bound flat as the corpus grows — no job, pure plan
+# stats (same zero-cost gate as plans/hints.broadcast_dim).
+INVERTED_INDEX_SALTS_CONF = "spark.graft.invertedIndexSalts"
+INVERTED_INDEX_SALT_BYTES_CONF = "spark.graft.invertedIndexSaltBytes"
+DEFAULT_SALT_BYTES = 64 * 1024 * 1024
+_MAX_AUTO_SALTS = 1024
+
+
+def _auto_salts(df: DataFrame) -> int:
+    spark = df.sparkSession
+    conf = spark.conf.get(INVERTED_INDEX_SALTS_CONF, None)
+    if conf is not None:
+        return max(1, int(conf))
+    per = int(spark.conf.get(INVERTED_INDEX_SALT_BYTES_CONF, None) or DEFAULT_SALT_BYTES)
+    try:
+        from ..plans.hints import estimated_plan_bytes
+
+        est = estimated_plan_bytes(df)
+    except Exception:
+        return 16  # no estimate (streaming side etc.): the old default
+    return min(_MAX_AUTO_SALTS, max(1, -(-est // per)))
+
+
 def inverted_index(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_postings: int = 100,
     min_df: int = 2,
-    n_salts: int = 16,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Build an inverted index over the corpus: per term, document
     frequency, collection frequency, and a doc_id-ordered posting list
@@ -1407,8 +1435,14 @@ def inverted_index(
     at most n_salts × max_postings pre-capped rows — the same
     salted-partial pattern as skew.salted_join, applied to collect_list.
     A single-level ``collect_list`` per term would hold the hottest
-    term's ENTIRE posting list in one task; raise ``n_salts`` with
-    corpus size to keep the bound flat.
+    term's ENTIRE posting list in one task. ``n_salts=None`` (default)
+    scales the width with the corpus automatically: the
+    ``spark.graft.invertedIndexSalts`` conf wins if set; otherwise one
+    salt per ``spark.graft.invertedIndexSaltBytes`` (default 64 MiB) of
+    Catalyst's zero-job input size estimate, so the hottest term's
+    per-task bound stays flat as the corpus grows instead of relying on
+    a hand-tuned constant. Any explicit integer pins the width (the
+    output is salt-width invariant — pinned by test).
 
     Shuffles: one (term, doc_id) hash agg (map-side combinable tf), one
     (term, salt) agg, one |terms|-row merge agg. df/cf are exact longs;
@@ -1416,6 +1450,8 @@ def inverted_index(
     deterministic on any engine (doc_id is unique per term after the tf
     agg).
     """
+    if n_salts is None:
+        n_salts = _auto_salts(df)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_tokens_col(F.col(text_col))).alias("term"),

@@ -602,8 +602,13 @@ def quantile_normalize(
     share a rank); grid interpolation is fixed-form arithmetic on the
     grid values, which both Spark ``percentile`` and an exact SQL
     quantile (linear interpolation at p·(n−1)) compute identically;
-    output rounds (+0.0 canonicalizes negative zero).
+    output rounds (+0.0 canonicalizes negative zero). NULL scores are
+    dropped up front (r10 ADVICE): engines disagree on where NULL sorts
+    in a rank window (Spark first, DuckDB last) while ``percentile``
+    skips them — a NULL score has no percentile, so it has no calibrated
+    value; left-join the output back to recover unscored rows.
     """
+    df = df.filter(F.col(score_col).isNotNull())
     ps = [i / (grid_points - 1) for i in range(grid_points)]
     grid = df.agg(
         F.expr(

@@ -1532,6 +1532,20 @@ def mmr_rerank(
     )
 
     def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        # r10 ADVICE: fail EARLY and NAMED on the two shapes that would
+        # otherwise surface as an opaque Arrow traceback from np.linalg —
+        # an empty candidate batch and ragged/mixed-width vectors
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                columns=[id_col, "mmr_rank", "relevance", "max_sim_to_selected"]
+            )
+        widths = {len(v) for v in pdf[vec_col]}
+        if len(widths) != 1:
+            raise ValueError(
+                f"mmr_rerank: candidate vectors have mixed widths "
+                f"{sorted(widths)[:5]} — every {vec_col} must share one "
+                f"dimension (the embedding-table contract)"
+            )
         ids = pdf[id_col].to_numpy()
         rel = np.round(pdf[score_col].to_numpy(dtype=np.float64), round_digits)
         X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
@@ -1593,13 +1607,20 @@ def hard_negatives(
     Self-exclusion: an anchor never returns itself (id inequality), and
     same-label rows are filtered BEFORE the top-k, so the output is
     k true negatives per anchor (fewer only if the corpus runs out).
+
+    NULL labels are excluded EXPLICITLY on both sides (r10 ADVICE): the
+    mismatch predicate ``neg_label != anchor_label`` is NULL-rejecting
+    in SQL anyway, so a NULL-labeled anchor silently returned zero
+    negatives — indistinguishable from "corpus ran out". The filters
+    below make the non-null-label contract visible in the plan; the
+    DuckDB twin's semantics are identical either way.
     """
-    a = anchors.select(
+    a = anchors.filter(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("anchor_id"),
         F.col(vec_col).alias("anchor_vec"),
         F.col(label_col).alias("anchor_label"),
     )
-    c = corpus.select(
+    c = corpus.filter(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("neg_id"),
         F.col(vec_col).alias("neg_vec"),
         F.col(label_col).alias("neg_label"),

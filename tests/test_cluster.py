@@ -113,3 +113,47 @@ def test_pagerank_duplicate_edges_collapse(spark):
     a = sorted((r.vertex, r.pagerank) for r in pagerank(e1, iterations=3).collect())
     b = sorted((r.vertex, r.pagerank) for r in pagerank(e2, iterations=3).collect())
     assert a == b
+
+
+def test_pagerank_dangling_conserves_mass_and_matches_numpy(spark):
+    """handle_dangling=True on a graph with a sink: total mass stays ~1
+    (the default leaks it), and the trajectory matches an independent
+    numpy power iteration with the same per-step rounding."""
+    import numpy as np
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.cluster import pagerank
+
+    # 0 -> 1 -> 2, 0 -> 2; vertex 2 is a sink
+    edges = [(0, 1), (1, 2), (0, 2)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    iters, d, rd = 4, 0.85, 9
+
+    got = {r.vertex: r.pagerank for r in
+           pagerank(e, iterations=iters, handle_dangling=True).collect()}
+    leaky = {r.vertex: r.pagerank for r in
+             pagerank(e, iterations=iters, handle_dangling=False).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert sum(leaky.values()) < 0.95  # the default genuinely leaks here
+
+    # independent twin: dense power iteration, same rounding each step
+    n = 3
+    out = {0: [1, 2], 1: [2], 2: []}
+    pr = np.round(np.full(n, 1 / n), rd)
+    for _ in range(iters):
+        inflow = np.zeros(n)
+        for u, vs in out.items():
+            for v in vs:
+                inflow[v] += pr[u] / len(vs)
+        dm = sum(pr[u] for u, vs in out.items() if not vs)
+        pr = np.round((1 - d) / n + d * inflow + d * dm / n, rd)
+    assert got == {i: pr[i] for i in range(n)}
+
+
+def test_pagerank_dangling_noop_on_sinkless_graph(spark):
+    # with no sinks the option must not change the trajectory
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.cluster import pagerank
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    a = sorted((r.vertex, r.pagerank) for r in pagerank(e, iterations=4).collect())
+    b = sorted((r.vertex, r.pagerank) for r in
+               pagerank(e, iterations=4, handle_dangling=True).collect())
+    assert a == b

@@ -620,3 +620,39 @@ def test_inverted_index_salting_invariant(spark):
     ka = {(r.term, tuple(r.postings_docs), tuple(r.postings_tfs), r.df, r.cf) for r in a}
     kb = {(r.term, tuple(r.postings_docs), tuple(r.postings_tfs), r.df, r.cf) for r in b}
     assert ka == kb and ka
+
+
+def test_inverted_index_salt_conf_and_auto(spark):
+    """n_salts=None reads spark.graft.invertedIndexSalts when set, else
+    derives a width from the Catalyst size estimate; every width yields
+    identical output (salt-width invariance is already pinned above)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " + ("gamma " * (i % 3))) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    spark.conf.set(C.INVERTED_INDEX_SALTS_CONF, "3")
+    try:
+        assert C._auto_salts(docs) == 3
+    finally:
+        spark.conf.unset(C.INVERTED_INDEX_SALTS_CONF)
+    # no conf: derived from plan bytes, >= 1, capped
+    auto = C._auto_salts(docs)
+    assert 1 <= auto <= C._MAX_AUTO_SALTS
+    # the derivation scales with the per-salt byte budget: a budget the
+    # size of the whole input -> 1 salt; a tenth of it -> ~10, capped
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.plans.hints import estimated_plan_bytes
+
+    est = estimated_plan_bytes(docs)
+    for budget, expect in [(est, 1), (max(1, est // 10), 10)]:
+        spark.conf.set(C.INVERTED_INDEX_SALT_BYTES_CONF, str(budget))
+        try:
+            got = C._auto_salts(docs)
+        finally:
+            spark.conf.unset(C.INVERTED_INDEX_SALT_BYTES_CONF)
+        assert abs(got - expect) <= 1, (budget, got, expect)
+    # end-to-end: auto mode output == pinned-width output
+    a = sorted(map(tuple, C.inverted_index(docs, min_df=1).collect()))
+    b = sorted(map(tuple, C.inverted_index(docs, min_df=1, n_salts=5).collect()))
+    assert a == b

@@ -70,3 +70,104 @@ def test_tie_on_distance_breaks_on_clean_id(spark):
         dirty, clean, ["blk"], "did", "dname", "cid", "cname", 2
     ).collect()
     assert len(out) == 1 and out[0].cid == 5 and out[0].distance == 1
+
+
+def test_hot_block_guard_is_recall_exact_and_warns(spark):
+    """Force the hot-block gate with a tiny cap: the length-banded split
+    must return EXACTLY the ungated result (the Levenshtein length bound
+    makes banding lossless), including matches whose length difference
+    equals the full budget (one band apart), and it must warn."""
+    import warnings
+
+    dirty, clean = _frames(spark)
+    # add a budget-edge pair inside the hot block: len diff == 2 == budget
+    clean2 = clean.union(
+        spark.createDataFrame([("us", "b1", 5, "acme corp xy")], clean.columns)
+    )
+    dirty2 = dirty.union(
+        spark.createDataFrame([("us", "b1", 105, "acme corp xyzz")], dirty.columns)
+    )
+    args = (dirty2, clean2, ["country", "blk"], "did", "dname", "cid", "cname", 2)
+    ungated = {
+        (r.did, r.cid, r.distance)
+        for r in linkage.blocked_edit_resolve(*args, max_block_pairs=None).collect()
+    }
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        gated = {
+            (r.did, r.cid, r.distance)
+            for r in linkage.blocked_edit_resolve(*args, max_block_pairs=1).collect()
+        }
+    assert gated == ungated
+    assert any("max_block_pairs" in str(x.message) for x in w)
+    # the budget-edge pair survived the banding (did 105 -> cid 5, dist 2)
+    assert (105, 5, 2) in gated
+
+
+def test_cold_path_runs_no_guard_jobs_or_warnings(spark):
+    import warnings
+
+    dirty, clean = _frames(spark)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = linkage.blocked_edit_resolve(
+            dirty, clean, ["country", "blk"], "did", "dname", "cid", "cname", 2
+        ).collect()
+    assert len(out) == 2
+    assert not [x for x in w if "max_block_pairs" in str(x.message)]
+
+
+def test_same_length_hot_block_still_exact(spark):
+    """Banding cannot split a same-length pile, but results must still be
+    exact (the guard degrades to the plain within-block pairing)."""
+    clean = spark.createDataFrame(
+        [("us", i, f"name{i:04d}") for i in range(20)], ["blk", "cid", "cname"]
+    )
+    dirty = spark.createDataFrame(
+        [("us", 100 + i, f"nxme{i:04d}") for i in range(20)], ["blk", "did", "dname"]
+    )
+    args = (dirty, clean, ["blk"], "did", "dname", "cid", "cname", 2)
+    ungated = {
+        (r.did, r.cid, r.distance)
+        for r in linkage.blocked_edit_resolve(*args, max_block_pairs=None).collect()
+    }
+    import warnings
+
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        gated = {
+            (r.did, r.cid, r.distance)
+            for r in linkage.blocked_edit_resolve(*args, max_block_pairs=10).collect()
+        }
+    assert gated == ungated and len(gated) == 20
+
+
+def test_refine_cols_split_hot_blocks_only(spark):
+    """refine_cols must refine ONLY hot blocks: a cold block whose pair
+    would be lost under the refined key must still match, while the hot
+    block's quadratic is cut and its true matches survive (the probe's
+    corruption model keeps refine attributes stable)."""
+    import warnings
+
+    # hot block "h": 20x20 same-length names, each dirty has one true
+    # match; refine digit (id % 10) is stable across corruption
+    clean_rows = [("h", i % 10, i, f"name{i:04d}") for i in range(20)]
+    dirty_rows = [("h", i % 10, 100 + i, f"nxme{i:04d}") for i in range(20)]
+    # cold block "c": refine digit DIFFERS between the pair (would be
+    # unmatchable under a global refined key) - must still match
+    clean_rows.append(("c", 3, 900, "zenith llc"))
+    dirty_rows.append(("c", 7, 901, "zenth llc"))
+    clean = spark.createDataFrame(clean_rows, ["blk", "digit", "cid", "cname"])
+    dirty = spark.createDataFrame(dirty_rows, ["blk", "digit", "did", "dname"])
+    args = (dirty, clean, ["blk"], "did", "dname", "cid", "cname", 2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = {
+            (r.did, r.cid)
+            for r in linkage.blocked_edit_resolve(
+                *args, max_block_pairs=10, refine_cols=["digit"]
+            ).collect()
+        }
+    assert any("refine_cols" in str(x.message) for x in w)
+    assert (901, 900) in out  # cold block untouched by refinement
+    assert {(100 + i, i) for i in range(20)} <= out

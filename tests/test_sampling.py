@@ -312,3 +312,22 @@ def test_quantile_normalize_calibrates_pessimistic_scorer(spark):
     assert out[110].calibrated > out[110].score + 0.3
     # bottom docs likewise meet at percentile 0.0
     assert out[0].calibrated == out[100].calibrated
+
+
+def test_quantile_normalize_drops_null_scores(spark):
+    """NULL scores have no percentile: they must be excluded up front
+    (engines disagree on NULL rank order — r10 ADVICE), and their
+    presence must not shift any non-null row's calibration."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import quantile_normalize
+
+    rows = [(i, "a" if i % 2 else "b", float(i)) for i in range(1, 21)]
+    clean = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    dirty = clean.union(
+        spark.createDataFrame(
+            [(100, "a", None), (101, "b", None)],
+            schema=clean.schema,
+        )
+    )
+    base = {r.doc_id: r.calibrated for r in quantile_normalize(clean, "score", "source", "doc_id").collect()}
+    out = {r.doc_id: r.calibrated for r in quantile_normalize(dirty, "score", "source", "doc_id").collect()}
+    assert out == base  # nulls absent, non-null calibration unchanged
