@@ -281,9 +281,16 @@ def main() -> None:
     from live_social_media_sentiment_trend_tracker_using_kafka_spark import caching
 
     qs = entrymod.queries()
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c reruns a suspect subset isolated — the
+    # documented diagnosis step for cross-round deltas (machine-load
+    # inflation looks exactly like a regression; see PLANS.md r10)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
+    )
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qs[name]
         reps: list[float] = []
         for _ in range(REPS):
@@ -324,7 +331,9 @@ def main() -> None:
     # in-repo, then print a final line guaranteed to fit the capture window:
     # slowest queries first until the budget is spent, plus a pointer.
     repo = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo, "BENCH_LOCAL.json"), "w") as f:
+    # a BENCH_ONLY diagnosis run must not clobber the full record
+    out_name = "BENCH_LOCAL_SUBSET.json" if only else "BENCH_LOCAL.json"
+    with open(os.path.join(repo, out_name), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")
     print(json.dumps(payload))  # full record first — survives un-truncated logs

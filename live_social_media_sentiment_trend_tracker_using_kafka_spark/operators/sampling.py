@@ -592,11 +592,17 @@ def quantile_normalize(
 
     Scale shape: the global grid is ONE exact-percentile aggregate
     (sort-based per partition, merged — Spark's ``percentile``) carried
-    as a broadcast 1-row array; per-group percent_rank is one window
-    shuffled on ``group_col`` (few-groups skew is the norm — the same
-    caveat as token_budget_mix: pre-aggregate per (group, md5-chunk) at
-    extreme scale). No global sort of the corpus — the grid bounds the
-    global-distribution cost at |grid| regardless of corpus size.
+    as a broadcast 1-row array. The within-group percent_rank is
+    COUNT-BASED (r11 — this closes the few-groups window-skew caveat
+    the r10 version documented): rank depends only on (group, score),
+    so a (group, score) hash agg collapses the corpus to its distinct
+    score values, ONE per-group window runs over those distinct values
+    (bounded by score cardinality — for a round-6 score in [0, 1],
+    ≤ ~1M rows per group at ANY corpus size, vs. a whole-group row sort
+    on one reducer before), and rows join back on (group, score) — a
+    well-spread key, unlike the few-groups partition. No global sort of
+    the corpus — the grid bounds the global-distribution cost at |grid|
+    regardless of corpus size.
 
     Determinism: percent_rank is tie-stable by definition (equal scores
     share a rank); grid interpolation is fixed-form arithmetic on the
@@ -615,12 +621,32 @@ def quantile_normalize(
             f"percentile({score_col}, array({', '.join(repr(p) for p in ps)}))"
         ).alias("grid")
     )
-    w = Window.partitionBy(group_col).orderBy(score_col)
-    ranked = df.select(
-        F.col(id_col),
+    # count-based percent_rank: (rows-below) / (n_group - 1) — identical
+    # to the window definition (rank - 1 = rows with a smaller score,
+    # ties share the rank), but computed over DISTINCT (group, score)
+    vals = df.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(group_col)
+    pranked = vals.select(
         F.col(group_col),
         F.col(score_col),
-        F.percent_rank().over(w).alias("_p"),
+        (F.sum("_cnt").over(w) - F.col("_cnt")).alias("_below"),
+        F.sum("_cnt").over(wg).alias("_n"),
+    ).select(
+        group_col,
+        score_col,
+        F.when(F.col("_n") > 1, F.col("_below") / (F.col("_n") - 1))
+        .otherwise(F.lit(0.0))
+        .alias("_p"),
+    )
+    ranked = df.select(F.col(id_col), F.col(group_col), F.col(score_col)).join(
+        pranked, on=[group_col, score_col]
     )
     k = F.floor(F.col("_p") * (grid_points - 1)).cast("int")
     k2 = F.least(k + 1, F.lit(grid_points - 1))
