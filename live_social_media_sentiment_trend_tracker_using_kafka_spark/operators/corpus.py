@@ -130,6 +130,7 @@ def pack_documents(
     id_col: str = "doc_id",
     shard_col: str = "source",
     max_tokens: int = 512,
+    chunks: int = 256,
 ) -> DataFrame:
     """Sequence packing: assign docs to fixed token-budget training
     sequences (id, shard, n_tokens, seq_id, seq_offset).
@@ -144,19 +145,75 @@ def pack_documents(
     sequential and not SQL-expressible — this definition is exactly
     reproducible by any engine).
 
-    Scale shape: one window cumsum partitioned by the shard key — shards
-    (sources, crawl segments) are the natural unit a 100 TB corpus is
-    already split by, so no global ordering is ever imposed.
+    Scale shape (r11 — closes the same few-groups window-skew class as
+    quantile_normalize): the r10 version ran ONE window cumsum partitioned
+    by the shard key, i.e. one reducer sorting each shard end-to-end — a
+    single-source 100 TB shard is a single-task job failure. Now the
+    running sum is a two-level distributed prefix sum: per-shard
+    ``percentile_approx`` boundaries over the id (one cheap agg, broadcast)
+    give an ORDER-PRESERVING chunk key, per-(shard, chunk) cumsums run
+    ``chunks``-way parallel, and each chunk's starting offset comes from a
+    window over the tiny |shards|·|chunks| totals table. Chunk boundaries
+    only affect parallelism, never values: any order-preserving split
+    reassembles the identical global running sum, so the output is
+    bit-for-bit chunk-count-independent (unit-pinned). Token counting runs
+    once (the slim (id, shard, n_tokens, chunk) frame is persisted), and
+    only those four columns ever shuffle — the text stays at the scan.
+
+    Contract: ids are unique within a shard (duplicate ids would make the
+    within-chunk order — and the r10 window's — nondeterministic). NULL
+    ids sort first (chunk 0), NULL shards form their own group — both
+    match the r10 window semantics via null-safe joins.
     """
-    w = (
-        Window.partitionBy(shard_col)
+    n_tok = F.size(word_tokens_col(F.col(text_col))).cast("long")
+    base = df.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
+    # order-preserving chunk key: # of per-shard approximate id-quantile
+    # boundaries <= id. Column pruning drops the token-count expression
+    # from this aggregate's scan — it reads (id, shard) only.
+    if chunks >= 2:
+        qs = [i / chunks for i in range(1, chunks)]
+        bounds = base.groupBy(F.col(shard_col).alias("_b_shard")).agg(
+            F.percentile_approx(id_col, qs, 10_000).alias("_bounds")
+        )
+        chunked = (
+            base.join(
+                F.broadcast(bounds), F.col(shard_col).eqNullSafe(F.col("_b_shard"))
+            )
+            .withColumn(
+                "_chunk",
+                F.size(F.filter("_bounds", lambda b: b <= F.col(id_col))),
+            )
+            .drop("_b_shard", "_bounds")
+        )
+    else:
+        chunked = base.withColumn("_chunk", F.lit(0))
+    chunked = tracked_persist(chunked)
+    w_in = (
+        Window.partitionBy(shard_col, "_chunk")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    n_tok = F.size(word_tokens_col(F.col(text_col))).cast("long")
+    offsets = F.broadcast(
+        chunked.groupBy(F.col(shard_col).alias("_o_shard"), F.col("_chunk").alias("_o_chunk"))
+        .agg(F.sum("n_tokens").alias("_ct"))
+        .select(
+            "_o_shard",
+            "_o_chunk",
+            F.coalesce(F.sum("_ct").over(
+                Window.partitionBy("_o_shard")
+                .orderBy("_o_chunk")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ), F.lit(0)).alias("_offset"),
+        )
+    )
     return (
-        df.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
-        .withColumn("_cum", F.sum("n_tokens").over(w))
+        chunked.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
+        .join(
+            offsets,
+            F.col(shard_col).eqNullSafe(F.col("_o_shard"))
+            & (F.col("_chunk") == F.col("_o_chunk")),
+        )
+        .withColumn("_cum", F.col("_offset") + F.col("_cum_in"))
         .select(
             id_col,
             shard_col,

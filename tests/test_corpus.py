@@ -4,7 +4,9 @@
 from __future__ import annotations
 
 import math
+import random
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
@@ -89,6 +91,75 @@ def test_pack_documents_golden(spark):
     assert (out[3]["seq_id"], out[3]["seq_offset"]) == (1, 2)
     assert (out[4]["seq_id"], out[4]["seq_offset"]) == (0, 0)
     assert out[2]["n_tokens"] == 4
+
+
+def test_pack_documents_chunk_count_independent(spark):
+    """The two-level prefix sum is bit-for-bit identical for ANY chunk
+    count (r11 scale rewrite): chunk boundaries affect parallelism only —
+    an order-preserving split reassembles the same global running sum."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        pack_documents,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join("w%d" % rng.randrange(50) for _ in range(rng.randrange(1, 12))),
+         "s%d" % (i % 3))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    outs = [
+        sorted(
+            (r["doc_id"], r["n_tokens"], r["seq_id"], r["seq_offset"])
+            for r in pack_documents(df, max_tokens=64, chunks=c).collect()
+        )
+        for c in (1, 7, 256)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 400
+
+
+def test_pack_documents_matches_single_window_reference(spark):
+    """The distributed formulation equals the textbook per-shard window
+    cumsum it replaced (the r10 implementation, kept here as the spec)."""
+    from pyspark.sql import Window
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        pack_documents,
+        word_tokens_col,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join("t%d" % rng.randrange(30) for _ in range(rng.randrange(1, 9))),
+         "src%d" % (i % 2))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"])
+        for r in df.select(
+            "doc_id",
+            "source",
+            F.size(word_tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            F.floor((F.col("_cum") - F.col("n_tokens")) / 32).alias("seq_id"),
+            ((F.col("_cum") - F.col("n_tokens")) % 32).alias("seq_offset"),
+        )
+        .collect()
+    }
+    got = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"])
+        for r in pack_documents(df, max_tokens=32, chunks=16).collect()
+    }
+    assert got == ref
 
 
 def test_line_dedup_removes_boilerplate_keeps_order(spark):
