@@ -534,3 +534,97 @@ def test_snapshot_diff_applied_to_old_reproduces_new(spark, rows):
         elif r.diff_type in ("added", "changed"):
             applied[r.k] = r.new_attr
     assert applied == new_rows
+
+
+PACK_DOCS = st.lists(
+    st.tuples(st.sampled_from(["A", "B", "C"]), st.integers(min_value=0, max_value=9)),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(docs=PACK_DOCS, chunks=st.sampled_from([1, 2, 5]))
+@settings(**SETTINGS)
+def test_pack_documents_matches_python_reference(spark, docs, chunks):
+    """The r11 two-level prefix sum equals the packing definition (docs
+    laid end-to-end in id order per shard, cut at max_tokens) for ANY
+    chunk count — chunk boundaries must never leak into values."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.corpus import (
+        pack_documents,
+    )
+
+    max_tokens = 7
+    rows = [
+        (i, " ".join(["w"] * n) if n else "", shard)
+        for i, (shard, n) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset)
+        for r in pack_documents(
+            df, max_tokens=max_tokens, chunks=chunks
+        ).collect()
+    }
+    cum: dict[str, int] = {}
+    ref = {}
+    for i, (shard, n) in enumerate(docs):  # ids ascend, so this IS id order
+        start = cum.get(shard, 0)
+        ref[i] = (n, start // max_tokens, start % max_tokens)
+        cum[shard] = start + n
+    assert got == ref
+
+
+QN_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["g0", "g1"]),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=12)),
+    ),
+    min_size=2,
+    max_size=24,
+)
+
+
+@given(rows=QN_ROWS)
+@settings(**SETTINGS)
+def test_quantile_normalize_matches_python_reference(spark, rows):
+    """The r11 count-based percent_rank equals the textbook definition
+    ((# smaller)/(n-1), ties share), NULL scores vanish without shifting
+    anyone else's calibration, and the grid interpolation matches
+    numpy's type-7 percentile."""
+    import numpy as np
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    data = [
+        (i, g, None if s is None else s / 3.0) for i, (g, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "doc_id long, source string, score double")
+    out = {
+        r.doc_id: r.calibrated
+        for r in quantile_normalize(
+            df, "score", "source", "doc_id", grid_points=11
+        ).collect()
+    }
+    scored = [(i, g, s) for i, g, s in data if s is not None]
+    if not scored:
+        assert out == {}
+        return
+    grid = np.percentile([s for _, _, s in scored], [10 * q for q in range(11)])
+    by_group: dict[str, list[float]] = {}
+    for _, g, s in scored:
+        by_group.setdefault(g, []).append(s)
+    for i, g, s in scored:
+        vals = by_group[g]
+        p = (
+            sum(1 for v in vals if v < s) / (len(vals) - 1)
+            if len(vals) > 1
+            else 0.0
+        )
+        k = int(p * 10)
+        k2 = min(k + 1, 10)
+        frac = p * 10 - k
+        want = round(grid[k] + frac * (grid[k2] - grid[k]), 6) + 0.0
+        assert abs(out[i] - want) <= 1e-6, (i, out[i], want)
+    assert set(out) == {i for i, _, _ in scored}
