@@ -890,3 +890,34 @@ def test_mmr_rerank_candidates_bounded_before_python(spark):
     plan = plan_text(df)
     assert count_plan_nodes(df, "TakeOrderedAndProject") >= 1, plan
     assert count_plan_nodes(df, "FlatMapGroupsInPandas") == 1, plan
+
+
+def test_packed_sequences_chunked_window_and_broadcasts(spark):
+    # r11 pack_documents: both control-plane sides (boundary arrays,
+    # chunk offsets) must BROADCAST-hash-join onto the data path, the
+    # cumsum window must partition by (shard, chunk) — never shard
+    # alone — and no sort-merge join may sneak onto the row stream
+    df = entrymod.q_packed_sequences(spark, SF)
+    plan = plan_text(df)
+    # the InMemoryRelation's child subtree repeats in plan TEXT (the
+    # cached bounds join renders once per consumer), so assert presence,
+    # not an exact count
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "windowspecdefinition(source" in plan and "_chunk" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert_no_python_udf(df)
+
+
+def test_quantile_normalize_rank_over_distinct_values(spark):
+    # r11 count-based percent_rank: the per-group windows run over the
+    # DISTINCT (group, score) aggregate, so a HashAggregate must sit
+    # below the Window; rows rejoin on the well-spread (group, score)
+    # key, and the 1-row grid rides a broadcast nested loop — the only
+    # allowed cross join
+    df = entrymod.q_quality_quantile_normalize(spark, SF)
+    plan = plan_text(df)
+    assert "Window" in plan and "HashAggregate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert count_plan_nodes(df, "BroadcastNestedLoopJoin") == 1, plan
+    assert_no_python_udf(df)
