@@ -130,7 +130,7 @@ def pack_documents(
     id_col: str = "doc_id",
     shard_col: str = "source",
     max_tokens: int = 512,
-    chunks: int = 256,
+    chunks: int | None = None,
 ) -> DataFrame:
     """Sequence packing: assign docs to fixed token-budget training
     sequences (id, shard, n_tokens, seq_id, seq_offset).
@@ -148,79 +148,29 @@ def pack_documents(
     Scale shape (r11 — closes the same few-groups window-skew class as
     quantile_normalize): the r10 version ran ONE window cumsum partitioned
     by the shard key, i.e. one reducer sorting each shard end-to-end — a
-    single-source 100 TB shard is a single-task job failure. Now the
-    running sum is a two-level distributed prefix sum: per-shard
-    ``percentile_approx`` boundaries over the id (one cheap agg, broadcast)
-    give an ORDER-PRESERVING chunk key, per-(shard, chunk) cumsums run
-    ``chunks``-way parallel, and each chunk's starting offset comes from a
-    window over the tiny |shards|·|chunks| totals table. Chunk boundaries
-    only affect parallelism, never values: any order-preserving split
-    reassembles the identical global running sum, so the output is
-    bit-for-bit chunk-count-independent (unit-pinned). Token counting runs
-    once (the slim (id, shard, n_tokens, chunk) frame is persisted), and
-    only those four columns ever shuffle — the text stays at the scan.
-
-    Contract: ids are unique within a shard (duplicate ids would make the
-    within-chunk order — and the r10 window's — nondeterministic). NULL
-    ids sort first (chunk 0), NULL shards form their own group — both
-    match the r10 window semantics via null-safe joins.
+    single-source 100 TB shard is a single-task job failure. The running
+    token sum is now ``window_funcs.chunked_running_sum`` (two-level
+    distributed prefix sum over order-preserving percentile_approx id
+    chunks; see its docstring for the shape and the chunk-independence /
+    NULL / id-uniqueness contract). ``chunks=None`` auto-scales the chunk
+    count with Catalyst's input-size estimate, so the worst task stays
+    bounded at any corpus size instead of riding a hand-tuned constant.
+    Token counting runs once (the slim frame is persisted inside the
+    helper) and only four slim columns ever shuffle — the text stays at
+    the scan.
     """
+    from .window_funcs import chunked_running_sum
+
     n_tok = F.size(word_tokens_col(F.col(text_col))).cast("long")
     base = df.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
-    # order-preserving chunk key: # of per-shard approximate id-quantile
-    # boundaries <= id. Column pruning drops the token-count expression
-    # from this aggregate's scan — it reads (id, shard) only.
-    if chunks >= 2:
-        qs = [i / chunks for i in range(1, chunks)]
-        bounds = base.groupBy(F.col(shard_col).alias("_b_shard")).agg(
-            F.percentile_approx(id_col, qs, 10_000).alias("_bounds")
-        )
-        chunked = (
-            base.join(
-                F.broadcast(bounds), F.col(shard_col).eqNullSafe(F.col("_b_shard"))
-            )
-            .withColumn(
-                "_chunk",
-                F.size(F.filter("_bounds", lambda b: b <= F.col(id_col))),
-            )
-            .drop("_b_shard", "_bounds")
-        )
-    else:
-        chunked = base.withColumn("_chunk", F.lit(0))
-    chunked = tracked_persist(chunked)
-    w_in = (
-        Window.partitionBy(shard_col, "_chunk")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offsets = F.broadcast(
-        chunked.groupBy(F.col(shard_col).alias("_o_shard"), F.col("_chunk").alias("_o_chunk"))
-        .agg(F.sum("n_tokens").alias("_ct"))
-        .select(
-            "_o_shard",
-            "_o_chunk",
-            F.coalesce(F.sum("_ct").over(
-                Window.partitionBy("_o_shard")
-                .orderBy("_o_chunk")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            ), F.lit(0)).alias("_offset"),
-        )
-    )
-    return (
-        chunked.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
-        .join(
-            offsets,
-            F.col(shard_col).eqNullSafe(F.col("_o_shard"))
-            & (F.col("_chunk") == F.col("_o_chunk")),
-        )
-        .withColumn("_cum", F.col("_offset") + F.col("_cum_in"))
-        .select(
-            id_col,
-            shard_col,
-            "n_tokens",
-            F.floor((F.col("_cum") - F.col("n_tokens")) / max_tokens).alias("seq_id"),
-            ((F.col("_cum") - F.col("n_tokens")) % max_tokens).alias("seq_offset"),
-        )
+    return chunked_running_sum(
+        base, [shard_col], id_col, "n_tokens", "_cum", chunks=chunks
+    ).select(
+        id_col,
+        shard_col,
+        "n_tokens",
+        F.floor((F.col("_cum") - F.col("n_tokens")) / max_tokens).alias("seq_id"),
+        ((F.col("_cum") - F.col("n_tokens")) % max_tokens).alias("seq_offset"),
     )
 
 

@@ -596,13 +596,14 @@ def quantile_normalize(
     COUNT-BASED (r11 — this closes the few-groups window-skew caveat
     the r10 version documented): rank depends only on (group, score),
     so a (group, score) hash agg collapses the corpus to its distinct
-    score values, ONE per-group window runs over those distinct values
-    (bounded by score cardinality — for a round-6 score in [0, 1],
-    ≤ ~1M rows per group at ANY corpus size, vs. a whole-group row sort
-    on one reducer before), and rows join back on (group, score) — a
-    well-spread key, unlike the few-groups partition. No global sort of
-    the corpus — the grid bounds the global-distribution cost at |grid|
-    regardless of corpus size.
+    score values, the running count over those values rides
+    ``window_funcs.chunked_running_sum`` (two-level distributed prefix
+    sum — bounded worst task even when scores are continuous
+    full-precision doubles and the distinct frame approaches corpus
+    size), and rows join back on (group, score) — a well-spread key,
+    unlike the few-groups partition. No global sort of the corpus — the
+    grid bounds the global-distribution cost at |grid| regardless of
+    corpus size.
 
     Determinism: percent_rank is tie-stable by definition (equal scores
     share a rank); grid interpolation is fixed-form arithmetic on the
@@ -623,27 +624,35 @@ def quantile_normalize(
     )
     # count-based percent_rank: (rows-below) / (n_group - 1) — identical
     # to the window definition (rank - 1 = rows with a smaller score,
-    # ties share the rank), but computed over DISTINCT (group, score)
+    # ties share the rank), but computed over DISTINCT (group, score).
+    # The running count itself rides chunked_running_sum (r11: even the
+    # distinct-values frame is unbounded when scores are continuous
+    # full-precision doubles — distinct (group, score) then approaches
+    # corpus size and a per-group window would be single-task again);
+    # group totals are one tiny agg over the helper's persisted frame.
+    from .window_funcs import chunked_running_sum
+
     vals = df.groupBy(group_col, score_col).agg(
         F.count(F.lit(1)).alias("_cnt")
     )
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(score_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = chunked_running_sum(vals, [group_col], score_col, "_cnt", "_run")
+    totals = F.broadcast(
+        run.groupBy(F.col(group_col).alias("_t_g")).agg(
+            F.sum("_cnt").alias("_n")
+        )
     )
-    wg = Window.partitionBy(group_col)
-    pranked = vals.select(
-        F.col(group_col),
-        F.col(score_col),
-        (F.sum("_cnt").over(w) - F.col("_cnt")).alias("_below"),
-        F.sum("_cnt").over(wg).alias("_n"),
-    ).select(
-        group_col,
-        score_col,
-        F.when(F.col("_n") > 1, F.col("_below") / (F.col("_n") - 1))
-        .otherwise(F.lit(0.0))
-        .alias("_p"),
+    pranked = (
+        run.join(totals, F.col(group_col).eqNullSafe(F.col("_t_g")))
+        .select(
+            group_col,
+            score_col,
+            F.when(
+                F.col("_n") > 1,
+                (F.col("_run") - F.col("_cnt")) / (F.col("_n") - 1),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("_p"),
+        )
     )
     ranked = df.select(F.col(id_col), F.col(group_col), F.col(score_col)).join(
         pranked, on=[group_col, score_col]

@@ -208,3 +208,132 @@ def distributed_cume_dist(
         )
         .drop("_chunk", "_local", "_offset", "_total")
     )
+
+
+# chunked_running_sum chunk sizing: one chunk per CHUNK_BYTES of Catalyst's
+# input-size estimate (conf-tunable, same pattern as inverted_index's
+# auto-salts) — the worst window task then holds ~CHUNK_BYTES of rows no
+# matter how large any single group grows.
+CHUNKED_SUM_CHUNKS_CONF = "spark.graft.chunkedSumChunks"
+CHUNKED_SUM_CHUNK_BYTES_CONF = "spark.graft.chunkedSumChunkBytes"
+DEFAULT_CHUNK_BYTES = 64 * 1024 * 1024
+_MAX_AUTO_CHUNKS = 4096
+
+
+def _auto_chunks(df: DataFrame) -> int:
+    spark = df.sparkSession
+    conf = spark.conf.get(CHUNKED_SUM_CHUNKS_CONF, None)
+    if conf is not None:
+        return max(1, int(conf))
+    per = int(
+        spark.conf.get(CHUNKED_SUM_CHUNK_BYTES_CONF, None) or DEFAULT_CHUNK_BYTES
+    )
+    try:
+        from ..plans.hints import estimated_plan_bytes
+
+        est = estimated_plan_bytes(df)
+    except Exception:
+        return 256  # no estimate (streaming side etc.)
+    return min(_MAX_AUTO_CHUNKS, max(16, -(-est // per)))
+
+
+def chunked_running_sum(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    chunks: int | None = None,
+) -> DataFrame:
+    """EXACT inclusive running sum of ``value_col`` in ``order_col`` order
+    within each ``part_cols`` group — without ever funneling a whole group
+    through one window task (the classic ``Window.partitionBy(few_groups)``
+    serialization this module's header forbids).
+
+    Two-level distributed prefix sum (shared by ``pack_documents`` and
+    ``quantile_normalize``): per-group ``percentile_approx`` boundaries
+    over ``order_col`` (ONE cheap column-pruned agg, broadcast) give an
+    order-preserving ``_chunk`` key; per-(group, chunk) running sums run
+    chunk-parallel; each chunk's starting offset comes from a window over
+    the tiny |groups|·|chunks| totals frame. Chunk boundaries only affect
+    parallelism, never values — any order-preserving split reassembles the
+    identical global running sum (property-pinned in tests).
+
+    ``chunks=None`` derives the count from Catalyst's input-size estimate
+    (``spark.graft.chunkedSumChunks`` / ``...chunkedSumChunkBytes`` confs)
+    so the worst task stays ~CHUNK_BYTES at any corpus size — no hand-tuned
+    parallelism constant.
+
+    Contract: ``order_col`` is numeric-comparable and unique within its
+    group (ties would make any running sum over them order-ambiguous);
+    NULL order values sort first (they land in chunk 0); NULL group keys
+    form their own group (null-safe joins throughout). The slim
+    (part_cols, order, value, chunk) projection is persisted so upstream
+    expressions (tokenizers etc.) evaluate once.
+
+    Returns ``part_cols + [order_col, value_col, out_col]``.
+    """
+    from ..caching import tracked_persist
+
+    base = df.select(*part_cols, order_col, value_col)
+    if chunks is None:
+        chunks = _auto_chunks(base)
+    b_keys = [f"_b_g{i}" for i in range(len(part_cols))]
+    if chunks >= 2:
+        qs = [i / chunks for i in range(1, chunks)]
+        bounds = base.groupBy(
+            *[F.col(c).alias(k) for c, k in zip(part_cols, b_keys)]
+        ).agg(F.percentile_approx(order_col, qs, 10_000).alias("_bounds"))
+        cond = None
+        for c, k in zip(part_cols, b_keys):
+            e = F.col(c).eqNullSafe(F.col(k))
+            cond = e if cond is None else cond & e
+        chunked = (
+            base.join(F.broadcast(bounds), cond)
+            .withColumn(
+                "_chunk",
+                F.size(F.filter("_bounds", lambda b: b <= F.col(order_col))),
+            )
+            .drop(*b_keys, "_bounds")
+        )
+    else:
+        chunked = base.withColumn("_chunk", F.lit(0))
+    chunked = tracked_persist(chunked)
+    w_in = (
+        Window.partitionBy(*part_cols, "_chunk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o_keys = [f"_o_g{i}" for i in range(len(part_cols))]
+    offsets = F.broadcast(
+        chunked.groupBy(
+            *[F.col(c).alias(k) for c, k in zip(part_cols, o_keys)],
+            F.col("_chunk").alias("_o_chunk"),
+        )
+        .agg(F.sum(value_col).alias("_ct"))
+        .select(
+            *o_keys,
+            "_o_chunk",
+            F.coalesce(
+                F.sum("_ct").over(
+                    Window.partitionBy(*o_keys)
+                    .orderBy("_o_chunk")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_offset"),
+        )
+    )
+    j = F.col("_chunk") == F.col("_o_chunk")
+    for c, k in zip(part_cols, o_keys):
+        j = j & F.col(c).eqNullSafe(F.col(k))
+    return (
+        chunked.withColumn("_cum_in", F.sum(value_col).over(w_in))
+        .join(offsets, j)
+        .select(
+            *part_cols,
+            order_col,
+            value_col,
+            (F.col("_offset") + F.col("_cum_in")).alias(out_col),
+        )
+    )

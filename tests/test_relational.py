@@ -385,3 +385,45 @@ def test_distributed_cume_dist_empty_and_null_groups(spark):
     want = df.withColumn("c", F.cume_dist().over(w))
     k = lambda r: (r["g"], r["x"], round(r["c"], 12))
     assert sorted(map(k, got.collect()), key=str) == sorted(map(k, want.collect()), key=str)
+
+
+def test_chunked_running_sum_matches_window_multi_part(spark):
+    """chunked_running_sum == the textbook inclusive window cumsum, for
+    multi-column partition keys, NULL group keys, NULL order values
+    (sort first), and any chunk count — incl. the auto (None) path."""
+    from pyspark.sql import Window
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.window_funcs import (
+        chunked_running_sum,
+    )
+
+    rows = [
+        ("a", "x", 1, 10),
+        ("a", "x", 2, 20),
+        ("a", "y", 1, 5),
+        ("b", "x", 3, 7),
+        (None, "x", 1, 3),
+        (None, "x", 4, 9),
+        ("a", None, 2, 11),
+        ("a", "x", None, 100),
+    ]
+    df = spark.createDataFrame(rows, "g1 string, g2 string, o int, v int")
+    w = (
+        Window.partitionBy("g1", "g2")
+        .orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = sorted(
+        ((r["g1"], r["g2"], r["o"], r["v"], r["run"])
+         for r in df.withColumn("run", F.sum("v").over(w)).collect()),
+        key=str,
+    )
+    for chunks in (None, 1, 3):
+        got = sorted(
+            ((r["g1"], r["g2"], r["o"], r["v"], r["run"])
+             for r in chunked_running_sum(
+                 df, ["g1", "g2"], "o", "v", "run", chunks=chunks
+             ).collect()),
+            key=str,
+        )
+        assert got == want, (chunks, got)
