@@ -685,6 +685,57 @@ def q_streaming_props_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("bucket_ts", "k_bucket")
 
 
+def q_streaming_trending_hashtags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline panel — trending hashtags — as a STREAMING
+    query (dashboard/streamlit_app.py's top-hashtags chart recomputes the
+    full history every poll; here it's P6 hashtag extraction EXPLODED into
+    a watermarked hourly windowed count, i.e. multi-row-per-event stateful
+    aggregation, then a per-window top-3 rank over the drained buckets).
+    Events carry no text, so a deterministic post text with planted tags
+    is synthesized from event fields (the q_url_domains pattern) and BOTH
+    engines run the real ``#(\\w+)`` extraction on it — the oracle is not
+    arithmetic shorthand. Same UTC-pin + NTZ-restore discipline as
+    q_streaming_time_series."""
+    from pyspark.sql import Window
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.text import (
+        extract_hashtags_col,
+    )
+
+    raw = _stream_events(spark, sf_dir)
+    with _session_tz(spark, "UTC"), _stateful_stream_partitions(spark):
+        ev = normalize_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
+        text = F.concat(
+            F.lit("check out #t"),
+            (F.col("user_id") % 13).cast("string"),
+            F.lit(" and #t"),
+            (F.col("event_id") % 7).cast("string"),
+            F.when(F.col("event_type") == "purchase", F.lit(" #deal")).otherwise(
+                F.lit("")
+            ),
+        )
+        agg = (
+            ev.withWatermark("ts", "1 hour")
+            .select("ts", F.explode(extract_hashtags_col(text)).alias("tag"))
+            .groupBy(F.window("ts", "1 hour"), "tag")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.col("window.start").cast("timestamp_ntz").alias("bucket_ts"),
+                "tag",
+                "cnt",
+            )
+        )
+        _STREAM_SEQ[0] += 1
+        name = f"stream_trending_tags_{_STREAM_SEQ[0]}"
+        out = run_available_now_to_memory(agg, spark, name, output_mode="complete")
+    w = Window.partitionBy("bucket_ts").orderBy(F.desc("cnt"), F.asc("tag"))
+    return (
+        out.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("bucket_ts", "rnk")
+    )
+
+
 def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table referential-integrity audit: orphan counts/rates for
     all four child->parent key relationships (inner joins silently drop
@@ -3512,6 +3563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tier: open red / never checked
         "inverted_index": q_inverted_index,
         "pagerank_dangling": q_pagerank_dangling,
+        "streaming_trending_hashtags": q_streaming_trending_hashtags,
         # tier: last driver evidence r7
         "bm25_search": q_bm25_search,
         "chunk_documents": q_chunk_documents,
@@ -3561,9 +3613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tier: last driver evidence r8
         "ann_search_join": q_ann_search_join,
         "approx_value_percentiles": q_approx_value_percentiles,
-        "benchmark_contamination": q_benchmark_contamination,
         # ---- driver window boundary (first 50 above) ------------------
         # tier: last driver evidence r8
+        "benchmark_contamination": q_benchmark_contamination,
         "bpe_merge_candidates": q_bpe_merge_candidates,
         "brand_market_share": q_brand_market_share,
         "brand_revenue": q_brand_revenue,
@@ -6344,6 +6396,36 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt
             FROM events GROUP BY bucket_ts, k_bucket
             ORDER BY bucket_ts, k_bucket
+        """,
+        # Both engines regexp-extract the SAME synthesized post text with
+        # the same '#(\\w+)' pattern — real extraction parity, not
+        # arithmetic shorthand. NULL event fields null the whole text on
+        # both engines (concat/|| propagate NULL) and extraction of NULL
+        # yields no tags.
+        "streaming_trending_hashtags": r"""
+            WITH t AS (
+                SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+                       unnest(regexp_extract_all(
+                           'check out #t' || CAST(user_id % 13 AS VARCHAR)
+                           || ' and #t' || CAST(event_id % 7 AS VARCHAR)
+                           || CASE WHEN event_type = 'purchase'
+                                   THEN ' #deal' ELSE '' END,
+                           '#(\w+)', 1)) AS tag
+                FROM events
+            ),
+            c AS (
+                SELECT bucket_ts, tag, COUNT(*) AS cnt
+                FROM t GROUP BY bucket_ts, tag
+            ),
+            r AS (
+                SELECT bucket_ts, tag, cnt,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY bucket_ts
+                           ORDER BY cnt DESC, tag ASC) AS BIGINT) AS rnk
+                FROM c
+            )
+            SELECT bucket_ts, tag, cnt, rnk FROM r
+            WHERE rnk <= 3 ORDER BY bucket_ts, rnk
         """,
         # Column profile: string casts are injective per engine, so the
         # null/distinct COUNTS are engine-independent even where the two

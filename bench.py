@@ -172,6 +172,7 @@ HEADLINE = [
     "events_profile",
     "weekly_revenue_growth",
     "streaming_props_buckets",
+    "streaming_trending_hashtags",
     "user_stickiness",
     "monthly_order_mix",
     "fk_integrity_audit",
