@@ -569,6 +569,104 @@ def weighted_sample(
     )
 
 
+def exact_percentile_grid(
+    df: DataFrame,
+    score_col: str,
+    grid_points: int,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """1-row frame with ``grid``: the ``grid_points`` exact type-7
+    percentiles of ``score_col`` — BIT-IDENTICAL to Spark's
+    ``percentile(score, array(...))`` but computed distributed.
+
+    Spark's exact ``percentile`` buffers EVERY value in one per-partition
+    hash map and merges them all on a single reducer — measured
+    SUPERLINEAR in distinct values (1M: 24.4 s, 3M: 220 s, PLANS.md r11)
+    and corpus-proportional single-task memory, i.e. a hard wall for
+    continuous scores at scale. Reconstruction from counts instead:
+
+    1. distinct (score, count) — a distributed hash agg;
+    2. global running count over the distinct scores via
+       ``chunked_running_sum`` (``part_cols=[]``) — each distinct score
+       owns the sorted-index span [cum−cnt, cum);
+    3. the 2·grid_points probe indices (lower/upper neighbours of
+       ``pos = p·(N−1)``) broadcast against that frame — each probe hits
+       exactly one span;
+    4. interpolate with Spark ``percentile``'s own arithmetic —
+       ``v_lo`` when the span covers both neighbours (ties short-circuit,
+       never ``v·(1−f)+v·f`` which loses a ulp), else
+       ``v_lo·(1−f) + v_hi·f`` — empirically pinned bit-equal against
+       ``F.expr("percentile(...)")`` across randomized frames
+       (tests/test_sampling.py).
+
+    Every intermediate is bounded: the probe frame is 2·grid_points rows,
+    the match output ≤ 2·grid_points rows, and the final collect_list
+    assembles one grid_points-element array.
+
+    ``counts``: optional pre-aggregated (score_col, _gcnt) frame standing
+    in for step 1 — pass it when the caller already holds value counts
+    (quantile_normalize derives it from its persisted rank frame, saving
+    a second full evaluation of the score expression over the corpus).
+    """
+    from .window_funcs import chunked_running_sum
+
+    gvals = (
+        counts
+        if counts is not None
+        else df.groupBy(score_col).agg(F.count(F.lit(1)).alias("_gcnt"))
+    )
+    grun = chunked_running_sum(gvals, [], score_col, "_gcnt", "_gcum")
+    ntot = F.broadcast(grun.agg(F.max("_gcum").alias("_N")))
+    g = grid_points - 1
+    probe = (
+        df.sparkSession.range(grid_points)
+        .select(F.col("id").alias("_i"))
+        .crossJoin(ntot)
+        .select(
+            "_i",
+            (
+                (F.col("_i").cast("double") / F.lit(float(g)))
+                * (F.col("_N") - 1).cast("double")
+            ).alias("_pos"),
+            F.col("_N"),
+        )
+        .select(
+            "_i",
+            (F.col("_pos") - F.floor("_pos")).alias("_f"),
+            F.floor("_pos").cast("long").alias("_lo"),
+            F.least(F.floor("_pos").cast("long") + 1, F.col("_N") - 1).alias("_hi"),
+        )
+    )
+    probes = probe.select(
+        "_i",
+        "_f",
+        F.explode(
+            F.array(
+                F.struct(F.lit("lo").alias("_which"), F.col("_lo").alias("_idx")),
+                F.struct(F.lit("hi").alias("_which"), F.col("_hi").alias("_idx")),
+            )
+        ).alias("_e"),
+    ).select("_i", "_f", F.col("_e._which").alias("_which"), F.col("_e._idx").alias("_idx"))
+    matched = grun.join(
+        F.broadcast(probes),
+        (F.col("_idx") >= F.col("_gcum") - F.col("_gcnt"))
+        & (F.col("_idx") < F.col("_gcum")),
+    )
+    point = F.when(F.col("_vlo") == F.col("_vhi"), F.col("_vlo")).otherwise(
+        F.col("_vlo") * (F.lit(1.0) - F.col("_f")) + F.col("_vhi") * F.col("_f")
+    )
+    return (
+        matched.groupBy("_i", "_f")
+        .agg(
+            F.min(F.when(F.col("_which") == "lo", F.col(score_col))).alias("_vlo"),
+            F.min(F.when(F.col("_which") == "hi", F.col(score_col))).alias("_vhi"),
+        )
+        .select(F.struct(F.col("_i"), point.alias("_gv")).alias("_s"))
+        .agg(F.array_sort(F.collect_list("_s")).alias("_ss"))
+        .select(F.transform("_ss", lambda s: s["_gv"]).alias("grid"))
+    )
+
+
 def quantile_normalize(
     df: DataFrame,
     score_col: str,
@@ -590,9 +688,12 @@ def quantile_normalize(
     linearly interpolated on a ``grid_points``-point global quantile
     grid.
 
-    Scale shape: the global grid is ONE exact-percentile aggregate
-    (sort-based per partition, merged — Spark's ``percentile``) carried
-    as a broadcast 1-row array. The within-group percent_rank is
+    Scale shape: the global grid is ``exact_percentile_grid`` — the
+    same values Spark's exact ``percentile`` aggregate produces, but
+    reconstructed from distinct-score counts with every intermediate
+    bounded (Spark's own implementation buffers the whole column on one
+    reducer; see that function's docstring) — carried as a broadcast
+    1-row array. The within-group percent_rank is
     COUNT-BASED (r11 — this closes the few-groups window-skew caveat
     the r10 version documented): rank depends only on (group, score),
     so a (group, score) hash agg collapses the corpus to its distinct
@@ -616,12 +717,6 @@ def quantile_normalize(
     value; left-join the output back to recover unscored rows.
     """
     df = df.filter(F.col(score_col).isNotNull())
-    ps = [i / (grid_points - 1) for i in range(grid_points)]
-    grid = df.agg(
-        F.expr(
-            f"percentile({score_col}, array({', '.join(repr(p) for p in ps)}))"
-        ).alias("grid")
-    )
     # count-based percent_rank: (rows-below) / (n_group - 1) — identical
     # to the window definition (rank - 1 = rows with a smaller score,
     # ties share the rank), but computed over DISTINCT (group, score).
@@ -640,6 +735,17 @@ def quantile_normalize(
         run.groupBy(F.col(group_col).alias("_t_g")).agg(
             F.sum("_cnt").alias("_n")
         )
+    )
+    # exact type-7 grid, reconstructed distributed — Spark's own
+    # percentile() buffers every value on one reducer (superlinear in
+    # distinct scores, measured in PLANS.md r11); bit-equal by test.
+    # Global value counts fold off the rank path's persisted frame, so
+    # the score expression evaluates over the corpus exactly once.
+    grid = exact_percentile_grid(
+        df,
+        score_col,
+        grid_points,
+        counts=run.groupBy(score_col).agg(F.sum("_cnt").alias("_gcnt")),
     )
     pranked = (
         run.join(totals, F.col(group_col).eqNullSafe(F.col("_t_g")))

@@ -267,7 +267,10 @@ def chunked_running_sum(
     Contract: ``order_col`` is numeric-comparable and unique within its
     group (ties would make any running sum over them order-ambiguous);
     NULL order values sort first (they land in chunk 0); NULL group keys
-    form their own group (null-safe joins throughout). The slim
+    form their own group (null-safe joins throughout). ``part_cols=[]``
+    is the GLOBAL running sum (one group spanning the whole frame) — the
+    boundary agg collapses to one row and the offsets window runs over
+    the ≤ |chunks| totals unpartitioned, both bounded. The slim
     (part_cols, order, value, chunk) projection is persisted so upstream
     expressions (tokenizers etc.) evaluate once.
 
@@ -288,14 +291,15 @@ def chunked_running_sum(
         for c, k in zip(part_cols, b_keys):
             e = F.col(c).eqNullSafe(F.col(k))
             cond = e if cond is None else cond & e
-        chunked = (
+        joined = (
             base.join(F.broadcast(bounds), cond)
-            .withColumn(
-                "_chunk",
-                F.size(F.filter("_bounds", lambda b: b <= F.col(order_col))),
-            )
-            .drop(*b_keys, "_bounds")
+            if part_cols
+            else base.crossJoin(F.broadcast(bounds))  # 1-row boundary frame
         )
+        chunked = joined.withColumn(
+            "_chunk",
+            F.size(F.filter("_bounds", lambda b: b <= F.col(order_col))),
+        ).drop(*b_keys, "_bounds")
     else:
         chunked = base.withColumn("_chunk", F.lit(0))
     chunked = tracked_persist(chunked)

@@ -913,11 +913,13 @@ def test_quantile_normalize_rank_over_distinct_values(spark):
     # r11 count-based percent_rank: the per-group windows run over the
     # DISTINCT (group, score) aggregate, so a HashAggregate must sit
     # below the Window; rows rejoin on the well-spread (group, score)
-    # key, and the 1-row grid rides a broadcast nested loop — the only
-    # allowed cross join
+    # key. Exactly four broadcast nested loops, every one a BOUNDED
+    # side: the 1-row grid array, the 1-row N total, the 2·grid_points
+    # probe-index range join (exact_percentile_grid), and the 1-row
+    # global boundary array (chunked_running_sum part_cols=[]).
     df = entrymod.q_quality_quantile_normalize(spark, SF)
     plan = plan_text(df)
     assert "Window" in plan and "HashAggregate" in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert count_plan_nodes(df, "BroadcastNestedLoopJoin") == 1, plan
+    assert count_plan_nodes(df, "BroadcastNestedLoopJoin") == 4, plan
     assert_no_python_udf(df)

@@ -331,3 +331,33 @@ def test_quantile_normalize_drops_null_scores(spark):
     base = {r.doc_id: r.calibrated for r in quantile_normalize(clean, "score", "source", "doc_id").collect()}
     out = {r.doc_id: r.calibrated for r in quantile_normalize(dirty, "score", "source", "doc_id").collect()}
     assert out == base  # nulls absent, non-null calibration unchanged
+
+
+def test_exact_percentile_grid_bit_equal_to_spark_percentile(spark):
+    """The distributed grid reconstruction must be BIT-equal to Spark's
+    exact percentile() aggregate — including tie spans, where Spark
+    short-circuits to the value instead of interpolating (v*(1-f)+v*f
+    loses a ulp). Randomized frames incl. N=1, N=2, heavy ties."""
+    import random
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import (
+        exact_percentile_grid,
+    )
+
+    rng = random.Random(11)
+    cases = [[0.5], [0.25, 0.75]]
+    for _ in range(4):
+        n = rng.randrange(3, 50)
+        xs = [rng.choice([rng.random(), round(rng.random(), 1)]) for _ in range(n)]
+        cases.append(xs)
+    for gp in (5, 101):
+        for xs in cases:
+            df = spark.createDataFrame([(x,) for x in xs], "score double")
+            ps = [i / (gp - 1) for i in range(gp)]
+            want = df.agg(
+                F.expr(
+                    f"percentile(score, array({', '.join(repr(p) for p in ps)}))"
+                ).alias("g")
+            ).collect()[0]["g"]
+            got = exact_percentile_grid(df, "score", gp).collect()[0]["grid"]
+            assert list(got) == list(want), (gp, xs[:5], len(xs))
