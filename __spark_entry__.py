@@ -337,17 +337,22 @@ def q_latest_events_display(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation) per event type."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
-            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
-        )
-        .orderBy("event_type")
+    """Exact percentiles (linear interpolation) per event type — the
+    distributed counts reconstruction (sampling.exact_percentiles), not
+    Spark's percentile() whose per-group buffer is the r11-measured
+    superlinear cliff; bit-identical values by test."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import (
+        exact_percentiles,
     )
+
+    ev = _t(spark, sf_dir, "events")
+    pc = exact_percentiles(ev, ["event_type"], "value", [0.5, 0.95, 0.99])
+    return pc.select(
+        "event_type",
+        F.round(F.element_at("pcts", 1), 6).alias("p50"),
+        F.round(F.element_at("pcts", 2), 6).alias("p95"),
+        F.round(F.element_at("pcts", 3), 6).alias("p99"),
+    ).orderBy("event_type")
 
 
 def q_clean_corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2175,13 +2180,21 @@ def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy budget (asserted in tests/test_query_contracts.py). At scale
     the sketch replaces the exact percentile's full per-group sort state
     with bounded-memory mergeable summaries."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import (
+        exact_percentiles,
+    )
+
     ev = _t(spark, sf_dir, "events")
     approx = ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.95], 10_000).alias("ap")
     )
-    exact = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("e50"),
-        F.percentile("value", F.lit(0.95)).alias("e95"),
+    # the exact side rides the distributed counts reconstruction — the
+    # whole point of this audit is scale, and percentile()'s per-group
+    # buffer is itself the r11-measured superlinear cliff
+    exact = exact_percentiles(ev, ["event_type"], "value", [0.5, 0.95]).select(
+        "event_type",
+        F.element_at("pcts", 1).alias("e50"),
+        F.element_at("pcts", 2).alias("e95"),
     )
     rel = lambda a, e: F.round(F.abs(a - e) / F.greatest(F.abs(e), F.lit(1e-9)), 6)  # noqa: E731
     return (

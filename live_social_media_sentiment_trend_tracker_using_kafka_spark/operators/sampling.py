@@ -198,21 +198,27 @@ def quality_percentile_filter(
 
     Relative (per-group) thresholds beat one global cutoff when languages
     have different score distributions — the standard way corpus filters
-    avoid wiping out whole languages. ``approx=True`` switches to
-    ``approx_percentile`` (t-digest sketch, single-pass mergeable) — the
-    100 TB path when exact per-group percentiles get hot; same plan shape,
-    not oracle-exact.
+    avoid wiping out whole languages. The exact cutoff rides
+    ``exact_percentiles`` (distributed counts reconstruction — Spark's
+    ``percentile()`` buffers each language's whole score multiset on one
+    reducer, the r11-measured superlinear cliff); ``approx=True``
+    switches to ``approx_percentile`` (t-digest sketch, single-pass
+    mergeable, not oracle-exact) when a sketch is preferred.
     """
     q = quality_score_cols(F.col(text_col))
     scored = df.select(
         F.col(id_col), F.col(lang_col), q["quality_score"].alias("quality_score")
     )
-    agg = (
-        F.percentile("quality_score", F.lit(pct))
-        if not approx
-        else F.approx_percentile("quality_score", F.lit(pct), F.lit(10000))
-    )
-    cut = scored.groupBy(lang_col).agg(agg.alias("cutoff"))
+    if approx:
+        cut = scored.groupBy(lang_col).agg(
+            F.approx_percentile("quality_score", F.lit(pct), F.lit(10000)).alias(
+                "cutoff"
+            )
+        )
+    else:
+        cut = exact_percentiles(
+            scored, [lang_col], "quality_score", [pct]
+        ).select(lang_col, F.element_at("pcts", 1).alias("cutoff"))
     return (
         scored.join(F.broadcast(cut), lang_col)
         .filter(F.col("quality_score") >= F.col("cutoff"))
@@ -569,68 +575,76 @@ def weighted_sample(
     )
 
 
-def exact_percentile_grid(
+def exact_percentiles(
     df: DataFrame,
-    score_col: str,
-    grid_points: int,
+    part_cols: list[str],
+    value_col: str,
+    percentages: list[float],
     counts: DataFrame | None = None,
+    out_col: str = "pcts",
 ) -> DataFrame:
-    """1-row frame with ``grid``: the ``grid_points`` exact type-7
-    percentiles of ``score_col`` — BIT-IDENTICAL to Spark's
-    ``percentile(score, array(...))`` but computed distributed.
+    """Per-``part_cols``-group exact type-7 percentiles of ``value_col``
+    — BIT-IDENTICAL to Spark's ``groupBy(...).agg(percentile(value,
+    array(...)))`` but computed distributed. Returns one row per group:
+    ``part_cols + [out_col: array<double>]`` in ``percentages`` order
+    (``part_cols=[]`` → one global row).
 
-    Spark's exact ``percentile`` buffers EVERY value in one per-partition
-    hash map and merges them all on a single reducer — measured
-    SUPERLINEAR in distinct values (1M: 24.4 s, 3M: 220 s, PLANS.md r11)
-    and corpus-proportional single-task memory, i.e. a hard wall for
-    continuous scores at scale. Reconstruction from counts instead:
+    Spark's exact ``percentile`` buffers EVERY value of a group in one
+    hash map and merges the group's whole multiset on a single reducer —
+    measured SUPERLINEAR in distinct values (1M doubles: 24.4 s, 3M:
+    220 s, 10M: DNF — PLANS.md r11) with group-proportional single-task
+    memory: a hard wall for continuous values under few groups (the
+    per-event-type / per-language shapes). Reconstruction from counts:
 
-    1. distinct (score, count) — a distributed hash agg;
-    2. global running count over the distinct scores via
-       ``chunked_running_sum`` (``part_cols=[]``) — each distinct score
-       owns the sorted-index span [cum−cnt, cum);
-    3. the 2·grid_points probe indices (lower/upper neighbours of
-       ``pos = p·(N−1)``) broadcast against that frame — each probe hits
-       exactly one span;
+    1. distinct (group, value) counts — a distributed hash agg;
+    2. per-group running count over the distinct values via
+       ``chunked_running_sum`` — each distinct value owns the sorted-
+       index span [cum−cnt, cum) of its group;
+    3. per group, the 2·|percentages| probe indices (lower/upper
+       neighbours of ``pos = p·(N−1)``) broadcast against those spans —
+       each probe hits exactly one span;
     4. interpolate with Spark ``percentile``'s own arithmetic —
-       ``v_lo`` when the span covers both neighbours (ties short-circuit,
-       never ``v·(1−f)+v·f`` which loses a ulp), else
+       ``v_lo`` when the span covers both neighbours (ties
+       short-circuit; ``v·(1−f)+v·f`` would lose a ulp), else
        ``v_lo·(1−f) + v_hi·f`` — empirically pinned bit-equal against
-       ``F.expr("percentile(...)")`` across randomized frames
-       (tests/test_sampling.py).
+       ``F.expr("percentile(...)")`` on randomized frames, global and
+       grouped (tests/test_sampling.py).
 
-    Every intermediate is bounded: the probe frame is 2·grid_points rows,
-    the match output ≤ 2·grid_points rows, and the final collect_list
-    assembles one grid_points-element array.
+    Regime: the probe broadcast is |groups|·2·|percentages| rows — built
+    for LOW group cardinality, exactly where the vanilla grouped
+    percentile serializes each group through one reducer. At high group
+    cardinality the vanilla aggregate is already parallel — use it.
 
-    ``counts``: optional pre-aggregated (score_col, _gcnt) frame standing
-    in for step 1 — pass it when the caller already holds value counts
-    (quantile_normalize derives it from its persisted rank frame, saving
-    a second full evaluation of the score expression over the corpus).
+    ``counts``: optional pre-aggregated ``part_cols + [value_col,
+    _gcnt]`` frame standing in for step 1 — pass it when the caller
+    already holds value counts (quantile_normalize folds this off its
+    persisted rank frame, so the score expression evaluates once).
     """
     from .window_funcs import chunked_running_sum
 
     gvals = (
         counts
         if counts is not None
-        else df.groupBy(score_col).agg(F.count(F.lit(1)).alias("_gcnt"))
+        else df.groupBy(*part_cols, value_col).agg(
+            F.count(F.lit(1)).alias("_gcnt")
+        )
     )
-    grun = chunked_running_sum(gvals, [], score_col, "_gcnt", "_gcum")
-    ntot = F.broadcast(grun.agg(F.max("_gcum").alias("_N")))
-    g = grid_points - 1
+    grun = chunked_running_sum(gvals, part_cols, value_col, "_gcnt", "_gcum")
+    t_keys = [f"_t_g{i}" for i in range(len(part_cols))]
+    totals = grun.groupBy(
+        *[F.col(c).alias(k) for c, k in zip(part_cols, t_keys)]
+    ).agg(F.max("_gcum").alias("_N"))
+    ps_arr = F.array(*[F.lit(float(p)) for p in percentages])
     probe = (
-        df.sparkSession.range(grid_points)
-        .select(F.col("id").alias("_i"))
-        .crossJoin(ntot)
+        totals.select(*t_keys, "_N", F.posexplode(ps_arr).alias("_i", "_p"))
         .select(
+            *t_keys,
             "_i",
-            (
-                (F.col("_i").cast("double") / F.lit(float(g)))
-                * (F.col("_N") - 1).cast("double")
-            ).alias("_pos"),
-            F.col("_N"),
+            "_N",
+            (F.col("_p") * (F.col("_N") - 1).cast("double")).alias("_pos"),
         )
         .select(
+            *t_keys,
             "_i",
             (F.col("_pos") - F.floor("_pos")).alias("_f"),
             F.floor("_pos").cast("long").alias("_lo"),
@@ -638,6 +652,7 @@ def exact_percentile_grid(
         )
     )
     probes = probe.select(
+        *t_keys,
         "_i",
         "_f",
         F.explode(
@@ -646,24 +661,51 @@ def exact_percentile_grid(
                 F.struct(F.lit("hi").alias("_which"), F.col("_hi").alias("_idx")),
             )
         ).alias("_e"),
-    ).select("_i", "_f", F.col("_e._which").alias("_which"), F.col("_e._idx").alias("_idx"))
-    matched = grun.join(
-        F.broadcast(probes),
-        (F.col("_idx") >= F.col("_gcum") - F.col("_gcnt"))
-        & (F.col("_idx") < F.col("_gcum")),
+    ).select(
+        *t_keys, "_i", "_f",
+        F.col("_e._which").alias("_which"),
+        F.col("_e._idx").alias("_idx"),
     )
+    cond = (F.col("_idx") >= F.col("_gcum") - F.col("_gcnt")) & (
+        F.col("_idx") < F.col("_gcum")
+    )
+    for c, k in zip(part_cols, t_keys):
+        cond = F.col(c).eqNullSafe(F.col(k)) & cond
+    matched = grun.join(F.broadcast(probes), cond)
     point = F.when(F.col("_vlo") == F.col("_vhi"), F.col("_vlo")).otherwise(
         F.col("_vlo") * (F.lit(1.0) - F.col("_f")) + F.col("_vhi") * F.col("_f")
     )
     return (
-        matched.groupBy("_i", "_f")
+        matched.groupBy(*part_cols, "_i", "_f")
         .agg(
-            F.min(F.when(F.col("_which") == "lo", F.col(score_col))).alias("_vlo"),
-            F.min(F.when(F.col("_which") == "hi", F.col(score_col))).alias("_vhi"),
+            F.min(F.when(F.col("_which") == "lo", F.col(value_col))).alias("_vlo"),
+            F.min(F.when(F.col("_which") == "hi", F.col(value_col))).alias("_vhi"),
         )
-        .select(F.struct(F.col("_i"), point.alias("_gv")).alias("_s"))
-        .agg(F.array_sort(F.collect_list("_s")).alias("_ss"))
-        .select(F.transform("_ss", lambda s: s["_gv"]).alias("grid"))
+        .groupBy(*part_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_i"), point.alias("_gv")))
+            ).alias("_ss")
+        )
+        .select(
+            *part_cols,
+            F.transform("_ss", lambda s: s["_gv"]).alias(out_col),
+        )
+    )
+
+
+def exact_percentile_grid(
+    df: DataFrame,
+    score_col: str,
+    grid_points: int,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """1-row frame with ``grid``: the ``grid_points``-point exact global
+    percentile grid of ``score_col`` — ``exact_percentiles`` with
+    ``part_cols=[]`` at the evenly spaced grid percentages."""
+    ps = [i / (grid_points - 1) for i in range(grid_points)]
+    return exact_percentiles(
+        df, [], score_col, ps, counts=counts, out_col="grid"
     )
 
 

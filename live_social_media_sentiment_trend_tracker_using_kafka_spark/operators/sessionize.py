@@ -271,10 +271,17 @@ def rfm_segments(events: DataFrame) -> DataFrame:
         "freq",
         "cents",
     )
-    q = metrics.agg(
-        F.percentile("rec", F.lit([0.25, 0.5, 0.75])).alias("qr"),
-        F.percentile("freq", F.lit([0.25, 0.5, 0.75])).alias("qf"),
-        F.percentile("cents", F.lit([0.25, 0.5, 0.75])).alias("qm"),
+    # quartiles via the distributed counts reconstruction — Spark's exact
+    # percentile() buffers all |users| values per column on one reducer
+    # (cents is effectively continuous; r11-measured superlinear cliff);
+    # bit-identical values, three 1-row frames cross-joined
+    from .sampling import exact_percentiles
+
+    quartiles = [0.25, 0.5, 0.75]
+    q = (
+        exact_percentiles(metrics, [], "rec", quartiles, out_col="qr")
+        .crossJoin(exact_percentiles(metrics, [], "freq", quartiles, out_col="qf"))
+        .crossJoin(exact_percentiles(metrics, [], "cents", quartiles, out_col="qm"))
     )
 
     def points(col, bounds):

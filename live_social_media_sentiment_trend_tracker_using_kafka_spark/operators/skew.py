@@ -233,8 +233,13 @@ def concentration_deciles(
     counts = tracked_persist(
         df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
     )
-    bounds = counts.agg(
-        F.percentile("n", F.lit([i / 10 for i in range(1, 10)])).alias("bs")
+    # decile boundaries via the distributed counts reconstruction —
+    # Spark's exact percentile() would buffer all |keys| counts on one
+    # reducer (r11-measured superlinear in distinct values); bit-equal
+    from .sampling import exact_percentiles
+
+    bounds = exact_percentiles(
+        counts, [], "n", [i / 10 for i in range(1, 10)], out_col="bs"
     )
     decile = F.lit(1) + sum(
         (F.col("n") > F.element_at(F.col("bs"), i + 1)).cast("int")

@@ -489,7 +489,13 @@ def test_r5_eighth_batch_jvm_side_and_exchange_budget(spark):
         df = qs[name](spark, SF_SMOKE)
         assert_no_python_udf(df)
         n = count_hash_exchanges(spark, df)
-        assert 1 <= n <= 3, f"{name}: {n} hash exchanges (budget 3)"
+        # user_concentration's budget rose in r11: decile boundaries now
+        # ride exact_percentiles (distributed counts reconstruction) —
+        # the corpus still crosses ONE exchange (the per-key counts agg,
+        # persisted); every added exchange carries the distinct-counts /
+        # probe / chunk-totals frames, all post-aggregation scale
+        budget = 15 if name == "user_concentration" else 3
+        assert 1 <= n <= budget, f"{name}: {n} hash exchanges (budget {budget})"
         assert "CartesianProduct" not in plan_text(df), name
     assert_broadcast_join(qs["supplier_diversity"](spark, SF_SMOKE), expected=1)
 
@@ -913,13 +919,13 @@ def test_quantile_normalize_rank_over_distinct_values(spark):
     # r11 count-based percent_rank: the per-group windows run over the
     # DISTINCT (group, score) aggregate, so a HashAggregate must sit
     # below the Window; rows rejoin on the well-spread (group, score)
-    # key. Exactly four broadcast nested loops, every one a BOUNDED
-    # side: the 1-row grid array, the 1-row N total, the 2·grid_points
-    # probe-index range join (exact_percentile_grid), and the 1-row
-    # global boundary array (chunked_running_sum part_cols=[]).
+    # key. Exactly three broadcast nested loops, every one a BOUNDED
+    # side: the 1-row grid array, the 2·grid_points probe-index range
+    # join (exact_percentiles), and the 1-row global boundary array
+    # (chunked_running_sum part_cols=[]).
     df = entrymod.q_quality_quantile_normalize(spark, SF)
     plan = plan_text(df)
     assert "Window" in plan and "HashAggregate" in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert count_plan_nodes(df, "BroadcastNestedLoopJoin") == 4, plan
+    assert count_plan_nodes(df, "BroadcastNestedLoopJoin") == 3, plan
     assert_no_python_udf(df)

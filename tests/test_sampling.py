@@ -361,3 +361,33 @@ def test_exact_percentile_grid_bit_equal_to_spark_percentile(spark):
             ).collect()[0]["g"]
             got = exact_percentile_grid(df, "score", gp).collect()[0]["grid"]
             assert list(got) == list(want), (gp, xs[:5], len(xs))
+
+
+def test_exact_percentiles_grouped_bit_equal(spark):
+    """Grouped reconstruction == groupBy().agg(percentile(...)) bit-for-
+    bit, incl. NULL group keys, single-row groups, arbitrary (unsorted)
+    percentage lists."""
+    import random
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import (
+        exact_percentiles,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    for g in ("a", "b", None):
+        n = {"a": 17, "b": 1, None: 29}[g]
+        rows += [(g, rng.choice([rng.random(), round(rng.random(), 1)])) for _ in range(n)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = [0.5, 0.05, 0.99, 0.25]
+    want = {
+        r["g"]: list(r["w"])
+        for r in df.groupBy("g")
+        .agg(F.expr(f"percentile(v, array({', '.join(repr(p) for p in ps)}))").alias("w"))
+        .collect()
+    }
+    got = {
+        r["g"]: list(r["pcts"])
+        for r in exact_percentiles(df, ["g"], "v", ps).collect()
+    }
+    assert got == want

@@ -94,7 +94,15 @@ def test_rfm_segments_scores(spark):
     # u1: most stale, least frequent, lowest spend -> (1, 1, 1)
     assert (1, 1, 1) in segs and segs[(1, 1, 1)].n_users == 1
     plan = rfm_segments(ev)._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan  # quartiles via broadcast percentiles, not ntile
+    # quartiles via broadcast percentiles, not a single-partition ntile;
+    # the only windows allowed are exact_percentiles' chunk-partitioned
+    # running sums (r11) — never an unpartitioned rank over users
+    import re
+
+    assert not re.search(r"\bntile\(", plan)  # \b: don't match percentile(
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_chunk" in line or "_o_chunk" in line, line
 
 
 def test_lone_problem_suppliers_semantics_and_plan(spark):
