@@ -3570,63 +3570,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # staleness. Tiers below rotate the least-recently-driver-checked
     # queries into the window.
     raw = {
-        # -- r11 rotation window (first 50 = stalest-first from
+        # -- r12 rotation window (first 50 = stalest-first from
         #    COVERAGE.md; regenerated by tools/rotate_window.py -- never
         #    hand-curate this ordering) --
-        # tier: open red / never checked
-        "inverted_index": q_inverted_index,
-        "pagerank_dangling": q_pagerank_dangling,
-        "streaming_trending_hashtags": q_streaming_trending_hashtags,
-        # tier: last driver evidence r7
-        "bm25_search": q_bm25_search,
-        "chunk_documents": q_chunk_documents,
-        "clean_corpus": q_clean_corpus,
-        "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
-        "corpus_drift": q_corpus_drift,
-        "cosine_near_dups": q_cosine_near_dups,
-        "cusum_changepoints": q_cusum_changepoints,
-        "daily_distinct_users": q_daily_distinct_users,
-        "discount_quantity_corr": q_discount_quantity_corr,
-        "embedding_outliers": q_embedding_outliers,
-        "event_type_pivot": q_event_type_pivot,
-        "excess_shipment_suppliers": q_excess_shipment_suppliers,
-        "hash_split": q_hash_split,
-        "incremental_near_dups": q_incremental_near_dups,
-        "knn_graph": q_knn_graph,
-        "latest_events_display": q_latest_events_display,
-        "line_dedup": q_line_dedup,
-        "lsh_similarity_topk": q_lsh_similarity_topk,
-        "media_features": q_media_features,
-        "media_near_dups": q_media_near_dups,
-        "media_resize": q_media_resize,
-        "order_value_bands": q_order_value_bands,
-        "priority_source_dedup": q_priority_source_dedup,
-        "quality_percentile_filter": q_quality_percentile_filter,
-        "range_join_windows": q_range_join_windows,
-        "rolling_anomalies": q_rolling_anomalies,
-        "seasonality_index": q_seasonality_index,
-        "semantic_near_dups": q_semantic_near_dups,
-        "source_shingle_overlap": q_source_shingle_overlap,
-        "span_corruption_stats": q_span_corruption_stats,
-        "streaming_dedup_daily": q_streaming_dedup_daily,
-        "streaming_static_enrich": q_streaming_static_enrich,
-        "streaming_user_value_stats": q_streaming_user_value_stats,
-        "streaming_view_purchase_join": q_streaming_view_purchase_join,
-        "streaming_view_purchase_left_join": q_streaming_view_purchase_left_join,
-        "temperature_mix": q_temperature_mix,
-        "text_normalization": q_text_normalization,
-        "time_series_gapfill": q_time_series_gapfill,
-        "token_budget_mix": q_token_budget_mix,
-        "unigram_logprob": q_unigram_logprob,
-        "user_sessions": q_user_sessions,
-        "value_histogram": q_value_histogram,
-        "value_outliers_mad": q_value_outliers_mad,
-        "value_percentiles": q_value_percentiles,
-        "vocab_coverage": q_vocab_coverage,
-        # tier: last driver evidence r8
-        "ann_search_join": q_ann_search_join,
-        "approx_value_percentiles": q_approx_value_percentiles,
-        # ---- driver window boundary (first 50 above) ------------------
+        # tier: plan rewritten — locally verified, pending re-drive
+        "packed_sequences": q_packed_sequences,
+        "quality_quantile_normalize": q_quality_quantile_normalize,
+        "rfm_segments": q_rfm_segments,
+        "user_concentration": q_user_concentration,
         # tier: last driver evidence r8
         "benchmark_contamination": q_benchmark_contamination,
         "bpe_merge_candidates": q_bpe_merge_candidates,
@@ -3674,6 +3625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "streaming_sliding_windows": q_streaming_sliding_windows,
         "top_parts_per_brand": q_top_parts_per_brand,
+        # ---- driver window boundary (first 50 above) ------------------
+        # tier: last driver evidence r8
         "top_supplier_revenue": q_top_supplier_revenue,
         # tier: last driver evidence r9
         "asof_last_purchase": q_asof_last_purchase,
@@ -3702,13 +3655,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "label_cosine_report": q_label_cosine_report,
         "lang_confusion": q_lang_confusion,
-        "packed_sequences": q_packed_sequences,
         "pii_redaction": q_pii_redaction,
         "posts_enrichment": q_posts_enrichment,
         "pq_topk": q_pq_topk,
         "pricing_summary": q_pricing_summary,
         "repetition_stats": q_repetition_stats,
-        "rfm_segments": q_rfm_segments,
         "sentiment_label_counts": q_sentiment_label_counts,
         "session_stats": q_session_stats,
         "shipping_priority": q_shipping_priority,
@@ -3751,7 +3702,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_supplier_counts": q_part_supplier_counts,
         "priority_status_cube": q_priority_status_cube,
         "quality_by_dup_status": q_quality_by_dup_status,
-        "quality_quantile_normalize": q_quality_quantile_normalize,
         "repeat_purchase_intervals": q_repeat_purchase_intervals,
         "returned_items": q_returned_items,
         "rolling_active_users": q_rolling_active_users,
@@ -3768,7 +3718,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_to_conversion": q_time_to_conversion,
         "token_pmi_pairs": q_token_pmi_pairs,
         "top_event_paths": q_top_event_paths,
-        "user_concentration": q_user_concentration,
         "user_stickiness": q_user_stickiness,
         "users_purchase_and_error": q_users_purchase_and_error,
         "users_purchase_no_error": q_users_purchase_no_error,
@@ -3776,6 +3725,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "weighted_token_sample": q_weighted_token_sample,
         "zipf_alpha": q_zipf_alpha,
+        # tier: last driver evidence r11
+        "ann_search_join": q_ann_search_join,
+        "approx_value_percentiles": q_approx_value_percentiles,
+        "bm25_search": q_bm25_search,
+        "chunk_documents": q_chunk_documents,
+        "clean_corpus": q_clean_corpus,
+        "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
+        "corpus_drift": q_corpus_drift,
+        "cosine_near_dups": q_cosine_near_dups,
+        "cusum_changepoints": q_cusum_changepoints,
+        "daily_distinct_users": q_daily_distinct_users,
+        "discount_quantity_corr": q_discount_quantity_corr,
+        "embedding_outliers": q_embedding_outliers,
+        "event_type_pivot": q_event_type_pivot,
+        "excess_shipment_suppliers": q_excess_shipment_suppliers,
+        "hash_split": q_hash_split,
+        "incremental_near_dups": q_incremental_near_dups,
+        "inverted_index": q_inverted_index,
+        "knn_graph": q_knn_graph,
+        "latest_events_display": q_latest_events_display,
+        "line_dedup": q_line_dedup,
+        "lsh_similarity_topk": q_lsh_similarity_topk,
+        "media_features": q_media_features,
+        "media_near_dups": q_media_near_dups,
+        "media_resize": q_media_resize,
+        "order_value_bands": q_order_value_bands,
+        "pagerank_dangling": q_pagerank_dangling,
+        "priority_source_dedup": q_priority_source_dedup,
+        "quality_percentile_filter": q_quality_percentile_filter,
+        "range_join_windows": q_range_join_windows,
+        "rolling_anomalies": q_rolling_anomalies,
+        "seasonality_index": q_seasonality_index,
+        "semantic_near_dups": q_semantic_near_dups,
+        "source_shingle_overlap": q_source_shingle_overlap,
+        "span_corruption_stats": q_span_corruption_stats,
+        "streaming_dedup_daily": q_streaming_dedup_daily,
+        "streaming_static_enrich": q_streaming_static_enrich,
+        "streaming_trending_hashtags": q_streaming_trending_hashtags,
+        "streaming_user_value_stats": q_streaming_user_value_stats,
+        "streaming_view_purchase_join": q_streaming_view_purchase_join,
+        "streaming_view_purchase_left_join": q_streaming_view_purchase_left_join,
+        "temperature_mix": q_temperature_mix,
+        "text_normalization": q_text_normalization,
+        "time_series_gapfill": q_time_series_gapfill,
+        "token_budget_mix": q_token_budget_mix,
+        "unigram_logprob": q_unigram_logprob,
+        "user_sessions": q_user_sessions,
+        "value_histogram": q_value_histogram,
+        "value_outliers_mad": q_value_outliers_mad,
+        "value_percentiles": q_value_percentiles,
+        "vocab_coverage": q_vocab_coverage,
     }
     return {name: _released(fn) for name, fn in raw.items()}
 

@@ -67,6 +67,45 @@ def test_local_verify_expires_on_later_driver_record():
     assert cl.open_reds(folded3, {}) == ([], [])
 
 
+def test_live_pending_redrive_queue():
+    """A LOCAL_VERIFY entry is a live pending-re-drive marker while the
+    driver has not written any record for the query since the local
+    verification (``as_of_round``); a later driver row — green OR red —
+    supersedes it (r11 VERDICT items 1/8). Live entries force the query
+    to staleness 0 so the next rotation window re-drives the rewritten
+    plan."""
+    folded = {
+        "rewritten": {"green": [(9, "hash")], "red": [], "last_green": 9},
+        "redriven": {"green": [(9, "hash"), (11, "hash")], "red": [],
+                     "last_green": 11},
+        "re_redded": {"green": [(9, "hash")], "red": [11], "last_green": 9},
+    }
+    lv = {
+        "rewritten": {"as_of_round": 10},
+        "redriven": {"as_of_round": 10},
+        "re_redded": {"as_of_round": 10},
+        "never_driven": {"as_of_round": 10},
+    }
+    assert cl.live_pending(folded, lv) == ["never_driven", "rewritten"]
+    # legacy records without as_of_round fall back to fixed_after_round
+    assert cl.live_pending(folded, {"rewritten": {"fixed_after_round": 10}}) \
+        == ["rewritten"]
+
+
+def test_rotation_fronts_pending_redrive_queries():
+    """The four r11-rewritten percentile queries must occupy the front of
+    the r12 window until the driver re-hashes their new plans; once
+    LOCAL_VERIFY prunes them (post-re-drive), this pins that rotation
+    ordering stays consistent between COVERAGE.md and queries()."""
+    folded = cl.fold(cl.load_rounds())
+    lv = cl.load_local_verify()
+    live = [n for n in cl.live_pending(folded, lv)
+            if n in set(cl.registry_names())]
+    window = cl.registry_names()[:50]
+    for n in live:
+        assert n in window, f"pending-re-drive query {n} fell out of the window"
+
+
 def test_driver_window_boundary_is_exactly_50():
     """The external driver hash-checks only the FIRST 50 entries of
     queries() per round; the registry's boundary comment documents which

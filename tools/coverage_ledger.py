@@ -85,6 +85,50 @@ def load_local_verify(repo: str = REPO) -> dict[str, dict]:
         return json.load(f)
 
 
+def live_pending(folded: dict[str, dict],
+                 local_verify: dict[str, dict] | None = None) -> list[str]:
+    """Queries whose CURRENT plan has passed the full local replica of the
+    driver compare but has no driver evidence yet — the pending-re-drive
+    queue (r11 VERDICT items 1/8).
+
+    An entry is live while the driver has not verified the query since the
+    local verification: ``last_green <= as_of_round`` (``as_of_round`` is
+    the latest folded driver round when ``tools/local_verify.py`` ran).
+    Once the driver writes a later green/red row the entry is moot and
+    ``prune_local_verify`` drops it.  Live entries sort at staleness 0 in
+    the rotation so rewritten plans always re-drive next round.
+    """
+    lv = local_verify or {}
+    out = []
+    for n, rec in lv.items():
+        as_of = rec.get("as_of_round", rec.get("fixed_after_round", 0))
+        row = folded.get(n)
+        last = max(
+            (row["last_green"] or 0) if row else 0,
+            max(row["red"], default=0) if row else 0,
+        )
+        if last <= as_of:
+            out.append(n)
+    return sorted(out)
+
+
+def prune_local_verify(repo: str = REPO) -> list[str]:
+    """Drop LOCAL_VERIFY entries superseded by a later driver record, so
+    the file stays a live queue, not a log (r11 VERDICT item 8).
+    Returns the pruned names; rewrites the file only when something fell."""
+    path = os.path.join(repo, "LOCAL_VERIFY.json")
+    lv = load_local_verify(repo)
+    if not lv:
+        return []
+    live = set(live_pending(fold(load_rounds(repo)), lv))
+    dead = sorted(set(lv) - live)
+    if dead:
+        with open(path, "w") as f:
+            json.dump({n: lv[n] for n in live}, f, indent=1, sort_keys=True)
+            f.write("\n")
+    return dead
+
+
 def open_reds(folded: dict[str, dict], local_verify: dict[str, dict] | None = None):
     """(still_open, pending) — red-after-last-green rows, split by whether
     a local verification newer than the last red covers them."""
@@ -134,7 +178,9 @@ def render(folded: dict[str, dict], registry: list[str]) -> str:
         if folded[n]["green"] and all(k == "rows" for _, k in folded[n]["green"])
     )
     known_folded = {n: folded[n] for n in known}
-    open_red, pending = open_reds(known_folded, load_local_verify())
+    lv = load_local_verify()
+    open_red, pending = open_reds(known_folded, lv)
+    redrive = [n for n in live_pending(folded, lv) if n in reg_set]
     lines += [
         f"- Registered queries: **{len(registry)}**; ever driver-checked: "
         f"**{len(known)}**; never checked: **{len(never)}**"
@@ -148,12 +194,21 @@ def render(folded: dict[str, dict], registry: list[str]) -> str:
             else ""
         ),
         f"- Latest driver round folded: **r{latest}**",
+    ]
+    if redrive:
+        lines.append(
+            "- Plan rewritten since last driver evidence — locally verified, "
+            f"pending re-drive (forced to window front): {', '.join(redrive)}"
+        )
+    lines += [
         "",
         "| query | green rounds | last green | window slot |",
         "|---|---|---|---|",
     ]
+    redrive_set = set(redrive)
+
     def sort_key(n: str):
-        return (folded[n]["last_green"] or 0, n)
+        return (0 if n in redrive_set else (folded[n]["last_green"] or 0), n)
 
     for n in sorted(known, key=sort_key):
         row = folded[n]

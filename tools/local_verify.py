@@ -27,8 +27,14 @@ def main() -> int:
     if len(sys.argv) < 2:
         print(__doc__)
         return 2
-    names = sys.argv[1:]
     sys.path.insert(0, REPO)
+    if sys.argv[1] == "--prune":
+        from tools import coverage_ledger as cl
+
+        dead = cl.prune_local_verify()
+        print(f"pruned {len(dead)} superseded entries: {', '.join(dead) or '—'}")
+        return 0
+    names = sys.argv[1:]
     sys.path.insert(0, os.path.join(REPO, "tests"))
     import __spark_entry__ as entrymod
     from tools import coverage_ledger as cl
@@ -51,7 +57,7 @@ def main() -> int:
         capture_output=True, text=True,
     ).stdout.strip()
     path = os.path.join(REPO, "LOCAL_VERIFY.json")
-    records = json.load(open(path)) if os.path.exists(path) else {}
+    as_of = max(cl.load_rounds(), default=0)
     for name in names:
         if name not in queries:
             print(f"{name}: not a registered query")
@@ -63,16 +69,20 @@ def main() -> int:
         df = queries[name](spark, SF_DIR)
         compare(df, con, sql)  # raises on any mismatch
         reds = folded.get(name, {}).get("red") or [0]
+        # write incrementally so a later name's mismatch doesn't discard
+        # earlier passes (r11 ADVICE)
+        records = json.load(open(path)) if os.path.exists(path) else {}
         records[name] = {
             "fixed_after_round": max(reds),
+            "as_of_round": as_of,
             "commit": commit,
             "sf_dir": SF_DIR,
             "tz": os.environ.get("TZ", ""),
         }
+        with open(path, "w") as f:
+            json.dump(records, f, indent=1, sort_keys=True)
+            f.write("\n")
         print(f"{name}: hash-green vs oracle at {SF_DIR} (commit {commit})")
-    with open(path, "w") as f:
-        json.dump(records, f, indent=1, sort_keys=True)
-        f.write("\n")
     print(f"wrote {path}")
     return 0
 
