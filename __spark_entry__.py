@@ -2668,19 +2668,15 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection per event_type: |value - median| > 5 * MAD
     (median absolute deviation) — the quality-gate shape for metric columns
-    (z-scores break on heavy tails; MAD does not). Two grouped exact-median
-    passes + a broadcast threshold join back; every flagged row
-    oracle-checked."""
+    (z-scores break on heavy tails; MAD does not). Both grouped medians
+    ride sampling.grouped_median_mad (exact_percentiles reconstruction —
+    F.median IS the exact Percentile(0.5) single-reducer cliff over the
+    few event_type groups, r12) + a broadcast threshold join back; every
+    flagged row oracle-checked."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import grouped_median_mad
+
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
-    mad = (
-        ev.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.first("med").alias("med"),
-            F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
-        )
-    )
+    mad = grouped_median_mad(ev, ["event_type"], "value")
     return (
         ev.join(F.broadcast(mad), "event_type")
         .filter(F.abs(F.col("value") - F.col("med")) > 5 * F.col("mad"))
@@ -2834,16 +2830,12 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, the stream never shuffles — and flags in-flight the rows more
     than 5 MADs from their type median. The streamed flags must equal the
     batch value_outliers_mad computation row for row."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import grouped_median_mad
+
     ev_batch = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    med = ev_batch.groupBy("event_type").agg(F.median("value").alias("med"))
-    mad = (
-        ev_batch.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.first("med").alias("med"),
-            F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
-        )
-    )
+    # exact median/MAD via the distributed reconstruction (F.median is the
+    # exact-Percentile single-reducer cliff over few groups, r12)
+    mad = grouped_median_mad(ev_batch, ["event_type"], "value")
     with _session_tz(spark, "UTC"), _stateful_stream_partitions(spark):
         stream = (
             normalize_ts(_stream_events(spark, sf_dir))
@@ -3574,10 +3566,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    COVERAGE.md; regenerated by tools/rotate_window.py -- never
         #    hand-curate this ordering) --
         # tier: plan rewritten — locally verified, pending re-drive
+        "label_cosine_report": q_label_cosine_report,
         "packed_sequences": q_packed_sequences,
+        "quality_percentile_filter": q_quality_percentile_filter,
         "quality_quantile_normalize": q_quality_quantile_normalize,
         "rfm_segments": q_rfm_segments,
+        "streaming_static_enrich": q_streaming_static_enrich,
         "user_concentration": q_user_concentration,
+        "value_outliers_mad": q_value_outliers_mad,
+        "value_percentiles": q_value_percentiles,
         # tier: last driver evidence r8
         "benchmark_contamination": q_benchmark_contamination,
         "bpe_merge_candidates": q_bpe_merge_candidates,
@@ -3620,13 +3617,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_status_rollup": q_priority_status_rollup,
         "promo_revenue_share": q_promo_revenue_share,
         "rolling_sketch_users": q_rolling_sketch_users,
+        # ---- driver window boundary (first 50 above) ------------------
+        # tier: last driver evidence r8
         "running_revenue": q_running_revenue,
         "small_quantity_revenue": q_small_quantity_revenue,
         "split_leakage": q_split_leakage,
         "streaming_sliding_windows": q_streaming_sliding_windows,
         "top_parts_per_brand": q_top_parts_per_brand,
-        # ---- driver window boundary (first 50 above) ------------------
-        # tier: last driver evidence r8
         "top_supplier_revenue": q_top_supplier_revenue,
         # tier: last driver evidence r9
         "asof_last_purchase": q_asof_last_purchase,
@@ -3653,7 +3650,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "key_skew_audit": q_key_skew_audit,
         "label_centroids": q_label_centroids,
-        "label_cosine_report": q_label_cosine_report,
         "lang_confusion": q_lang_confusion,
         "pii_redaction": q_pii_redaction,
         "posts_enrichment": q_posts_enrichment,
@@ -3753,7 +3749,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_bands": q_order_value_bands,
         "pagerank_dangling": q_pagerank_dangling,
         "priority_source_dedup": q_priority_source_dedup,
-        "quality_percentile_filter": q_quality_percentile_filter,
         "range_join_windows": q_range_join_windows,
         "rolling_anomalies": q_rolling_anomalies,
         "seasonality_index": q_seasonality_index,
@@ -3761,7 +3756,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_shingle_overlap": q_source_shingle_overlap,
         "span_corruption_stats": q_span_corruption_stats,
         "streaming_dedup_daily": q_streaming_dedup_daily,
-        "streaming_static_enrich": q_streaming_static_enrich,
         "streaming_trending_hashtags": q_streaming_trending_hashtags,
         "streaming_user_value_stats": q_streaming_user_value_stats,
         "streaming_view_purchase_join": q_streaming_view_purchase_join,
@@ -3773,8 +3767,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "user_sessions": q_user_sessions,
         "value_histogram": q_value_histogram,
-        "value_outliers_mad": q_value_outliers_mad,
-        "value_percentiles": q_value_percentiles,
         "vocab_coverage": q_vocab_coverage,
     }
     return {name: _released(fn) for name, fn in raw.items()}

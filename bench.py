@@ -232,6 +232,26 @@ HEADLINE = [
     "pagerank_dangling",
 ]
 
+# Load sentinel (r11 VERDICT item 4): two consecutive rounds of bench-total
+# inflation were adjudicated "environmental" from manual isolated reruns —
+# the record should carry its own evidence. The bench stamps /proc/loadavg
+# at start and end and runs a fixed CALIBRATION query (pricing_summary: one
+# pushed-filter scan + hash agg, plan untouched since r1) before and after
+# the run; noise_index = mean(calibration) / the committed idle-machine
+# reference min. ~1.0 = idle machine; >>1 = concurrent load inflating
+# every number in this record. Only meaningful at sf0.1 (the reference's
+# scale) — other SFs record the raw calibration times with a null index.
+CALIBRATION_QUERY = "pricing_summary"
+CALIBRATION_REF_SEC = 0.66  # idle-machine min at sf0.1 (r11 driver record)
+
+
+def _loadavg() -> list[float] | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except Exception:
+        return None
+
 
 def compact_line(payload: dict, budget: int = 1900) -> str:
     """Final stdout line sized for the driver's tail capture (~2000 chars):
@@ -282,6 +302,19 @@ def main() -> None:
     from live_social_media_sentiment_trend_tracker_using_kafka_spark import caching
 
     qs = entrymod.queries()
+
+    def calibrate() -> float:
+        fn = qs[CALIBRATION_QUERY]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        caching.release_all()
+        spark.sparkContext._jvm.System.gc()
+        return round(best, 3)
+
+    load_start, cal_start = _loadavg(), calibrate()
     # SPARK_GRAFT_BENCH_ONLY=a,b,c reruns a suspect subset isolated — the
     # documented diagnosis step for cross-round deltas (machine-load
     # inflation looks exactly like a regression; see PLANS.md r10)
@@ -311,12 +344,18 @@ def main() -> None:
         # index frames on the next hit.
         caching.release_all()
         spark.sparkContext._jvm.System.gc()
+    cal_end, load_end = calibrate(), _loadavg()
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    noise = (
+        round((cal_start + cal_end) / 2 / CALIBRATION_REF_SEC, 2)
+        if sf_val == 0.1
+        else None
+    )
     payload = {
         "metric": "headline_queries_total_time",
         "value": total,
@@ -325,6 +364,15 @@ def main() -> None:
         "queries_spread": spreads,
         "reps": REPS,
         "sf": sf_val,
+        "load_start": load_start,
+        "load_end": load_end,
+        "calibration": {
+            "query": CALIBRATION_QUERY,
+            "start_sec": cal_start,
+            "end_sec": cal_end,
+            "ref_sec": CALIBRATION_REF_SEC,
+            "noise_index": noise,
+        },
     }
     # The driver records only the LAST ~2000 chars of stdout; the full
     # ~110-query map is ~4 KB, so a single full-payload line gets its head

@@ -1411,7 +1411,9 @@ def _auto_salts(df: DataFrame) -> int:
     conf = spark.conf.get(INVERTED_INDEX_SALTS_CONF, None)
     if conf is not None:
         return max(1, int(conf))
-    per = int(spark.conf.get(INVERTED_INDEX_SALT_BYTES_CONF, None) or DEFAULT_SALT_BYTES)
+    per = max(
+        1, int(spark.conf.get(INVERTED_INDEX_SALT_BYTES_CONF, None) or DEFAULT_SALT_BYTES)
+    )
     try:
         from ..plans.hints import estimated_plan_bytes
 

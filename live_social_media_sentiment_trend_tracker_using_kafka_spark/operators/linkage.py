@@ -153,37 +153,61 @@ def blocked_edit_resolve(
     len_ok = (
         F.abs(F.length("_dname") - F.length("_cname")) <= max_distance
     )
-    hot_rows, total_pairs = [], 0
+    hot_rows, total_pairs, hot_total, hot_truncated = [], 0, 0, False
     if max_block_pairs is not None:
         dcnt = d.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_dn"))
         ccnt = c.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_cn"))
         sizes = dcnt.join(ccnt, on=block_cols, how="inner")
+        prod = F.col("_dn") * F.col("_cn")
         stats = sizes.agg(
-            F.sum(F.col("_dn") * F.col("_cn")).alias("_total"),
-            F.max(F.col("_dn") * F.col("_cn")).alias("_max"),
+            F.sum(prod).alias("_total"),
+            F.max(prod).alias("_max"),
+            F.sum(F.when(prod > max_block_pairs, prod)).alias("_hot"),
         ).head()
         total_pairs = stats["_total"] or 0
+        hot_total = stats["_hot"] or 0
         if (stats["_max"] or 0) > max_block_pairs:
             hot_rows = (
-                sizes.filter(F.col("_dn") * F.col("_cn") > F.lit(max_block_pairs))
+                sizes.filter(prod > F.lit(max_block_pairs))
                 .select(*block_cols)
-                .limit(_HOT_KEY_FETCH_CAP)
+                .limit(_HOT_KEY_FETCH_CAP + 1)
                 .collect()
             )
-    if not hot_rows and total_pairs > max_total_pairs:
-        # distributed saturation: no single hot block, but the blocking
-        # key's TOTAL candidate volume is quadratic-grade — refine every
+            if len(hot_rows) > _HOT_KEY_FETCH_CAP:
+                # more hot keys than the bounded fetch can carry: the
+                # per-key split would silently leave the overflow
+                # unrefined (r11 ADVICE) — refine everything instead
+                hot_truncated = True
+                warnings.warn(
+                    f"blocked_edit_resolve: over {_HOT_KEY_FETCH_CAP:,} hot "
+                    f"blocks exceed max_block_pairs={max_block_pairs:,} — "
+                    "beyond the bounded hot-key fetch; refining EVERY block "
+                    "on (block key + refine_cols + name-length band).",
+                    stacklevel=2,
+                )
+                hot_rows = []
+    # the total-volume gate runs on the COLD residual independently of the
+    # per-block gate (r11 ADVICE: one hot block must not exempt distributed
+    # saturation across the remaining cold blocks from refinement)
+    if hot_truncated or (not hot_rows and total_pairs > max_total_pairs) or (
+        hot_rows and total_pairs - hot_total > max_total_pairs
+    ):
+        # distributed saturation: even without (or beyond) hot blocks, the
+        # blocking key's candidate volume is quadratic-grade — refine every
         # block (banding is exact; refine_cols carry the blocking
         # contract), keeping Σ pairs linear-ish instead of O(n²/|blocks|)
-        warnings.warn(
-            f"blocked_edit_resolve: total candidate volume {total_pairs:,} "
-            f"exceeds max_total_pairs={max_total_pairs:,} (saturating block "
-            f"key); refining EVERY block on (block key"
-            f"{' + refine_cols ' + str(refine_cols) if refine_cols else ''}"
-            f" + name-length band). If names share one length and no "
-            f"refine_cols are given, widen the block key instead.",
-            stacklevel=2,
-        )
+        if not hot_truncated:
+            warnings.warn(
+                f"blocked_edit_resolve: candidate volume "
+                f"{total_pairs - hot_total:,} outside hot blocks "
+                f"(total {total_pairs:,}) exceeds "
+                f"max_total_pairs={max_total_pairs:,} (saturating block "
+                f"key); refining EVERY block on (block key"
+                f"{' + refine_cols ' + str(refine_cols) if refine_cols else ''}"
+                f" + name-length band). If names share one length and no "
+                f"refine_cols are given, widen the block key instead.",
+                stacklevel=2,
+            )
         joined = _length_banded_pairs(
             d, c, block_cols + refine_cols, max(max_distance, 1)
         )

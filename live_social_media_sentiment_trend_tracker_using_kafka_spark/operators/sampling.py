@@ -575,6 +575,24 @@ def weighted_sample(
     )
 
 
+# exact_percentiles regime dispatch: the probe broadcast is
+# |groups|·2·|percentages| rows — built for LOW group cardinality, where
+# Spark's own percentile() serializes each group through one reducer. At
+# high cardinality the vanilla aggregate is already parallel (per-group
+# multisets are small), so above this many groups the function falls back
+# to a frequency-weighted percentile() over the already-computed counts
+# frame (conf-tunable, same pattern as CHUNKED_SUM_CHUNKS_CONF).
+EXACT_PCT_MAX_GROUPS_CONF = "spark.graft.exactPercentileMaxGroups"
+_PROBE_ROW_BUDGET = 2_000_000
+
+
+def _max_groups(spark, n_pcts: int) -> int:
+    conf = spark.conf.get(EXACT_PCT_MAX_GROUPS_CONF, None)
+    if conf is not None:
+        return max(1, int(conf))
+    return max(1_000, _PROBE_ROW_BUDGET // max(1, 2 * n_pcts))
+
+
 def exact_percentiles(
     df: DataFrame,
     part_cols: list[str],
@@ -613,30 +631,75 @@ def exact_percentiles(
     Regime: the probe broadcast is |groups|·2·|percentages| rows — built
     for LOW group cardinality, exactly where the vanilla grouped
     percentile serializes each group through one reducer. At high group
-    cardinality the vanilla aggregate is already parallel — use it.
+    cardinality the vanilla aggregate is already parallel, so once the
+    (tiny) per-group totals frame is materialized the function counts it
+    and, above ``spark.graft.exactPercentileMaxGroups`` (default sized so
+    the probe broadcast stays ≤ ~2M rows), falls back to Spark's own
+    frequency-weighted ``percentile(value, ps, count)`` over the
+    already-persisted distinct-counts frame — bit-equal either way
+    (regime-pinned in tests/test_sampling.py), with a loud warning since
+    the counts/running-sum work is then partially redundant.
+
+    NULL semantics match ``percentile()`` exactly (r11 ADVICE): NULL
+    values are skipped (their counts are zeroed, so they shift no index
+    span), while their GROUP survives — a group whose values are all
+    NULL yields a row with NULL ``out_col``, and an empty/all-NULL input
+    with ``part_cols=[]`` yields the single NULL row the global aggregate
+    produces.
 
     ``counts``: optional pre-aggregated ``part_cols + [value_col,
     _gcnt]`` frame standing in for step 1 — pass it when the caller
     already holds value counts (quantile_normalize folds this off its
     persisted rank frame, so the score expression evaluates once).
+    Contract: one row per distinct (group, value) with ``_gcnt >= 1``;
+    NULL-value rows are permitted and treated as above.
     """
     from .window_funcs import chunked_running_sum
 
-    gvals = (
+    base = (
         counts
         if counts is not None
         else df.groupBy(*part_cols, value_col).agg(
             F.count(F.lit(1)).alias("_gcnt")
         )
     )
+    # percentile() skips NULL values but keeps their group: zero the NULL
+    # rows' counts (they sort first in the running sum, own an empty index
+    # span, and leave every real value's span untouched) instead of
+    # filtering, so all-NULL groups still reach the totals frame.
+    gvals = base.withColumn(
+        "_gcnt",
+        F.when(F.col(value_col).isNull(), F.lit(0)).otherwise(F.col("_gcnt")),
+    )
     grun = chunked_running_sum(gvals, part_cols, value_col, "_gcnt", "_gcum")
     t_keys = [f"_t_g{i}" for i in range(len(part_cols))]
     totals = grun.groupBy(
         *[F.col(c).alias(k) for c, k in zip(part_cols, t_keys)]
     ).agg(F.max("_gcum").alias("_N"))
+    if part_cols:
+        n_groups = totals.count()  # tiny frame; grun is persisted already
+        if n_groups > _max_groups(df.sparkSession, len(percentages)):
+            import warnings
+
+            warnings.warn(
+                f"exact_percentiles: {n_groups} groups exceeds "
+                f"{EXACT_PCT_MAX_GROUPS_CONF} — falling back to the vanilla "
+                "frequency-weighted percentile() aggregate (parallel at high "
+                "group cardinality; the reconstruction probe broadcast is "
+                "not). Set the conf to raise the threshold.",
+                stacklevel=2,
+            )
+            ps_sql = ", ".join(repr(float(p)) for p in percentages)
+            return grun.groupBy(*part_cols).agg(
+                F.expr(
+                    f"percentile({value_col}, array({ps_sql}), "
+                    "greatest(_gcnt, 1L))"
+                ).alias(out_col)
+            )
     ps_arr = F.array(*[F.lit(float(p)) for p in percentages])
     probe = (
-        totals.select(*t_keys, "_N", F.posexplode(ps_arr).alias("_i", "_p"))
+        totals.filter(F.col("_N") > 0)
+        .select(*t_keys, "_N", F.posexplode(ps_arr).alias("_i", "_p"))
         .select(
             *t_keys,
             "_i",
@@ -675,7 +738,7 @@ def exact_percentiles(
     point = F.when(F.col("_vlo") == F.col("_vhi"), F.col("_vlo")).otherwise(
         F.col("_vlo") * (F.lit(1.0) - F.col("_f")) + F.col("_vhi") * F.col("_f")
     )
-    return (
+    res = (
         matched.groupBy(*part_cols, "_i", "_f")
         .agg(
             F.min(F.when(F.col("_which") == "lo", F.col(value_col))).alias("_vlo"),
@@ -689,9 +752,68 @@ def exact_percentiles(
         )
         .select(
             *part_cols,
-            F.transform("_ss", lambda s: s["_gv"]).alias(out_col),
+            # empty _ss = no non-null values at all (global case): the
+            # aggregate's answer is NULL, not an empty array
+            F.when(
+                F.size("_ss") > 0, F.transform("_ss", lambda s: s["_gv"])
+            ).alias(out_col),
         )
     )
+    if not part_cols:
+        return res
+    # restore groups whose values were all NULL with the NULL row
+    # percentile() emits for them — the match join only produces probed
+    # (_N > 0) groups; totals is one tiny row per group either way
+    cond2 = None
+    for c, k in zip(part_cols, t_keys):
+        e = F.col(k).eqNullSafe(F.col(c))
+        cond2 = e if cond2 is None else cond2 & e
+    return totals.join(F.broadcast(res), cond2, "left").select(
+        *[F.col(k).alias(c) for c, k in zip(part_cols, t_keys)], out_col
+    )
+
+
+def grouped_median_mad(
+    df: DataFrame,
+    part_cols: list[str],
+    value_col: str,
+    med_col: str = "med",
+    mad_col: str = "mad",
+) -> DataFrame:
+    """Per-group robust stats dim: exact median and MAD (median absolute
+    deviation) of ``value_col`` — the broadcast side of the
+    ``|x − median| > k·MAD`` outlier screen (value_outliers_mad and its
+    stream-static twin).
+
+    ``F.median`` IS Spark's exact ``Percentile(0.5)`` — per-group it
+    buffers the whole multiset on one reducer (the r11-measured
+    superlinear cliff for few-group/continuous-value frames), so both
+    medians ride ``exact_percentiles`` instead: bit-equal by that
+    function's pinned property, every intermediate bounded. Returns one
+    row per group with ≥1 non-null value: ``part_cols + [med_col,
+    mad_col]`` (all-NULL groups carry NULL stats, matching the
+    ``groupBy().agg(median)`` they replace).
+    """
+    med = exact_percentiles(df, part_cols, value_col, [0.5], out_col="_m").select(
+        *part_cols, F.element_at("_m", 1).alias(med_col)
+    )
+    dcond = None
+    d_keys = [f"_d_g{i}" for i in range(len(part_cols))]
+    med_k = med.select(
+        *[F.col(c).alias(k) for c, k in zip(part_cols, d_keys)], med_col
+    )
+    for c, k in zip(part_cols, d_keys):
+        e = F.col(c).eqNullSafe(F.col(k))
+        dcond = e if dcond is None else dcond & e
+    dev = df.join(F.broadcast(med_k), dcond).select(
+        *part_cols,
+        F.abs(F.col(value_col) - F.col(med_col)).alias("_dev"),
+    )
+    mad = exact_percentiles(dev, part_cols, "_dev", [0.5], out_col="_d").select(
+        *[F.col(c).alias(k) for c, k in zip(part_cols, d_keys)],
+        F.element_at("_d", 1).alias(mad_col),
+    )
+    return med.join(F.broadcast(mad), dcond).select(*part_cols, med_col, mad_col)
 
 
 def exact_percentile_grid(
@@ -802,8 +924,19 @@ def quantile_normalize(
             .alias("_p"),
         )
     )
+    # null-safe restore join: a NULL group key is a legitimate group (it
+    # rode eqNullSafe through the rank path above) — plain list-equality
+    # here silently dropped its rows (r11 ADVICE). Scores are non-null
+    # (filtered up front), but ride eqNullSafe too for uniformity.
+    pr = pranked.select(
+        F.col(group_col).alias("_pr_g"),
+        F.col(score_col).alias("_pr_s"),
+        "_p",
+    )
     ranked = df.select(F.col(id_col), F.col(group_col), F.col(score_col)).join(
-        pranked, on=[group_col, score_col]
+        pr,
+        F.col(group_col).eqNullSafe(F.col("_pr_g"))
+        & F.col(score_col).eqNullSafe(F.col("_pr_s")),
     )
     k = F.floor(F.col("_p") * (grid_points - 1)).cast("int")
     k2 = F.least(k + 1, F.lit(grid_points - 1))

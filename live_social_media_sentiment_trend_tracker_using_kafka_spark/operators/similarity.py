@@ -838,11 +838,19 @@ def label_cosine_report(
     Scale shape: the centroid aggregation moves |labels|·|dims| rows
     (map-side partials compress the corpus); centroids re-assemble to
     arrays and BROADCAST back (labels are a dim table); scoring is one
-    narrow scan with JVM-side zip_with/aggregate arithmetic; the roll-up
-    is |labels| rows. Centroid values round to ``round_digits`` BEFORE
-    scoring so the cosine arithmetic matches the DuckDB oracle
-    bit-for-bit.
+    narrow scan with JVM-side zip_with/aggregate arithmetic, PERSISTED as
+    the slim (label, cos) projection so the moment stats and the
+    percentile reconstruction both read it once; the roll-up is |labels|
+    rows. The p05 rides ``sampling.exact_percentiles`` — the per-label
+    exact ``percentile()`` aggregate buffers each label's whole cosine
+    multiset on one reducer (the r11-measured few-group cliff; labels are
+    a dim table, the corpus is not). Centroid values round to
+    ``round_digits`` BEFORE scoring so the cosine arithmetic matches the
+    DuckDB oracle bit-for-bit.
     """
+    from ..caching import tracked_persist
+    from .sampling import exact_percentiles
+
     cent = (
         embeddings.select(F.col(label_col), F.posexplode(vec_col).alias("dim", "v"))
         .groupBy(label_col, "dim")
@@ -854,17 +862,24 @@ def label_cosine_report(
         ).alias("cvec")
     )
     cos = F.round(cosine_similarity_col(F.col(vec_col), F.col("cvec")), round_digits)
-    return (
+    scored = tracked_persist(
         embeddings.join(F.broadcast(carr), label_col)
         .select(F.col(label_col), cos.alias("cos"))
-        .groupBy(label_col)
+    )
+    p05 = exact_percentiles(scored, [label_col], "cos", [0.05], out_col="_p").select(
+        F.col(label_col).alias("_p_label"),
+        F.round(F.element_at("_p", 1), round_digits).alias("p05_cos"),
+    )
+    return (
+        scored.groupBy(label_col)
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(F.avg("cos"), round_digits).alias("mean_cos"),
-            F.round(F.percentile("cos", F.lit(0.05)), round_digits).alias("p05_cos"),
             F.min("cos").alias("min_cos"),
             F.sum((F.col("cos") < 0).cast("long")).alias("n_neg"),
         )
+        .join(F.broadcast(p05), F.col(label_col).eqNullSafe(F.col("_p_label")))
+        .select(label_col, "n_vecs", "mean_cos", "p05_cos", "min_cos", "n_neg")
         .orderBy(label_col)
     )
 

@@ -225,8 +225,9 @@ def _auto_chunks(df: DataFrame) -> int:
     conf = spark.conf.get(CHUNKED_SUM_CHUNKS_CONF, None)
     if conf is not None:
         return max(1, int(conf))
-    per = int(
-        spark.conf.get(CHUNKED_SUM_CHUNK_BYTES_CONF, None) or DEFAULT_CHUNK_BYTES
+    per = max(
+        1,
+        int(spark.conf.get(CHUNKED_SUM_CHUNK_BYTES_CONF, None) or DEFAULT_CHUNK_BYTES),
     )
     try:
         from ..plans.hints import estimated_plan_bytes
@@ -298,7 +299,13 @@ def chunked_running_sum(
         )
         chunked = joined.withColumn(
             "_chunk",
-            F.size(F.filter("_bounds", lambda b: b <= F.col(order_col))),
+            # a group whose order values are ALL NULL has NULL bounds →
+            # NULL size; the contract puts NULL order in chunk 0, and a
+            # NULL chunk would silently drop at the offsets equi-join
+            F.coalesce(
+                F.size(F.filter("_bounds", lambda b: b <= F.col(order_col))),
+                F.lit(0),
+            ),
         ).drop(*b_keys, "_bounds")
     else:
         chunked = base.withColumn("_chunk", F.lit(0))

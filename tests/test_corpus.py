@@ -727,3 +727,23 @@ def test_inverted_index_salt_conf_and_auto(spark):
     a = sorted(map(tuple, C.inverted_index(docs, min_df=1).collect()))
     b = sorted(map(tuple, C.inverted_index(docs, min_df=1, n_salts=5).collect()))
     assert a == b
+
+
+def test_byte_budget_confs_clamped_at_zero(spark):
+    """Setting the byte-budget confs to "0" must clamp to 1, not raise
+    ZeroDivisionError at plan time (r11 ADVICE — the count confs were
+    max(1,...)-clamped, the byte confs were not)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import corpus as C
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import window_funcs as W
+
+    docs = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+    spark.conf.set(C.INVERTED_INDEX_SALT_BYTES_CONF, "0")
+    try:
+        assert 1 <= C._auto_salts(docs) <= C._MAX_AUTO_SALTS
+    finally:
+        spark.conf.unset(C.INVERTED_INDEX_SALT_BYTES_CONF)
+    spark.conf.set(W.CHUNKED_SUM_CHUNK_BYTES_CONF, "0")
+    try:
+        assert 1 <= W._auto_chunks(docs) <= W._MAX_AUTO_CHUNKS
+    finally:
+        spark.conf.unset(W.CHUNKED_SUM_CHUNK_BYTES_CONF)

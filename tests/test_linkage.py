@@ -171,3 +171,63 @@ def test_refine_cols_split_hot_blocks_only(spark):
     assert any("refine_cols" in str(x.message) for x in w)
     assert (901, 900) in out  # cold block untouched by refinement
     assert {(100 + i, i) for i in range(20)} <= out
+
+
+def test_total_gate_fires_despite_hot_block(spark):
+    """One hot block must not exempt distributed cold saturation: when the
+    residual cold volume exceeds max_total_pairs, every block is refined
+    (r11 ADVICE — the old elif skipped the total gate whenever any hot
+    block existed). Results stay exact (banding is lossless)."""
+    import warnings
+
+    # hot block "h" (6x6 > max_block_pairs=25) + 8 cold blocks of 3x3
+    # (cold residual 72 > max_total_pairs=50)
+    clean_rows = [("h", i, f"name{i:04d}") for i in range(6)]
+    dirty_rows = [("h", 100 + i, f"nxme{i:04d}") for i in range(6)]
+    for b in range(8):
+        clean_rows += [(f"c{b}", 200 + b * 10 + j, f"blk{b}n{j:03d}") for j in range(3)]
+        dirty_rows += [(f"c{b}", 300 + b * 10 + j, f"blk{b}x{j:03d}") for j in range(3)]
+    clean = spark.createDataFrame(clean_rows, ["blk", "cid", "cname"])
+    dirty = spark.createDataFrame(dirty_rows, ["blk", "did", "dname"])
+    args = (dirty, clean, ["blk"], "did", "dname", "cid", "cname", 2)
+    ungated = {
+        (r.did, r.cid, r.distance)
+        for r in linkage.blocked_edit_resolve(*args, max_block_pairs=None).collect()
+    }
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        gated = {
+            (r.did, r.cid, r.distance)
+            for r in linkage.blocked_edit_resolve(
+                *args, max_block_pairs=25, max_total_pairs=50
+            ).collect()
+        }
+    assert gated == ungated
+    assert any("outside hot blocks" in str(x.message) for x in w)
+
+
+def test_hot_key_fetch_cap_truncation_refines_all(spark, monkeypatch):
+    """More hot keys than the bounded fetch can carry must never leave the
+    overflow unrefined silently (r11 ADVICE): the guard falls back to
+    refining every block and warns."""
+    import warnings
+
+    monkeypatch.setattr(linkage, "_HOT_KEY_FETCH_CAP", 2)
+    # 4 hot blocks of 3x3 = 9 > max_block_pairs=4 each
+    clean_rows = [(f"h{b}", b * 10 + j, f"b{b}name{j:03d}") for b in range(4) for j in range(3)]
+    dirty_rows = [(f"h{b}", 100 + b * 10 + j, f"b{b}nxme{j:03d}") for b in range(4) for j in range(3)]
+    clean = spark.createDataFrame(clean_rows, ["blk", "cid", "cname"])
+    dirty = spark.createDataFrame(dirty_rows, ["blk", "did", "dname"])
+    args = (dirty, clean, ["blk"], "did", "dname", "cid", "cname", 2)
+    ungated = {
+        (r.did, r.cid, r.distance)
+        for r in linkage.blocked_edit_resolve(*args, max_block_pairs=None).collect()
+    }
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        gated = {
+            (r.did, r.cid, r.distance)
+            for r in linkage.blocked_edit_resolve(*args, max_block_pairs=4).collect()
+        }
+    assert gated == ungated
+    assert any("hot-key fetch" in str(x.message) for x in w)

@@ -929,3 +929,40 @@ def test_quantile_normalize_rank_over_distinct_values(spark):
     assert "CartesianProduct" not in plan, plan
     assert count_plan_nodes(df, "BroadcastNestedLoopJoin") == 3, plan
     assert_no_python_udf(df)
+
+
+def test_no_registered_query_plans_exact_percentile(spark):
+    """Percentile-cliff regression guard (r12, VERDICT item 7): Spark's
+    exact Percentile aggregate buffers each group's whole multiset on one
+    reducer — measured SUPERLINEAR in distinct values (1M doubles: 24 s,
+    3M: 220 s, 10M: DNF; PLANS.md r11). The class was eliminated by
+    sampling.exact_percentiles; nothing stops a future query from calling
+    F.expr("percentile(...)") or F.median (which IS Percentile(0.5) and
+    renders as percentile( in the optimized plan — how this sweep caught
+    value_outliers_mad and label_cosine_report when first run, both
+    migrated r12) directly, so sweep every registered batch query's
+    optimized plan for the exact aggregate. The whitelist is EMPTY: no
+    registered plan needs it; a future bounded-input exception must be
+    added here explicitly with its justification. percentile_approx /
+    approx_percentile are fine (fixed-size sketch, map-side combinable)
+    and must not trip the regex (\\b does not match across the _)."""
+    import re
+
+    from tests.conftest import SF_SMOKE
+
+    whitelist: set[str] = set()
+    offenders = {}
+    checked = 0
+    for name, fn in entrymod.queries().items():
+        if name.startswith("streaming_"):
+            continue  # building executes the drain; the stream-static
+            # twin's dim side is the same grouped_median_mad plan swept
+            # via value_outliers_mad
+        plan = plan_text(fn(spark, SF_SMOKE))
+        if re.search(r"\bpercentile\(", plan) and name not in whitelist:
+            offenders[name] = True
+        checked += 1
+    assert not offenders, (
+        f"exact Percentile aggregate in registered plans: {sorted(offenders)}"
+    )
+    assert checked >= 150

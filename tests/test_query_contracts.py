@@ -618,13 +618,25 @@ def test_compare_rejects_nonscalar_hash_checked_output(spark):
     con.close()
 
 
-def test_inverted_index_query_emits_only_scalar_columns(spark):
-    # the r10 red, fixed r11: posting arrays ride as CSV strings
-    df = entrymod.q_inverted_index(spark, SF_SMOKE)
+def test_every_hash_checked_query_emits_only_scalar_columns(spark):
+    """Static scalars-only contract (r11 VERDICT item 2): compare()
+    rejects Array/Map/Struct at verify time, but a FUTURE hash-checked
+    registration shipping arrays would only trip when first driven.
+    Sweep every query that registers an oracle (= hash-checked by the
+    driver) at smoke scale and assert its SCHEMA is scalar-only, so the
+    r10 inverted_index class fails `pytest` pre-drive. Rows-only queries
+    (no oracle) may emit arrays — the driver never hashes them."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    assert not [
-        f.name
-        for f in df.schema.fields
-        if isinstance(f.dataType, (ArrayType, MapType, StructType))
-    ]
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    bad = {}
+    for name in oracles:
+        df = queries[name](spark, SF_SMOKE)
+        nonscalar = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nonscalar:
+            bad[name] = nonscalar
+    assert not bad, f"hash-checked queries with non-scalar columns: {bad}"

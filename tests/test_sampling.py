@@ -333,6 +333,25 @@ def test_quantile_normalize_drops_null_scores(spark):
     assert out == base  # nulls absent, non-null calibration unchanged
 
 
+def test_quantile_normalize_null_group_carried(spark):
+    """A NULL group key is a legitimate group (rows with no source tag):
+    its rows must survive the final restore join (r11 ADVICE — plain
+    list-equality dropped them) and calibrate exactly like the same data
+    under a real group name."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import quantile_normalize
+
+    rows = [(i, "a", float(i)) for i in range(10)]
+    rows += [(100 + i, None, float(i) * 0.5) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {r.doc_id: r for r in quantile_normalize(df, "score", "source", "doc_id").collect()}
+    assert len(out) == 20, sorted(out)  # NULL-group rows present
+    # relabel NULL -> "z": identical calibration (NULL is just a group)
+    relabeled = df.withColumn("source", F.coalesce("source", F.lit("z")))
+    want = {r.doc_id: r.calibrated for r in quantile_normalize(relabeled, "score", "source", "doc_id").collect()}
+    assert {i: r.calibrated for i, r in out.items()} == want
+    assert all(out[100 + i].source is None for i in range(10))
+
+
 def test_exact_percentile_grid_bit_equal_to_spark_percentile(spark):
     """The distributed grid reconstruction must be BIT-equal to Spark's
     exact percentile() aggregate — including tie spans, where Spark
@@ -363,6 +382,29 @@ def test_exact_percentile_grid_bit_equal_to_spark_percentile(spark):
             assert list(got) == list(want), (gp, xs[:5], len(xs))
 
 
+def test_exact_percentiles_global_null_parity(spark):
+    """Global reconstruction matches percentile()'s NULL contract (r11
+    ADVICE): NULL values are skipped — they must not inflate N or shift
+    any index span — and an all-NULL (or empty) input yields the single
+    NULL row the global aggregate produces, not zero rows."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import (
+        exact_percentile_grid,
+    )
+
+    mixed = spark.createDataFrame(
+        [(x,) for x in [3.0, None, 1.0, None, 2.0, 4.0, None]], "score double"
+    )
+    want = mixed.agg(F.expr("percentile(score, array(0.0, 0.25, 0.5, 0.75, 1.0))")).collect()[0][0]
+    got = exact_percentile_grid(mixed, "score", 5).collect()[0]["grid"]
+    assert list(got) == list(want)
+    for frame in (
+        spark.createDataFrame([(None,), (None,)], "score double"),
+        spark.createDataFrame([], "score double"),
+    ):
+        rows = exact_percentile_grid(frame, "score", 5).collect()
+        assert len(rows) == 1 and rows[0]["grid"] is None, rows
+
+
 def test_exact_percentiles_grouped_bit_equal(spark):
     """Grouped reconstruction == groupBy().agg(percentile(...)) bit-for-
     bit, incl. NULL group keys, single-row groups, arbitrary (unsorted)
@@ -378,16 +420,91 @@ def test_exact_percentiles_grouped_bit_equal(spark):
     for g in ("a", "b", None):
         n = {"a": 17, "b": 1, None: 29}[g]
         rows += [(g, rng.choice([rng.random(), round(rng.random(), 1)])) for _ in range(n)]
+    # NULL values sprinkled into real groups must be skipped exactly like
+    # percentile() skips them, and an all-NULL group must still emit its
+    # row with a NULL result (r11 ADVICE)
+    rows += [("a", None), (None, None), ("allnull", None), ("allnull", None)]
     df = spark.createDataFrame(rows, "g string, v double")
     ps = [0.5, 0.05, 0.99, 0.25]
     want = {
-        r["g"]: list(r["w"])
+        r["g"]: list(r["w"]) if r["w"] is not None else None
         for r in df.groupBy("g")
         .agg(F.expr(f"percentile(v, array({', '.join(repr(p) for p in ps)}))").alias("w"))
         .collect()
     }
     got = {
-        r["g"]: list(r["pcts"])
+        r["g"]: list(r["pcts"]) if r["pcts"] is not None else None
         for r in exact_percentiles(df, ["g"], "v", ps).collect()
+    }
+    assert got == want
+    assert got["allnull"] is None
+
+
+def test_exact_percentiles_high_cardinality_fallback(spark):
+    """Above spark.graft.exactPercentileMaxGroups the function must fall
+    back to the vanilla frequency-weighted percentile() over the counts
+    frame (parallel at high group cardinality — the probe broadcast is
+    not), producing identical values, with a loud warning."""
+    import warnings
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import (
+        EXACT_PCT_MAX_GROUPS_CONF,
+        exact_percentiles,
+    )
+
+    rows = [(f"g{i % 7}", float((i * 37) % 100)) for i in range(200)]
+    rows += [("g3", None), ("gnull", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = [0.25, 0.5, 0.75]
+    recon = {
+        r["g"]: None if r["pcts"] is None else list(r["pcts"])
+        for r in exact_percentiles(df, ["g"], "v", ps).collect()
+    }
+    spark.conf.set(EXACT_PCT_MAX_GROUPS_CONF, "2")
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            fb = {
+                r["g"]: None if r["pcts"] is None else list(r["pcts"])
+                for r in exact_percentiles(df, ["g"], "v", ps).collect()
+            }
+        assert any("falling back" in str(w.message) for w in caught)
+    finally:
+        spark.conf.unset(EXACT_PCT_MAX_GROUPS_CONF)
+    assert fb == recon
+    assert fb["gnull"] is None
+
+
+def test_grouped_median_mad_bit_equal_to_f_median(spark):
+    """grouped_median_mad must reproduce the F.median/F.median(|x-med|)
+    formulation bit-for-bit (F.median IS exact Percentile(0.5) — the
+    few-group cliff this helper exists to avoid), incl. NULL values,
+    NULL group keys, and single-row groups."""
+    import random
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import grouped_median_mad
+
+    rng = random.Random(7)
+    rows = [
+        (rng.choice(["a", "b", "c", None]),
+         rng.choice([rng.random() * 10, round(rng.random(), 1), None]))
+        for _ in range(300)
+    ] + [("solo", 4.25)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    med = df.groupBy("g").agg(F.median("v").alias("med"))
+    want = {
+        r["g"]: (r["med"], r["mad"])
+        for r in df.join(med.hint("broadcast"), df["g"].eqNullSafe(med["g"]))
+        .drop(med["g"])
+        .groupBy("g")
+        .agg(
+            F.first("med").alias("med"),
+            F.median(F.abs(F.col("v") - F.col("med"))).alias("mad"),
+        )
+        .collect()
+    }
+    got = {
+        r["g"]: (r["med"], r["mad"])
+        for r in grouped_median_mad(df, ["g"], "v").collect()
     }
     assert got == want
