@@ -159,6 +159,7 @@ def pagerank(
     damping: float = 0.85,
     round_digits: int = 9,
     handle_dangling: bool = False,
+    edges_prepared: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (Page/Brin 1998).
 
@@ -199,10 +200,17 @@ def pagerank(
 
     # the distinct edge list feeds the degree agg, the vertex union AND
     # every iteration's join — persist it once (upstream may be an
-    # expensive generator, e.g. the co-purchase self-join)
-    e = tracked_persist(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    )
+    # expensive generator, e.g. the co-purchase self-join).
+    # edges_prepared=True declares the caller already hands a distinct,
+    # (src, dst)-named, PERSISTED frame (e.g. a session-memoized edge
+    # artifact): re-distincting would pay the dedup shuffle again and
+    # re-persisting would double-cache the same rows.
+    if edges_prepared:
+        e = edges
+    else:
+        e = tracked_persist(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+        )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outd"))
     ed = tracked_persist(e.join(deg, on="src"))
     verts = tracked_persist(
@@ -261,7 +269,8 @@ def pagerank(
         free_local_checkpoint(prev)
     release(ed)
     release(verts)
-    release(e)
+    if not edges_prepared:
+        release(e)  # a prepared edge frame belongs to the caller's memo
     if dangling is not None:
         release(dangling)
     return pr.select(F.col("v").alias("vertex"), F.col("pr").alias("pagerank"))
