@@ -575,15 +575,33 @@ def weighted_sample(
     )
 
 
-# exact_percentiles regime dispatch: the probe broadcast is
-# |groups|·2·|percentages| rows — built for LOW group cardinality, where
-# Spark's own percentile() serializes each group through one reducer. At
-# high cardinality the vanilla aggregate is already parallel (per-group
-# multisets are small), so above this many groups the function falls back
-# to a frequency-weighted percentile() over the already-computed counts
-# frame (conf-tunable, same pattern as CHUNKED_SUM_CHUNKS_CONF).
+# exact_percentiles regime dispatch, two independent gates measured on
+# local[32] (PLANS.md r12):
+#
+# 1. MAX GROUPS — the reconstruction's probe broadcast is
+#    |groups|·2·|percentages| rows: built for LOW group cardinality,
+#    where Spark's own percentile() serializes each group through one
+#    reducer. At high cardinality the frequency-weighted aggregate is
+#    already parallel (per-group multisets are small).
+# 2. MAX DISTINCT — below ~1M distinct values per group (scaled down as
+#    |percentages| grows: 101-point grids cross over near 200k), the
+#    frequency-weighted percentile() over the SAME distinct-counts frame
+#    beats the reconstruction's running-sum/probe machinery outright
+#    (measured: freq 150k→0.7 s, 1M→4 s, 3M·101ps→122 s, 10M→GC death;
+#    reconstruction ~3-6 s constant). The r12 bench caught the cost of
+#    skipping this gate: value_outliers_mad 0.68→14.8 s when its two
+#    125k-distinct-per-group medians rode the full reconstruction.
+#
+# Either gate routes to percentile(value, ps, greatest(_gcnt, 1L)) over
+# the counts frame — bit-equal (pinned), NULL-group-preserving (rows
+# ride zero-counted), and the plan-level sweep marker for a GUARDED
+# exact percentile (tests/test_plans.py allows percentile( only next to
+# greatest(_gcnt). Both conf-tunable, same pattern as
+# CHUNKED_SUM_CHUNKS_CONF.
 EXACT_PCT_MAX_GROUPS_CONF = "spark.graft.exactPercentileMaxGroups"
+EXACT_PCT_MAX_DISTINCT_CONF = "spark.graft.exactPercentileMaxDistinct"
 _PROBE_ROW_BUDGET = 2_000_000
+_FREQ_CELL_BUDGET = 30_000_000
 
 
 def _max_groups(spark, n_pcts: int) -> int:
@@ -591,6 +609,13 @@ def _max_groups(spark, n_pcts: int) -> int:
     if conf is not None:
         return max(1, int(conf))
     return max(1_000, _PROBE_ROW_BUDGET // max(1, 2 * n_pcts))
+
+
+def _max_distinct(spark, n_pcts: int) -> int:
+    conf = spark.conf.get(EXACT_PCT_MAX_DISTINCT_CONF, None)
+    if conf is not None:
+        return max(0, int(conf))
+    return _FREQ_CELL_BUDGET // (30 + n_pcts)
 
 
 def exact_percentiles(
@@ -628,17 +653,24 @@ def exact_percentiles(
        ``F.expr("percentile(...)")`` on randomized frames, global and
        grouped (tests/test_sampling.py).
 
-    Regime: the probe broadcast is |groups|·2·|percentages| rows — built
-    for LOW group cardinality, exactly where the vanilla grouped
-    percentile serializes each group through one reducer. At high group
-    cardinality the vanilla aggregate is already parallel, so once the
-    (tiny) per-group totals frame is materialized the function counts it
-    and, above ``spark.graft.exactPercentileMaxGroups`` (default sized so
-    the probe broadcast stays ≤ ~2M rows), falls back to Spark's own
-    frequency-weighted ``percentile(value, ps, count)`` over the
-    already-persisted distinct-counts frame — bit-equal either way
-    (regime-pinned in tests/test_sampling.py), with a loud warning since
-    the counts/running-sum work is then partially redundant.
+    Regime dispatch (r12): one eager stats pass over the persisted
+    distinct-counts frame measures |groups| and the max per-group
+    distinct-value count, then
+    - |groups| > ``spark.graft.exactPercentileMaxGroups`` (default keeps
+      the probe broadcast ≤ ~2M rows) → frequency-weighted
+      ``percentile(value, ps, greatest(_gcnt, 1L))`` over the counts
+      frame, with a loud warning (the vanilla aggregate is already
+      parallel at high cardinality; the probe broadcast is not);
+    - max distinct ≤ ``spark.graft.exactPercentileMaxDistinct`` (default
+      ~30M/(30+|ps|): ≈1M for a median, ≈230k for a 101-point grid —
+      the measured crossover, see the module constant) → the same
+      frequency-weighted aggregate, silently: each reducer buffers at
+      most the small per-group distinct map, and the running-sum/probe
+      machinery would cost more than it saves (the r12 bench measured
+      value_outliers_mad 0.68→14.8 s without this gate);
+    - else → the reconstruction above (the genuine cliff regime).
+    All three paths are bit-equal (regime-pinned in
+    tests/test_sampling.py).
 
     NULL semantics match ``percentile()`` exactly (r11 ADVICE): NULL
     values are skipped (their counts are zeroed, so they shift no index
@@ -671,14 +703,34 @@ def exact_percentiles(
         "_gcnt",
         F.when(F.col(value_col).isNull(), F.lit(0)).otherwise(F.col("_gcnt")),
     )
-    grun = chunked_running_sum(gvals, part_cols, value_col, "_gcnt", "_gcum")
-    t_keys = [f"_t_g{i}" for i in range(len(part_cols))]
-    totals = grun.groupBy(
-        *[F.col(c).alias(k) for c, k in zip(part_cols, t_keys)]
-    ).agg(F.max("_gcum").alias("_N"))
-    if part_cols:
-        n_groups = totals.count()  # tiny frame; grun is persisted already
-        if n_groups > _max_groups(df.sparkSession, len(percentages)):
+    if counts is None:
+        # both regimes read the distinct-counts frame at least twice
+        # (stats pass + aggregate/running sum); caller-supplied counts
+        # frames manage their own persistence (quantile_normalize folds
+        # off an already-persisted rank frame)
+        from ..caching import tracked_persist
+
+        gvals = tracked_persist(gvals)
+    spark = df.sparkSession
+    # one eager stats pass: |groups| and the max per-group distinct count
+    # drive the regime choice (the frame is persisted — this is the same
+    # materialization the final action would pay anyway)
+    st = (
+        gvals.groupBy(*part_cols)
+        .agg(
+            F.sum(
+                F.when(F.col(value_col).isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("_nd")
+        )
+        .agg(F.count(F.lit(1)).alias("_ng"), F.max("_nd").alias("_mx"))
+        .head()
+    )
+    n_groups, max_nd = st["_ng"] or 0, st["_mx"] or 0
+    many_groups = bool(part_cols) and n_groups > _max_groups(
+        spark, len(percentages)
+    )
+    if many_groups or max_nd <= _max_distinct(spark, len(percentages)):
+        if many_groups:
             import warnings
 
             warnings.warn(
@@ -689,13 +741,18 @@ def exact_percentiles(
                 "not). Set the conf to raise the threshold.",
                 stacklevel=2,
             )
-            ps_sql = ", ".join(repr(float(p)) for p in percentages)
-            return grun.groupBy(*part_cols).agg(
-                F.expr(
-                    f"percentile({value_col}, array({ps_sql}), "
-                    "greatest(_gcnt, 1L))"
-                ).alias(out_col)
-            )
+        ps_sql = ", ".join(repr(float(p)) for p in percentages)
+        return gvals.groupBy(*part_cols).agg(
+            F.expr(
+                f"percentile(`{value_col}`, array({ps_sql}), "
+                "greatest(_gcnt, 1L))"
+            ).alias(out_col)
+        )
+    grun = chunked_running_sum(gvals, part_cols, value_col, "_gcnt", "_gcum")
+    t_keys = [f"_t_g{i}" for i in range(len(part_cols))]
+    totals = grun.groupBy(
+        *[F.col(c).alias(k) for c, k in zip(part_cols, t_keys)]
+    ).agg(F.max("_gcum").alias("_N"))
     ps_arr = F.array(*[F.lit(float(p)) for p in percentages])
     probe = (
         totals.filter(F.col("_N") > 0)
@@ -789,14 +846,26 @@ def grouped_median_mad(
     buffers the whole multiset on one reducer (the r11-measured
     superlinear cliff for few-group/continuous-value frames), so both
     medians ride ``exact_percentiles`` instead: bit-equal by that
-    function's pinned property, every intermediate bounded. Returns one
-    row per group with ≥1 non-null value: ``part_cols + [med_col,
-    mad_col]`` (all-NULL groups carry NULL stats, matching the
+    function's pinned property, every intermediate bounded, and its
+    distinct-count dispatch keeps the small regime at vanilla speed.
+
+    One corpus pass (r12: the first cut re-scanned ``df`` for the
+    deviation median and cost value_outliers_mad 0.68→14.8 s at sf0.1):
+    the (group, value) counts frame is persisted once; the deviation
+    counts DERIVE from it post-aggregation (|v − med| collapses distinct
+    values, summing their counts), so the second percentile never
+    touches the corpus. Returns one row per group: ``part_cols +
+    [med_col, mad_col]`` (all-NULL groups carry NULL stats, matching the
     ``groupBy().agg(median)`` they replace).
     """
-    med = exact_percentiles(df, part_cols, value_col, [0.5], out_col="_m").select(
-        *part_cols, F.element_at("_m", 1).alias(med_col)
+    from ..caching import tracked_persist
+
+    cnts = tracked_persist(
+        df.groupBy(*part_cols, value_col).agg(F.count(F.lit(1)).alias("_gcnt"))
     )
+    med = exact_percentiles(
+        cnts, part_cols, value_col, [0.5], counts=cnts, out_col="_m"
+    ).select(*part_cols, F.element_at("_m", 1).alias(med_col))
     dcond = None
     d_keys = [f"_d_g{i}" for i in range(len(part_cols))]
     med_k = med.select(
@@ -805,11 +874,19 @@ def grouped_median_mad(
     for c, k in zip(part_cols, d_keys):
         e = F.col(c).eqNullSafe(F.col(k))
         dcond = e if dcond is None else dcond & e
-    dev = df.join(F.broadcast(med_k), dcond).select(
-        *part_cols,
-        F.abs(F.col(value_col) - F.col(med_col)).alias("_dev"),
+    dev_cnts = (
+        cnts.join(F.broadcast(med_k), dcond)
+        .select(
+            *part_cols,
+            F.abs(F.col(value_col) - F.col(med_col)).alias("_dev"),
+            "_gcnt",
+        )
+        .groupBy(*part_cols, "_dev")
+        .agg(F.sum("_gcnt").alias("_gcnt"))
     )
-    mad = exact_percentiles(dev, part_cols, "_dev", [0.5], out_col="_d").select(
+    mad = exact_percentiles(
+        dev_cnts, part_cols, "_dev", [0.5], counts=dev_cnts, out_col="_d"
+    ).select(
         *[F.col(c).alias(k) for c, k in zip(part_cols, d_keys)],
         F.element_at("_d", 1).alias(mad_col),
     )

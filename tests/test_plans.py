@@ -919,16 +919,32 @@ def test_quantile_normalize_rank_over_distinct_values(spark):
     # r11 count-based percent_rank: the per-group windows run over the
     # DISTINCT (group, score) aggregate, so a HashAggregate must sit
     # below the Window; rows rejoin on the well-spread (group, score)
-    # key. Exactly three broadcast nested loops, every one a BOUNDED
-    # side: the 1-row grid array, the 2·grid_points probe-index range
-    # join (exact_percentiles), and the 1-row global boundary array
-    # (chunked_running_sum part_cols=[]).
+    # key. Broadcast nested loops are every one a BOUNDED side. At this
+    # SF the r12 distinct-count dispatch routes the grid to the GUARDED
+    # frequency-weighted percentile (greatest(_gcnt marker), so the only
+    # BNLJ is the 1-row grid-array cross join; forcing the
+    # reconstruction conf restores the other two (the 2·grid_points
+    # probe-index range join and the grid's global chunked_running_sum
+    # boundary array) — both regimes pinned here. The rank path's
+    # chunked_running_sum is GROUPED (per-source), so its bounds join is
+    # a broadcast hash join, never nested-loop.
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import (
+        EXACT_PCT_MAX_DISTINCT_CONF,
+    )
+
     df = entrymod.q_quality_quantile_normalize(spark, SF)
     plan = plan_text(df)
     assert "Window" in plan and "HashAggregate" in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert count_plan_nodes(df, "BroadcastNestedLoopJoin") == 3, plan
+    assert count_plan_nodes(df, "BroadcastNestedLoopJoin") == 1, plan
+    assert "greatest(_gcnt" in plan, plan  # guarded frequency grid
     assert_no_python_udf(df)
+    spark.conf.set(EXACT_PCT_MAX_DISTINCT_CONF, "0")
+    try:
+        forced = entrymod.q_quality_quantile_normalize(spark, SF)
+        assert count_plan_nodes(forced, "BroadcastNestedLoopJoin") == 3
+    finally:
+        spark.conf.unset(EXACT_PCT_MAX_DISTINCT_CONF)
 
 
 def test_no_registered_query_plans_exact_percentile(spark):
@@ -941,16 +957,19 @@ def test_no_registered_query_plans_exact_percentile(spark):
     renders as percentile( in the optimized plan — how this sweep caught
     value_outliers_mad and label_cosine_report when first run, both
     migrated r12) directly, so sweep every registered batch query's
-    optimized plan for the exact aggregate. The whitelist is EMPTY: no
-    registered plan needs it; a future bounded-input exception must be
-    added here explicitly with its justification. percentile_approx /
-    approx_percentile are fine (fixed-size sketch, map-side combinable)
-    and must not trip the regex (\\b does not match across the _)."""
+    optimized plan for UNGUARDED exact aggregates. GUARDED is allowed:
+    exact_percentiles' dispatch emits percentile(value, ps,
+    greatest(_gcnt, 1L)) over its distinct-counts frame only when the
+    measured per-group distinct count (or group count) makes the
+    single-reducer buffer small/parallel — that form carries the
+    greatest(_gcnt marker in the plan, a raw cliff call does not.
+    percentile_approx / approx_percentile are fine (fixed-size sketch,
+    map-side combinable) and must not trip the regex (\\b does not match
+    across the _)."""
     import re
 
     from tests.conftest import SF_SMOKE
 
-    whitelist: set[str] = set()
     offenders = {}
     checked = 0
     for name, fn in entrymod.queries().items():
@@ -959,10 +978,11 @@ def test_no_registered_query_plans_exact_percentile(spark):
             # twin's dim side is the same grouped_median_mad plan swept
             # via value_outliers_mad
         plan = plan_text(fn(spark, SF_SMOKE))
-        if re.search(r"\bpercentile\(", plan) and name not in whitelist:
+        if re.search(r"\bpercentile\(", plan) and "greatest(_gcnt" not in plan:
             offenders[name] = True
         checked += 1
     assert not offenders, (
-        f"exact Percentile aggregate in registered plans: {sorted(offenders)}"
+        f"UNGUARDED exact Percentile aggregate in registered plans: "
+        f"{sorted(offenders)}"
     )
     assert checked >= 150

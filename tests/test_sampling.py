@@ -352,11 +352,34 @@ def test_quantile_normalize_null_group_carried(spark):
     assert all(out[100 + i].source is None for i in range(10))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _force_reconstruction(spark):
+    """Pin exact_percentiles to the RECONSTRUCTION regime: the r12
+    distinct-count dispatch routes every small frame to the (trivially
+    bit-equal) frequency-weighted percentile(), so suite-scale tests of
+    the reconstruction machinery must force it via the conf."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import (
+        EXACT_PCT_MAX_DISTINCT_CONF,
+    )
+
+    spark.conf.set(EXACT_PCT_MAX_DISTINCT_CONF, "0")
+    try:
+        yield
+    finally:
+        spark.conf.unset(EXACT_PCT_MAX_DISTINCT_CONF)
+
+
 def test_exact_percentile_grid_bit_equal_to_spark_percentile(spark):
     """The distributed grid reconstruction must be BIT-equal to Spark's
     exact percentile() aggregate — including tie spans, where Spark
     short-circuits to the value instead of interpolating (v*(1-f)+v*f
-    loses a ulp). Randomized frames incl. N=1, N=2, heavy ties."""
+    loses a ulp). Randomized frames incl. N=1, N=2, heavy ties.
+    Reconstruction is FORCED via the dispatch conf (the default regime
+    for these sizes is Spark's own frequency-weighted aggregate); one
+    default-dispatch case pins the regimes against each other."""
     import random
 
     from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import (
@@ -369,17 +392,24 @@ def test_exact_percentile_grid_bit_equal_to_spark_percentile(spark):
         n = rng.randrange(3, 50)
         xs = [rng.choice([rng.random(), round(rng.random(), 1)]) for _ in range(n)]
         cases.append(xs)
-    for gp in (5, 101):
-        for xs in cases:
-            df = spark.createDataFrame([(x,) for x in xs], "score double")
-            ps = [i / (gp - 1) for i in range(gp)]
-            want = df.agg(
-                F.expr(
-                    f"percentile(score, array({', '.join(repr(p) for p in ps)}))"
-                ).alias("g")
-            ).collect()[0]["g"]
-            got = exact_percentile_grid(df, "score", gp).collect()[0]["grid"]
-            assert list(got) == list(want), (gp, xs[:5], len(xs))
+    with _force_reconstruction(spark):
+        for gp in (5, 101):
+            for xs in cases:
+                df = spark.createDataFrame([(x,) for x in xs], "score double")
+                ps = [i / (gp - 1) for i in range(gp)]
+                want = df.agg(
+                    F.expr(
+                        f"percentile(score, array({', '.join(repr(p) for p in ps)}))"
+                    ).alias("g")
+                ).collect()[0]["g"]
+                got = exact_percentile_grid(df, "score", gp).collect()[0]["grid"]
+                assert list(got) == list(want), (gp, xs[:5], len(xs))
+    # default dispatch (frequency regime at this size) == forced recon
+    df = spark.createDataFrame([(x,) for x in cases[-1]], "score double")
+    default_grid = exact_percentile_grid(df, "score", 5).collect()[0]["grid"]
+    with _force_reconstruction(spark):
+        forced_grid = exact_percentile_grid(df, "score", 5).collect()[0]["grid"]
+    assert list(default_grid) == list(forced_grid)
 
 
 def test_exact_percentiles_global_null_parity(spark):
@@ -391,18 +421,22 @@ def test_exact_percentiles_global_null_parity(spark):
         exact_percentile_grid,
     )
 
+    from contextlib import nullcontext
+
     mixed = spark.createDataFrame(
         [(x,) for x in [3.0, None, 1.0, None, 2.0, 4.0, None]], "score double"
     )
     want = mixed.agg(F.expr("percentile(score, array(0.0, 0.25, 0.5, 0.75, 1.0))")).collect()[0][0]
-    got = exact_percentile_grid(mixed, "score", 5).collect()[0]["grid"]
-    assert list(got) == list(want)
-    for frame in (
-        spark.createDataFrame([(None,), (None,)], "score double"),
-        spark.createDataFrame([], "score double"),
-    ):
-        rows = exact_percentile_grid(frame, "score", 5).collect()
-        assert len(rows) == 1 and rows[0]["grid"] is None, rows
+    for forced in (False, True):
+        with _force_reconstruction(spark) if forced else nullcontext():
+            got = exact_percentile_grid(mixed, "score", 5).collect()[0]["grid"]
+            assert list(got) == list(want), forced
+            for frame in (
+                spark.createDataFrame([(None,), (None,)], "score double"),
+                spark.createDataFrame([], "score double"),
+            ):
+                rows = exact_percentile_grid(frame, "score", 5).collect()
+                assert len(rows) == 1 and rows[0]["grid"] is None, (forced, rows)
 
 
 def test_exact_percentiles_grouped_bit_equal(spark):
@@ -432,12 +466,16 @@ def test_exact_percentiles_grouped_bit_equal(spark):
         .agg(F.expr(f"percentile(v, array({', '.join(repr(p) for p in ps)}))").alias("w"))
         .collect()
     }
-    got = {
-        r["g"]: list(r["pcts"]) if r["pcts"] is not None else None
-        for r in exact_percentiles(df, ["g"], "v", ps).collect()
-    }
-    assert got == want
-    assert got["allnull"] is None
+    from contextlib import nullcontext
+
+    for forced in (False, True):
+        with _force_reconstruction(spark) if forced else nullcontext():
+            got = {
+                r["g"]: list(r["pcts"]) if r["pcts"] is not None else None
+                for r in exact_percentiles(df, ["g"], "v", ps).collect()
+            }
+        assert got == want, forced
+        assert got["allnull"] is None
 
 
 def test_exact_percentiles_high_cardinality_fallback(spark):
@@ -456,10 +494,11 @@ def test_exact_percentiles_high_cardinality_fallback(spark):
     rows += [("g3", None), ("gnull", None)]
     df = spark.createDataFrame(rows, "g string, v double")
     ps = [0.25, 0.5, 0.75]
-    recon = {
-        r["g"]: None if r["pcts"] is None else list(r["pcts"])
-        for r in exact_percentiles(df, ["g"], "v", ps).collect()
-    }
+    with _force_reconstruction(spark):
+        recon = {
+            r["g"]: None if r["pcts"] is None else list(r["pcts"])
+            for r in exact_percentiles(df, ["g"], "v", ps).collect()
+        }
     spark.conf.set(EXACT_PCT_MAX_GROUPS_CONF, "2")
     try:
         with warnings.catch_warnings(record=True) as caught:
@@ -503,8 +542,12 @@ def test_grouped_median_mad_bit_equal_to_f_median(spark):
         )
         .collect()
     }
-    got = {
-        r["g"]: (r["med"], r["mad"])
-        for r in grouped_median_mad(df, ["g"], "v").collect()
-    }
-    assert got == want
+    from contextlib import nullcontext
+
+    for forced in (False, True):
+        with _force_reconstruction(spark) if forced else nullcontext():
+            got = {
+                r["g"]: (r["med"], r["mad"])
+                for r in grouped_median_mad(df, ["g"], "v").collect()
+            }
+        assert got == want, forced
