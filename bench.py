@@ -280,7 +280,19 @@ def main() -> None:
     spark = build_session(
         app_name="bench",
         master=f"local[{CPUS}]",
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "2g"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "2g",
+            # r12: 185 queries of whole-stage-codegen classes overflow the
+            # JVM's default 240 MB reserved code cache, after which the JIT
+            # stops compiling and mid/late queries run partially INTERPRETED
+            # — the residual in-session inflation whose isolated reruns
+            # always landed at old values (the early-compiled calibration
+            # query stays fast, which is why the sentinel alone missed it).
+            # 512m still saturated by query ~185 (pagerank_dangling, the
+            # session's last, measured 15 s in-session vs 7.8 s isolated)
+            "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     # Warmup: the r8 bisect measured the FIRST query absorbing 3-16 s of
@@ -342,7 +354,20 @@ def main() -> None:
         # JVM GC so each query starts from a comparable heap. The ANN index
         # memo survives release_all: its revival guard re-persists evicted
         # index frames on the next hit.
+        #
+        # r12: ALSO drop the streaming memory-sink temp views. Every
+        # streaming query's AvailableNow drain registers a memory table
+        # that holds its full drained result on the 2 GB driver until the
+        # session ends — ~28 sink tables deep into the 185-query run, the
+        # r11/r12 "phantom inflation" whose isolated reruns always landed
+        # at old values (diagnosed r12: full-run streaming_dedup_daily
+        # 5.6 s vs 2.2 s isolated; rolling_active_users 3.0 vs 1.0). The
+        # memory sinks are the session's only temp views; the _cc/_ANN
+        # memos are plain persisted DataFrames, unaffected.
         caching.release_all()
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
         spark.sparkContext._jvm.System.gc()
     cal_end, load_end = calibrate(), _loadavg()
     total = round(sum(timings.values()), 3)
