@@ -3599,120 +3599,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    COVERAGE.md; regenerated by tools/rotate_window.py -- never
         #    hand-curate this ordering) --
         # tier: plan rewritten — locally verified, pending re-drive
-        "label_cosine_report": q_label_cosine_report,
-        "packed_sequences": q_packed_sequences,
         "pagerank_dangling": q_pagerank_dangling,
         "part_pagerank": q_part_pagerank,
-        "quality_percentile_filter": q_quality_percentile_filter,
         "quality_quantile_normalize": q_quality_quantile_normalize,
+        "label_cosine_report": q_label_cosine_report,
         "rfm_segments": q_rfm_segments,
         "streaming_static_enrich": q_streaming_static_enrich,
         "user_concentration": q_user_concentration,
+        "packed_sequences": q_packed_sequences,
+        "quality_percentile_filter": q_quality_percentile_filter,
         "value_outliers_mad": q_value_outliers_mad,
         "value_percentiles": q_value_percentiles,
         # tier: last driver evidence r8
-        "benchmark_contamination": q_benchmark_contamination,
+        "domain_cap_sample": q_domain_cap_sample,
+        "duplicate_span_stats": q_duplicate_span_stats,
+        "ivfpq_topk": q_ivfpq_topk,
+        "media_frame_sample": q_media_frame_sample,
+        "rolling_sketch_users": q_rolling_sketch_users,
+        "split_leakage": q_split_leakage,
+        "streaming_sliding_windows": q_streaming_sliding_windows,
         "bpe_merge_candidates": q_bpe_merge_candidates,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "cohort_retention": q_cohort_retention,
+        "customer_order_distribution": q_customer_order_distribution,
+        "embedding_coverage": q_embedding_coverage,
+        "embedding_norm_stats": q_embedding_norm_stats,
+        "event_heatmap": q_event_heatmap,
+        "funnel_conversion": q_funnel_conversion,
+        "large_orders": q_large_orders,
+        "lone_problem_suppliers": q_lone_problem_suppliers,
+        "ngram_novelty": q_ngram_novelty,
+        "promo_revenue_share": q_promo_revenue_share,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "benchmark_contamination": q_benchmark_contamination,
         "brand_market_share": q_brand_market_share,
         "brand_revenue": q_brand_revenue,
-        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
         "clean_corpus_clustered": q_clean_corpus_clustered,
         "clean_corpus_exact": q_clean_corpus_exact,
-        "cohort_retention": q_cohort_retention,
-        "counts_by_lang_topk": q_counts_by_lang_topk,
-        "customer_order_distribution": q_customer_order_distribution,
         "customers_without_orders": q_customers_without_orders,
         "decontaminated_corpus": q_decontaminated_corpus,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "dedup_clusters": q_dedup_clusters,
         "doc_quality": q_doc_quality,
-        "domain_cap_sample": q_domain_cap_sample,
         "dormant_customers": q_dormant_customers,
-        "duplicate_span_stats": q_duplicate_span_stats,
-        "embedding_coverage": q_embedding_coverage,
-        "embedding_norm_stats": q_embedding_norm_stats,
-        "event_heatmap": q_event_heatmap,
-        "exact_dedup_groups": q_exact_dedup_groups,
         "fingerprint_containment": q_fingerprint_containment,
         "forecast_revenue": q_forecast_revenue,
-        "funnel_conversion": q_funnel_conversion,
         "heavy_tokens": q_heavy_tokens,
-        "ivfpq_topk": q_ivfpq_topk,
         "json_props_buckets": q_hashtag_extract,
-        "lang_id_counts": q_lang_id_counts,
-        "large_orders": q_large_orders,
-        "local_supplier_volume": q_local_supplier_volume,
-        "lone_problem_suppliers": q_lone_problem_suppliers,
-        "media_frame_sample": q_media_frame_sample,
-        "minhash_near_dups": q_minhash_near_dups,
         "nation_trade_volume": q_nation_trade_volume,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "ngram_novelty": q_ngram_novelty,
-        "order_priority_counts": q_order_priority_counts,
         "priority_status_rollup": q_priority_status_rollup,
+        "running_revenue": q_running_revenue,
         # ---- driver window boundary (first 50 above) ------------------
         # tier: last driver evidence r8
-        "promo_revenue_share": q_promo_revenue_share,
-        "rolling_sketch_users": q_rolling_sketch_users,
-        "running_revenue": q_running_revenue,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "split_leakage": q_split_leakage,
-        "streaming_sliding_windows": q_streaming_sliding_windows,
         "top_parts_per_brand": q_top_parts_per_brand,
-        "top_supplier_revenue": q_top_supplier_revenue,
+        "counts_by_lang_topk": q_counts_by_lang_topk,
+        "exact_dedup_groups": q_exact_dedup_groups,
+        "lang_id_counts": q_lang_id_counts,
+        "local_supplier_volume": q_local_supplier_volume,
+        "minhash_near_dups": q_minhash_near_dups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "order_priority_counts": q_order_priority_counts,
         # tier: last driver evidence r9
-        "asof_last_purchase": q_asof_last_purchase,
+        "cluster_safe_split": q_cluster_safe_split,
+        "duplicate_span_removal": q_duplicate_span_removal,
+        "posts_enrichment": q_posts_enrichment,
+        "streaming_posts_enrichment": q_streaming_posts_enrichment,
         "bracket_revenue": q_bracket_revenue,
         "centroid_separation": q_centroid_separation,
-        "cluster_safe_split": q_cluster_safe_split,
         "cohort_retention_salted": q_cohort_retention_salted,
         "corpus_attrition": q_corpus_attrition,
-        "cosine_pairs_sample": q_cosine_pairs_sample,
-        "counts_by_source": q_counts_by_source,
         "daily_new_vs_returning": q_daily_new_vs_returning,
         "dsir_importance_weights": q_dsir_importance_weights,
         "dup_rate_by_source": q_dup_rate_by_source,
-        "duplicate_span_removal": q_duplicate_span_removal,
         "event_transitions": q_event_transitions,
         "event_type_lift": q_event_type_lift,
         "events_profile": q_events_profile,
         "first_touch_attribution": q_first_touch_attribution,
         "fk_integrity_audit": q_fk_integrity_audit,
+        "interarrival_stats": q_interarrival_stats,
+        "key_skew_audit": q_key_skew_audit,
+        "lang_confusion": q_lang_confusion,
+        "session_stats": q_session_stats,
+        "streaming_user_sessions": q_streaming_user_sessions,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "asof_last_purchase": q_asof_last_purchase,
+        "cosine_pairs_sample": q_cosine_pairs_sample,
         "flagship_event_summary": q_flagship_event_summary,
         "global_stats": q_global_stats,
         "head_events": q_head_events,
-        "interarrival_stats": q_interarrival_stats,
-        "ivf_topk": q_ivf_topk,
-        "key_skew_audit": q_key_skew_audit,
         "label_centroids": q_label_centroids,
-        "lang_confusion": q_lang_confusion,
         "pii_redaction": q_pii_redaction,
-        "posts_enrichment": q_posts_enrichment,
         "pq_topk": q_pq_topk,
-        "pricing_summary": q_pricing_summary,
         "repetition_stats": q_repetition_stats,
-        "sentiment_label_counts": q_sentiment_label_counts,
-        "session_stats": q_session_stats,
-        "shipping_priority": q_shipping_priority,
-        "simhash_near_dups": q_simhash_near_dups,
         "similarity_join_exact": q_similarity_join_exact,
-        "similarity_topk": q_similarity_topk,
-        "streaming_posts_enrichment": q_streaming_posts_enrichment,
         "streaming_time_series": q_streaming_time_series,
-        "streaming_user_sessions": q_streaming_user_sessions,
         "tfidf_top_terms": q_tfidf_top_terms,
         "time_series": q_time_series,
         "token_count_stats": q_token_count_stats,
-        "token_topk": q_token_topk,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "top_customers": q_top_customers,
         "url_domain_stats": q_url_domain_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "counts_by_source": q_counts_by_source,
+        "ivf_topk": q_ivf_topk,
+        "pricing_summary": q_pricing_summary,
+        "sentiment_label_counts": q_sentiment_label_counts,
+        "shipping_priority": q_shipping_priority,
+        "simhash_near_dups": q_simhash_near_dups,
+        "similarity_topk": q_similarity_topk,
+        "token_topk": q_token_topk,
+        "top_customers": q_top_customers,
         # tier: last driver evidence r10
-        "approx_distinct_users": q_approx_distinct_users,
-        "asof_next_purchase": q_asof_next_purchase,
-        "bigram_logprob": q_bigram_logprob,
-        "bloom_decontamination": q_bloom_decontamination,
         "cdc_user_snapshot": q_cdc_user_snapshot,
         "customer_entity_resolution": q_customer_entity_resolution,
         "embedding_covariance": q_embedding_covariance,
@@ -3720,79 +3716,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shard_plan": q_epoch_shard_plan,
         "hard_negative_mining": q_hard_negative_mining,
         "hybrid_search_rrf": q_hybrid_search_rrf,
-        "last_events": q_last_events,
-        "last_touch_attribution": q_last_touch_attribution,
-        "lexical_diversity": q_lexical_diversity,
-        "media_metadata_stats": q_media_metadata_stats,
         "mmr_rerank": q_mmr_rerank,
-        "monthly_order_mix": q_monthly_order_mix,
-        "nation_profit_by_year": q_nation_profit_by_year,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "paragraph_lang_profile": q_paragraph_lang_profile,
+        "scd2_value_band": q_scd2_value_band,
+        "semantic_decontamination": q_semantic_decontamination,
+        "sq8_quantization_error": q_sq8_quantization_error,
+        "streaming_fanout_sinks": q_streaming_fanout_sinks,
+        "streaming_update_upsert": q_streaming_update_upsert,
+        "weighted_token_sample": q_weighted_token_sample,
+        "asof_next_purchase": q_asof_next_purchase,
+        "last_touch_attribution": q_last_touch_attribution,
+        "lexical_diversity": q_lexical_diversity,
+        "monthly_order_mix": q_monthly_order_mix,
+        "nation_profit_by_year": q_nation_profit_by_year,
         "part_supplier_counts": q_part_supplier_counts,
-        "priority_status_cube": q_priority_status_cube,
         "quality_by_dup_status": q_quality_by_dup_status,
         "repeat_purchase_intervals": q_repeat_purchase_intervals,
         "returned_items": q_returned_items,
         "rolling_active_users": q_rolling_active_users,
-        "scd2_value_band": q_scd2_value_band,
-        "semantic_decontamination": q_semantic_decontamination,
         "session_bounce_rate": q_session_bounce_rate,
         "ship_latency_audit": q_ship_latency_audit,
-        "sq8_quantization_error": q_sq8_quantization_error,
-        "stratified_sample": q_stratified_sample,
-        "streaming_fanout_sinks": q_streaming_fanout_sinks,
         "streaming_props_buckets": q_streaming_props_buckets,
-        "streaming_update_upsert": q_streaming_update_upsert,
         "supplier_diversity": q_supplier_diversity,
         "time_to_conversion": q_time_to_conversion,
         "token_pmi_pairs": q_token_pmi_pairs,
         "top_event_paths": q_top_event_paths,
         "user_stickiness": q_user_stickiness,
-        "users_purchase_and_error": q_users_purchase_and_error,
-        "users_purchase_no_error": q_users_purchase_no_error,
         "value_trend_slope": q_value_trend_slope,
         "weekly_revenue_growth": q_weekly_revenue_growth,
-        "weighted_token_sample": q_weighted_token_sample,
         "zipf_alpha": q_zipf_alpha,
+        "approx_distinct_users": q_approx_distinct_users,
+        "bigram_logprob": q_bigram_logprob,
+        "bloom_decontamination": q_bloom_decontamination,
+        "last_events": q_last_events,
+        "media_metadata_stats": q_media_metadata_stats,
+        "priority_status_cube": q_priority_status_cube,
+        "stratified_sample": q_stratified_sample,
+        "users_purchase_and_error": q_users_purchase_and_error,
+        "users_purchase_no_error": q_users_purchase_no_error,
         # tier: last driver evidence r11
+        "inverted_index": q_inverted_index,
+        "streaming_trending_hashtags": q_streaming_trending_hashtags,
         "ann_search_join": q_ann_search_join,
-        "approx_value_percentiles": q_approx_value_percentiles,
         "bm25_search": q_bm25_search,
-        "chunk_documents": q_chunk_documents,
-        "clean_corpus": q_clean_corpus,
-        "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
         "corpus_drift": q_corpus_drift,
-        "cosine_near_dups": q_cosine_near_dups,
         "cusum_changepoints": q_cusum_changepoints,
-        "daily_distinct_users": q_daily_distinct_users,
         "discount_quantity_corr": q_discount_quantity_corr,
         "embedding_outliers": q_embedding_outliers,
-        "event_type_pivot": q_event_type_pivot,
         "excess_shipment_suppliers": q_excess_shipment_suppliers,
+        "knn_graph": q_knn_graph,
+        "order_value_bands": q_order_value_bands,
+        "seasonality_index": q_seasonality_index,
+        "source_shingle_overlap": q_source_shingle_overlap,
+        "span_corruption_stats": q_span_corruption_stats,
+        "streaming_view_purchase_left_join": q_streaming_view_purchase_left_join,
+        "approx_value_percentiles": q_approx_value_percentiles,
+        "chunk_documents": q_chunk_documents,
+        "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
+        "cosine_near_dups": q_cosine_near_dups,
+        "daily_distinct_users": q_daily_distinct_users,
+        "event_type_pivot": q_event_type_pivot,
         "hash_split": q_hash_split,
         "incremental_near_dups": q_incremental_near_dups,
-        "inverted_index": q_inverted_index,
-        "knn_graph": q_knn_graph,
         "latest_events_display": q_latest_events_display,
         "line_dedup": q_line_dedup,
-        "lsh_similarity_topk": q_lsh_similarity_topk,
         "media_features": q_media_features,
         "media_near_dups": q_media_near_dups,
         "media_resize": q_media_resize,
-        "order_value_bands": q_order_value_bands,
         "priority_source_dedup": q_priority_source_dedup,
         "range_join_windows": q_range_join_windows,
         "rolling_anomalies": q_rolling_anomalies,
-        "seasonality_index": q_seasonality_index,
         "semantic_near_dups": q_semantic_near_dups,
-        "source_shingle_overlap": q_source_shingle_overlap,
-        "span_corruption_stats": q_span_corruption_stats,
         "streaming_dedup_daily": q_streaming_dedup_daily,
-        "streaming_trending_hashtags": q_streaming_trending_hashtags,
         "streaming_user_value_stats": q_streaming_user_value_stats,
         "streaming_view_purchase_join": q_streaming_view_purchase_join,
-        "streaming_view_purchase_left_join": q_streaming_view_purchase_left_join,
         "temperature_mix": q_temperature_mix,
         "text_normalization": q_text_normalization,
         "time_series_gapfill": q_time_series_gapfill,
@@ -3801,6 +3799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "value_histogram": q_value_histogram,
         "vocab_coverage": q_vocab_coverage,
+        "clean_corpus": q_clean_corpus,
+        "lsh_similarity_topk": q_lsh_similarity_topk,
     }
     return {name: _released(fn) for name, fn in raw.items()}
 

@@ -208,7 +208,15 @@ def render(folded: dict[str, dict], registry: list[str]) -> str:
     redrive_set = set(redrive)
 
     def sort_key(n: str):
-        return (0 if n in redrive_set else (folded[n]["last_green"] or 0), n)
+        # staleness tier first; within a tier, WEAKEST EVIDENCE first
+        # (fewest green rounds — r12: the alphabetical tiebreak pushed
+        # three single-evidence r8 queries out of the window behind
+        # 4×-verified ones), then name for determinism
+        return (
+            0 if n in redrive_set else (folded[n]["last_green"] or 0),
+            len(folded[n]["green"]),
+            n,
+        )
 
     for n in sorted(known, key=sort_key):
         row = folded[n]
