@@ -874,7 +874,10 @@ def grouped_median_mad(
     for c, k in zip(part_cols, d_keys):
         e = F.col(c).eqNullSafe(F.col(k))
         dcond = e if dcond is None else dcond & e
-    dev_cnts = (
+    # persisted: a caller-supplied counts frame is read twice inside
+    # exact_percentiles (the eager stats pass + the aggregate/running
+    # sum) — unpersisted, the 30M-row derivation ran twice (r12 proof)
+    dev_cnts = tracked_persist(
         cnts.join(F.broadcast(med_k), dcond)
         .select(
             *part_cols,
