@@ -326,6 +326,11 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         return round(best, 3)
 
+    # warm the calibration query's scan path UNTIMED first: in a fresh
+    # container both timed start reps paid cold lineitem parquet I/O and
+    # the index read ~1.5 on a fully idle machine (r12 self-review) —
+    # the sentinel must measure ambient load, not first-touch I/O
+    qs[CALIBRATION_QUERY](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     load_start, cal_start = _loadavg(), calibrate()
     # SPARK_GRAFT_BENCH_ONLY=a,b,c reruns a suspect subset isolated — the
     # documented diagnosis step for cross-round deltas (machine-load

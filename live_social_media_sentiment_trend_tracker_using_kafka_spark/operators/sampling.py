@@ -592,12 +592,14 @@ def weighted_sample(
 #    skipping this gate: value_outliers_mad 0.68→14.8 s when its two
 #    125k-distinct-per-group medians rode the full reconstruction.
 #
-# Either gate routes to percentile(value, ps, greatest(_gcnt, 1L)) over
-# the counts frame — bit-equal (pinned), NULL-group-preserving (rows
-# ride zero-counted), and the plan-level sweep marker for a GUARDED
-# exact percentile (tests/test_plans.py allows percentile( only next to
-# greatest(_gcnt). Both conf-tunable, same pattern as
-# CHUNKED_SUM_CHUNKS_CONF.
+# A small-distinct frame routes to percentile(value, ps,
+# greatest(_gcnt, 1L)) over the counts frame — bit-equal (pinned),
+# NULL-group-preserving (rows ride zero-counted), and the plan-level
+# sweep marker for a GUARDED exact percentile (tests/test_plans.py
+# allows percentile( only next to greatest(_gcnt). A big-distinct frame
+# runs the reconstruction; if the group gate ALSO tripped, its probe
+# frame rides a shuffled (non-broadcast) join. Both confs tunable, same
+# pattern as CHUNKED_SUM_CHUNKS_CONF.
 EXACT_PCT_MAX_GROUPS_CONF = "spark.graft.exactPercentileMaxGroups"
 EXACT_PCT_MAX_DISTINCT_CONF = "spark.graft.exactPercentileMaxDistinct"
 _PROBE_ROW_BUDGET = 2_000_000
@@ -668,9 +670,12 @@ def exact_percentiles(
       most the small per-group distinct map, and the running-sum/probe
       machinery would cost more than it saves (the r12 bench measured
       value_outliers_mad 0.68→14.8 s without this gate);
-    - else → the reconstruction above (the genuine cliff regime).
-    All three paths are bit-equal (regime-pinned in
-    tests/test_sampling.py).
+    - else → the reconstruction above (the genuine cliff regime); when
+      the group-count gate ALSO tripped (many groups AND a skewed group
+      over the distinct budget), the probe frame rides a plain SHUFFLED
+      join on the group key instead of a broadcast — linear both ways,
+      no driver blow-up, warned.
+    All paths are bit-equal (regime-pinned in tests/test_sampling.py).
 
     NULL semantics match ``percentile()`` exactly (r11 ADVICE): NULL
     values are skipped (their counts are zeroed, so they shift no index
@@ -729,7 +734,11 @@ def exact_percentiles(
     many_groups = bool(part_cols) and n_groups > _max_groups(
         spark, len(percentages)
     )
-    if many_groups or max_nd <= _max_distinct(spark, len(percentages)):
+    small_distinct = max_nd <= _max_distinct(spark, len(percentages))
+    if small_distinct:
+        # frequency-weighted aggregate over the counts frame: parallel at
+        # any group cardinality, and below the distinct budget each
+        # reducer's per-group map is small (the measured crossover)
         if many_groups:
             import warnings
 
@@ -747,6 +756,22 @@ def exact_percentiles(
                 f"percentile(`{value_col}`, array({ps_sql}), "
                 "greatest(_gcnt, 1L))"
             ).alias(out_col)
+        )
+    if many_groups:
+        # BOTH gates tripped (many groups AND a skewed group over the
+        # distinct budget — the review-caught regime where the frequency
+        # fallback would re-enter the single-reducer cliff): run the
+        # reconstruction, but ship the |groups|·2·|ps| probe frame
+        # through a plain shuffled join on the group key instead of a
+        # broadcast — linear both ways, no driver blow-up
+        import warnings
+
+        warnings.warn(
+            f"exact_percentiles: {n_groups} groups AND a group with "
+            f"{max_nd} distinct values — reconstruction with a SHUFFLED "
+            "probe join (the probe frame is too wide to broadcast; the "
+            "frequency fallback would re-enter the single-reducer cliff).",
+            stacklevel=2,
         )
     grun = chunked_running_sum(gvals, part_cols, value_col, "_gcnt", "_gcum")
     t_keys = [f"_t_g{i}" for i in range(len(part_cols))]
@@ -791,7 +816,9 @@ def exact_percentiles(
     )
     for c, k in zip(part_cols, t_keys):
         cond = F.col(c).eqNullSafe(F.col(k)) & cond
-    matched = grun.join(F.broadcast(probes), cond)
+    matched = grun.join(
+        probes if many_groups else F.broadcast(probes), cond
+    )
     point = F.when(F.col("_vlo") == F.col("_vhi"), F.col("_vlo")).otherwise(
         F.col("_vlo") * (F.lit(1.0) - F.col("_f")) + F.col("_vhi") * F.col("_f")
     )

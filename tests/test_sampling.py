@@ -551,3 +551,43 @@ def test_grouped_median_mad_bit_equal_to_f_median(spark):
                 for r in grouped_median_mad(df, ["g"], "v").collect()
             }
         assert got == want, forced
+
+
+def test_exact_percentiles_skewed_many_groups_regime(spark):
+    """BOTH gates tripped (many groups AND a skewed group over the
+    distinct budget — r12 self-review): the frequency fallback would
+    re-enter the single-reducer cliff, so the function must run the
+    reconstruction with a SHUFFLED (non-broadcast) probe join, warn
+    accordingly, and still be bit-equal to percentile()."""
+    import warnings
+
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators.sampling import (
+        EXACT_PCT_MAX_DISTINCT_CONF,
+        EXACT_PCT_MAX_GROUPS_CONF,
+        exact_percentiles,
+    )
+
+    # 6 groups; g0 skewed with 40 distinct values, others 3 each
+    rows = [("g0", float(i) * 1.25) for i in range(40)]
+    for g in range(1, 6):
+        rows += [(f"g{g}", float(j)) for j in range(3)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = [0.25, 0.5, 0.9]
+    want = {
+        r["g"]: list(r["w"])
+        for r in df.groupBy("g")
+        .agg(F.expr(f"percentile(v, array({', '.join(repr(p) for p in ps)}))").alias("w"))
+        .collect()
+    }
+    spark.conf.set(EXACT_PCT_MAX_GROUPS_CONF, "2")      # 6 groups > 2
+    spark.conf.set(EXACT_PCT_MAX_DISTINCT_CONF, "10")   # g0's 40 > 10
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            res = exact_percentiles(df, ["g"], "v", ps)
+            got = {r["g"]: list(r["pcts"]) for r in res.collect()}
+        assert any("SHUFFLED" in str(w.message) for w in caught)
+    finally:
+        spark.conf.unset(EXACT_PCT_MAX_GROUPS_CONF)
+        spark.conf.unset(EXACT_PCT_MAX_DISTINCT_CONF)
+    assert got == want

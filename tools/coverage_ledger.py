@@ -129,6 +129,24 @@ def prune_local_verify(repo: str = REPO) -> list[str]:
     return dead
 
 
+def rotation_key(folded: dict[str, dict], redrive: set[str]):
+    """THE rotation ordering, shared by COVERAGE.md's table and
+    rotate_window's queries() rewrite (r12 self-review: duplicated keys
+    would silently desync 'table order = next window'): staleness tier
+    first (live pending-re-drive = 0), then WEAKEST EVIDENCE first
+    (fewest green driver rounds), then name for determinism."""
+
+    def key(n: str):
+        row = folded.get(n, {})
+        return (
+            0 if n in redrive else (row.get("last_green") or 0),
+            len(row.get("green", [])),
+            n,
+        )
+
+    return key
+
+
 def open_reds(folded: dict[str, dict], local_verify: dict[str, dict] | None = None):
     """(still_open, pending) — red-after-last-green rows, split by whether
     a local verification newer than the last red covers them."""
@@ -205,19 +223,7 @@ def render(folded: dict[str, dict], registry: list[str]) -> str:
         "| query | green rounds | last green | window slot |",
         "|---|---|---|---|",
     ]
-    redrive_set = set(redrive)
-
-    def sort_key(n: str):
-        # staleness tier first; within a tier, WEAKEST EVIDENCE first
-        # (fewest green rounds — r12: the alphabetical tiebreak pushed
-        # three single-evidence r8 queries out of the window behind
-        # 4×-verified ones), then name for determinism
-        return (
-            0 if n in redrive_set else (folded[n]["last_green"] or 0),
-            len(folded[n]["green"]),
-            n,
-        )
-
+    sort_key = rotation_key(folded, set(redrive))
     for n in sorted(known, key=sort_key):
         row = folded[n]
         marks = ", ".join(f"r{r}{'h' if k == 'hash' else 'r'}" for r, k in row["green"])
