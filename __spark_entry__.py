@@ -3595,62 +3595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # staleness. Tiers below rotate the least-recently-driver-checked
     # queries into the window.
     raw = {
-        # -- r12 rotation window (first 50 = stalest-first from
+        # -- r13 rotation window (first 50 = stalest-first from
         #    COVERAGE.md; regenerated by tools/rotate_window.py -- never
         #    hand-curate this ordering) --
-        # tier: plan rewritten — locally verified, pending re-drive
-        "pagerank_dangling": q_pagerank_dangling,
-        "part_pagerank": q_part_pagerank,
-        "quality_quantile_normalize": q_quality_quantile_normalize,
-        "label_cosine_report": q_label_cosine_report,
-        "rfm_segments": q_rfm_segments,
-        "streaming_static_enrich": q_streaming_static_enrich,
-        "user_concentration": q_user_concentration,
-        "packed_sequences": q_packed_sequences,
-        "quality_percentile_filter": q_quality_percentile_filter,
-        "value_outliers_mad": q_value_outliers_mad,
-        "value_percentiles": q_value_percentiles,
-        # tier: last driver evidence r8
-        "domain_cap_sample": q_domain_cap_sample,
-        "duplicate_span_stats": q_duplicate_span_stats,
-        "ivfpq_topk": q_ivfpq_topk,
-        "media_frame_sample": q_media_frame_sample,
-        "rolling_sketch_users": q_rolling_sketch_users,
-        "split_leakage": q_split_leakage,
-        "streaming_sliding_windows": q_streaming_sliding_windows,
-        "bpe_merge_candidates": q_bpe_merge_candidates,
-        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
-        "cohort_retention": q_cohort_retention,
-        "customer_order_distribution": q_customer_order_distribution,
-        "embedding_coverage": q_embedding_coverage,
-        "embedding_norm_stats": q_embedding_norm_stats,
-        "event_heatmap": q_event_heatmap,
-        "funnel_conversion": q_funnel_conversion,
-        "large_orders": q_large_orders,
-        "lone_problem_suppliers": q_lone_problem_suppliers,
-        "ngram_novelty": q_ngram_novelty,
-        "promo_revenue_share": q_promo_revenue_share,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "top_supplier_revenue": q_top_supplier_revenue,
-        "benchmark_contamination": q_benchmark_contamination,
-        "brand_market_share": q_brand_market_share,
-        "brand_revenue": q_brand_revenue,
-        "clean_corpus_clustered": q_clean_corpus_clustered,
-        "clean_corpus_exact": q_clean_corpus_exact,
-        "customers_without_orders": q_customers_without_orders,
-        "decontaminated_corpus": q_decontaminated_corpus,
-        "dedup_cluster_sizes": q_dedup_cluster_sizes,
-        "dedup_clusters": q_dedup_clusters,
-        "doc_quality": q_doc_quality,
-        "dormant_customers": q_dormant_customers,
-        "fingerprint_containment": q_fingerprint_containment,
-        "forecast_revenue": q_forecast_revenue,
-        "heavy_tokens": q_heavy_tokens,
-        "json_props_buckets": q_hashtag_extract,
-        "nation_trade_volume": q_nation_trade_volume,
-        "priority_status_rollup": q_priority_status_rollup,
-        "running_revenue": q_running_revenue,
-        # ---- driver window boundary (first 50 above) ------------------
         # tier: last driver evidence r8
         "top_parts_per_brand": q_top_parts_per_brand,
         "counts_by_lang_topk": q_counts_by_lang_topk,
@@ -3703,6 +3650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "pricing_summary": q_pricing_summary,
         "sentiment_label_counts": q_sentiment_label_counts,
+        # ---- driver window boundary (first 50 above) ------------------
+        # tier: last driver evidence r9
         "shipping_priority": q_shipping_priority,
         "simhash_near_dups": q_simhash_near_dups,
         "similarity_topk": q_similarity_topk,
@@ -3801,6 +3750,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "clean_corpus": q_clean_corpus,
         "lsh_similarity_topk": q_lsh_similarity_topk,
+        # tier: last driver evidence r12
+        "domain_cap_sample": q_domain_cap_sample,
+        "duplicate_span_stats": q_duplicate_span_stats,
+        "ivfpq_topk": q_ivfpq_topk,
+        "media_frame_sample": q_media_frame_sample,
+        "pagerank_dangling": q_pagerank_dangling,
+        "part_pagerank": q_part_pagerank,
+        "quality_quantile_normalize": q_quality_quantile_normalize,
+        "rolling_sketch_users": q_rolling_sketch_users,
+        "split_leakage": q_split_leakage,
+        "streaming_sliding_windows": q_streaming_sliding_windows,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "cohort_retention": q_cohort_retention,
+        "customer_order_distribution": q_customer_order_distribution,
+        "embedding_coverage": q_embedding_coverage,
+        "embedding_norm_stats": q_embedding_norm_stats,
+        "event_heatmap": q_event_heatmap,
+        "funnel_conversion": q_funnel_conversion,
+        "label_cosine_report": q_label_cosine_report,
+        "large_orders": q_large_orders,
+        "lone_problem_suppliers": q_lone_problem_suppliers,
+        "ngram_novelty": q_ngram_novelty,
+        "promo_revenue_share": q_promo_revenue_share,
+        "rfm_segments": q_rfm_segments,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "streaming_static_enrich": q_streaming_static_enrich,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "user_concentration": q_user_concentration,
+        "benchmark_contamination": q_benchmark_contamination,
+        "brand_market_share": q_brand_market_share,
+        "brand_revenue": q_brand_revenue,
+        "clean_corpus_clustered": q_clean_corpus_clustered,
+        "clean_corpus_exact": q_clean_corpus_exact,
+        "customers_without_orders": q_customers_without_orders,
+        "decontaminated_corpus": q_decontaminated_corpus,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "dedup_clusters": q_dedup_clusters,
+        "doc_quality": q_doc_quality,
+        "dormant_customers": q_dormant_customers,
+        "fingerprint_containment": q_fingerprint_containment,
+        "forecast_revenue": q_forecast_revenue,
+        "heavy_tokens": q_heavy_tokens,
+        "json_props_buckets": q_hashtag_extract,
+        "nation_trade_volume": q_nation_trade_volume,
+        "packed_sequences": q_packed_sequences,
+        "priority_status_rollup": q_priority_status_rollup,
+        "quality_percentile_filter": q_quality_percentile_filter,
+        "running_revenue": q_running_revenue,
+        "value_outliers_mad": q_value_outliers_mad,
+        "value_percentiles": q_value_percentiles,
     }
     return {name: _released(fn) for name, fn in raw.items()}
 
