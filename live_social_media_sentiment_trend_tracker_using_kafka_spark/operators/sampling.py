@@ -690,6 +690,17 @@ def exact_percentiles(
     persisted rank frame, so the score expression evaluates once).
     Contract: one row per distinct (group, value) with ``_gcnt >= 1``;
     NULL-value rows are permitted and treated as above.
+
+    **Eager contract (r12 ADVICE)**: unlike most operators in this
+    package, CALLING this function runs a Spark job immediately — the
+    regime dispatch needs |groups| and the max per-group distinct count
+    before it can choose a plan, so the counts frame is persisted (via
+    ``tracked_persist``, released by the session's cache manager) and a
+    one-row stats aggregate executes at construction time. Plan-only
+    contexts (dry runs, plan tests) therefore touch the cluster; the
+    persist is NOT released on the fast frequency path because the
+    returned plan still reads the materialized counts frame — releasing
+    it would re-scan the corpus at action time.
     """
     from .window_funcs import chunked_running_sum
 
@@ -847,12 +858,18 @@ def exact_percentiles(
         return res
     # restore groups whose values were all NULL with the NULL row
     # percentile() emits for them — the match join only produces probed
-    # (_N > 0) groups; totals is one tiny row per group either way
+    # (_N > 0) groups. res is one row per group: under the many-groups
+    # gate that is exactly the O(|groups|) frame the shuffled probe join
+    # exists to keep off the driver, so the restore join follows the
+    # same dispatch (r12 ADVICE) — broadcast only when the group count
+    # is inside the budget.
     cond2 = None
     for c, k in zip(part_cols, t_keys):
         e = F.col(k).eqNullSafe(F.col(c))
         cond2 = e if cond2 is None else cond2 & e
-    return totals.join(F.broadcast(res), cond2, "left").select(
+    return totals.join(
+        res if many_groups else F.broadcast(res), cond2, "left"
+    ).select(
         *[F.col(k).alias(c) for c, k in zip(part_cols, t_keys)], out_col
     )
 
@@ -901,6 +918,12 @@ def grouped_median_mad(
     for c, k in zip(part_cols, d_keys):
         e = F.col(c).eqNullSafe(F.col(k))
         dcond = e if dcond is None else dcond & e
+    if dcond is None:
+        # part_cols=[] (global stats): med/mad are single rows, so the
+        # "join" is an explicit 1-row broadcast NLJ — F.lit(True) makes
+        # that intent visible instead of riding an implicit cross join
+        # (r12 ADVICE)
+        dcond = F.lit(True)
     # persisted: a caller-supplied counts frame is read twice inside
     # exact_percentiles (the eager stats pass + the aggregate/running
     # sum) — unpersisted, the 30M-row derivation ran twice (r12 proof)
