@@ -167,14 +167,17 @@ def pagerank(
     co-purchase / similarity graphs this engine builds are symmetric,
     where every vertex has out-degree ≥ 1, so the term is dead weight.
     ``handle_dangling=True`` adds the standard redistribution for
-    arbitrary directed graphs: each iteration, the total score sitting
-    on out-degree-0 vertices is summed (one 1-row aggregate over the
-    |sinks|-row semi-join, carried as a broadcast scalar frame — never a
-    driver collect) and spread uniformly, so scores keep summing to ~1
-    instead of leaking mass into sinks. The extra cost is one linear
-    semi-join + 1-row agg per iteration; the per-iteration rounding
-    still pins the trajectory, so the unrolled SQL-twin hash-gating
-    technique extends to this variant unchanged.
+    arbitrary directed graphs: the vertex frame is annotated ONCE with
+    an out-degree-0 flag, every score tier carries it, and each
+    iteration's sink mass is a single 1-row conditional-sum aggregate
+    over the already-checkpointed score frame (carried as a broadcast
+    scalar frame — never a driver collect), spread uniformly so scores
+    keep summing to ~1 instead of leaking mass into sinks. The extra
+    cost per iteration is one cached-scan + 1-row agg — the r12 shape
+    paid a |V|-row semi-join against a persisted sink set per iteration
+    for the same number (r12 VERDICT item 3). The per-iteration
+    rounding still pins the trajectory, so the unrolled SQL-twin
+    hash-gating technique extends to this variant unchanged.
 
     Returns (vertex, pagerank) for every vertex appearing as a source or
     destination. Each iteration's scores round to ``round_digits`` —
@@ -182,82 +185,128 @@ def pagerank(
     (summation-order noise sits ~9 digits below the cutoff), so a k-step
     unrolled SQL twin hash-matches step for step.
 
-    Scale shape: one up-front degree aggregation (persisted with the
-    degree-annotated edge list, released before return via
-    caching.release so no dead handle burns a trim() slot), then per
-    iteration ONE join of the edge list to the |V|-row score frame
-    (shuffle on src) and ONE hash agg to destinations (shuffle on dst) —
-    both linear in |E|, both map-side combinable. Each score tier is
-    ``localCheckpoint``-ed (eager), exactly like connected_components:
-    persist() alone would NOT truncate lineage, and K nested tiers
-    recreate the exponential-plan-depth problem; the tradeoff (block
-    loss fails the job instead of recomputing) is the documented one —
-    use a reliable checkpoint dir on a fault-sensitive cluster. K
-    iterations = 2K linear shuffles, never a widening join. |V| rides
-    as a broadcast 1-row frame, not a driver scalar.
+    Scale shape: edge prep is ONE src-clustered exchange — dedup,
+    out-degree annotation (window count over the same clustering), and
+    the persisted iteration join side all ride it; the handle is
+    released before return via caching.release so no dead handle burns
+    a trim() slot. Per iteration: ONE join of the src-partitioned edge
+    list to the |V|-row score frame (only the score side reshuffles)
+    and ONE hash agg on the vertex key over the contributions unioned
+    with a zero row per vertex — both linear in |E|, both map-side
+    combinable. Each score tier is ``localCheckpoint``-ed (eager),
+    exactly like connected_components: persist() alone would NOT
+    truncate lineage, and K nested tiers recreate the exponential-plan-
+    depth problem; the tradeoff (block loss fails the job instead of
+    recomputing) is the documented one — use a reliable checkpoint dir
+    on a fault-sensitive cluster. K iterations = 2K linear shuffles,
+    never a widening join. |V| rides as a broadcast 1-row frame, not a
+    driver scalar.
     """
     from ..caching import free_local_checkpoint, release, tracked_persist
 
-    # the distinct edge list feeds the degree agg, the vertex union AND
-    # every iteration's join — persist it once (upstream may be an
-    # expensive generator, e.g. the co-purchase self-join).
     # edges_prepared=True declares the caller already hands a distinct,
     # (src, dst)-named, PERSISTED frame (e.g. a session-memoized edge
-    # artifact): re-distincting would pay the dedup shuffle again and
-    # re-persisting would double-cache the same rows.
+    # artifact): re-running the dedup exchange would pay its shuffle
+    # again for rows the memo already holds.
+    from pyspark.sql import Window
+
+    # edge prep rides ONE src-clustered exchange (r13): repartition("src")
+    # satisfies the ClusteredDistribution both the dedup aggregate (keys
+    # src,dst ⊇ src) and the out-degree Window require, so dedup +
+    # out-degree annotation fuse into a single shuffle — the r12 shape
+    # paid three (distinct on (src,dst), groupBy(src) for deg, re-shuffle
+    # of e for the e⋈deg join). The persisted frame keeps
+    # HashPartitioning(src), which is exactly the side every iteration's
+    # contribution join clusters on — only the score tier reshuffles.
     if edges_prepared:
-        e = edges
+        base_e = edges  # caller guarantees distinct + (src, dst) names
     else:
-        e = tracked_persist(
-            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+        base_e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .repartition("src")
+            .dropDuplicates()
         )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outd"))
-    ed = tracked_persist(e.join(deg, on="src"))
-    verts = tracked_persist(
-        e.select(F.col("src").alias("v"))
-        .unionByName(e.select(F.col("dst").alias("v")))
-        .distinct()
+    ed = tracked_persist(
+        base_e.withColumn(
+            "outd",
+            F.count(F.lit(1)).over(Window.partitionBy("src")).cast("double"),
+        )
     )
+    if handle_dangling:
+        # the sink flag folds into the vertex dedup aggregation itself
+        # (r12 VERDICT item 3): a vertex is dangling iff it NEVER appears
+        # on the src side, i.e. min() over a per-leg marker — one hash
+        # agg replaces the r12 distinct + anti-join-against-deg pair, and
+        # every score tier carries the flag so each iteration's dangling
+        # mass is a conditional sum over the cached tier, not a per-
+        # iteration semi-join against a separate sink set
+        vraw = (
+            ed.select(F.col("src").alias("v"), F.lit(False).alias("_dang"))
+            .unionByName(
+                ed.select(F.col("dst").alias("v"), F.lit(True).alias("_dang"))
+            )
+            .groupBy("v")
+            .agg(F.min("_dang").alias("_dang"))
+        )
+    else:
+        vraw = (
+            ed.select(F.col("src").alias("v"))
+            .unionByName(ed.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+    verts = tracked_persist(vraw)
+    vcols = ["v", "_dang"] if handle_dangling else ["v"]
     nv = verts.agg(F.count(F.lit(1)).cast("double").alias("nv"))
     pr = (
         verts.crossJoin(F.broadcast(nv))
-        .select("v", F.round(F.lit(1.0) / F.col("nv"), round_digits).alias("pr"))
+        .select(
+            *vcols, F.round(F.lit(1.0) / F.col("nv"), round_digits).alias("pr")
+        )
         .localCheckpoint()
     )
-    dangling = None
-    if handle_dangling:
-        # sinks = vertices with no out-edge; persisted once, reused per
-        # iteration for the mass aggregate
-        dangling = tracked_persist(
-            verts.join(deg.select(F.col("src").alias("v")), on="v", how="left_anti")
-        )
     base = F.lit(1.0 - damping)
+    # per-iteration shape (r13): the edge contributions UNION a zero-
+    # contribution row per vertex, then ONE hash agg on the vertex key —
+    # two exchanges per iteration (contrib join + the agg) where the r12
+    # shape paid three (the agg keyed the dst side, then a second join
+    # restored zero-inflow vertices from verts). The 0.0 leg is FP-exact:
+    # x + 0.0 == x for every finite double, so the inflow bits — and the
+    # round-9 trajectory the SQL twins hash — are unchanged. The vertex
+    # row also carries the dangling flag (max() over the group sees only
+    # the one non-NULL flag, from the zeros leg), so no re-join is needed
+    # to keep it on the next tier.
+    flag_null = [F.lit(None).cast("boolean").alias("_dang")]
+    aggs = [F.sum("c").alias("inflow")] + (
+        [F.max("_dang").alias("_dang")] if handle_dangling else []
+    )
     for _ in range(iterations):
-        contrib = (
-            ed.join(pr, ed["src"] == pr["v"], "inner")
-            .select(F.col("dst"), (F.col("pr") / F.col("outd")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
+        contrib = ed.join(pr, ed["src"] == pr["v"], "inner").select(
+            F.col("dst").alias("v"),
+            (F.col("pr") / F.col("outd")).alias("c"),
+            *(flag_null if handle_dangling else []),
         )
+        zeros = verts.select("v", F.lit(0.0).alias("c"), *vcols[1:])
+        inflow = contrib.unionByName(zeros).groupBy("v").agg(*aggs)
         if handle_dangling:
-            dm = (
-                pr.join(dangling, on="v", how="left_semi")
-                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+            # one scan of the checkpointed tier, map-side combinable
+            dm = pr.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("_dang"), F.col("pr"))), F.lit(0.0)
+                ).alias("dm")
             )
             extra = F.lit(damping) * F.col("dm") / F.col("nv")
         else:
             dm, extra = None, F.lit(0.0)
         prev = pr
-        scored = verts.crossJoin(F.broadcast(nv))
+        scored = inflow.crossJoin(F.broadcast(nv))
         if dm is not None:
             scored = scored.crossJoin(F.broadcast(dm))
         pr = (
-            scored.join(contrib, scored["v"] == contrib["dst"], "left")
-            .select(
-                "v",
+            scored.select(
+                *vcols,
                 F.round(
                     base / F.col("nv")
-                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                    + F.lit(damping) * F.col("inflow")
                     + extra,
                     round_digits,
                 ).alias("pr"),
@@ -269,8 +318,4 @@ def pagerank(
         free_local_checkpoint(prev)
     release(ed)
     release(verts)
-    if not edges_prepared:
-        release(e)  # a prepared edge frame belongs to the caller's memo
-    if dangling is not None:
-        release(dangling)
     return pr.select(F.col("v").alias("vertex"), F.col("pr").alias("pagerank"))
