@@ -2988,16 +2988,23 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rolling_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 mergeable-sketch rolling distinct (r8; rows-only — Datasketches
-    HLL registers are not DuckDB-expressible): per-day HLL sketches union-
-    merged over the trailing 7-day window. The 100 TB pattern the exact
-    rolling_active_users cannot follow: sketch the corpus ONCE per day,
-    answer any window by merging ≤ window sketches (#days × window rows).
+    """§2.8 mergeable-sketch rolling distinct (r8; HASH-gated r13): per-day
+    HLL sketches union-merged over the trailing 7-day window. The 100 TB
+    pattern the exact rolling_active_users cannot follow: sketch the corpus
+    ONCE per day, answer any window by merging ≤ window sketches (#days ×
+    window rows).
 
-    Error contract (same shape as approx_distinct_users): joins the exact
-    twin per day and emits ``rel_err``; the driver row demonstrates the
-    estimate tracks the exact count (bound asserted in
-    tests/test_query_contracts.py) instead of just "ran"."""
+    Hash contract (r13, VERDICT item 4): the raw estimate values are
+    xxhash64-register arithmetic DuckDB cannot reproduce (the one named
+    impossibility class), but the query's CLAIM — "the estimate exists for
+    every exact day and tracks the exact count within the lg_k=12 error
+    budget" — is fully hashable: emit the exact twin's values plus
+    ``within_bound`` (rel_err < 0.05, ~3σ of the ~1.6% RSE), and the twin
+    emits the same exact counts with literal TRUE. An inner join makes
+    missing sketch days shrink the row count; a bound breach flips the
+    boolean — either regression is a driver hash mismatch, strictly
+    stronger than the old rows-only row. Raw rel_err per day remains
+    asserted in tests/test_query_contracts.py."""
     ev = _t(spark, sf_dir, "events")
     approx = sessionize.rolling_distinct_sketch(ev, window_days=7)
     exact = sessionize.rolling_active_users(ev, window_days=7).select(
@@ -3007,13 +3014,12 @@ def q_rolling_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx.join(exact, "day")
         .select(
             "day",
-            "approx_active",
             "exact_active",
-            F.round(
+            (
                 F.abs(F.col("approx_active") - F.col("exact_active"))
-                / F.col("exact_active").cast("double"),
-                6,
-            ).alias("rel_err"),
+                / F.col("exact_active").cast("double")
+                < F.lit(0.05)
+            ).alias("within_bound"),
         )
         .orderBy("day")
     )
@@ -5140,6 +5146,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(s.day AS TIMESTAMP) AS day,
                    COUNT(DISTINCT u.user_id) AS active_users
+            FROM spine s JOIN ud u ON u.day BETWEEN s.day - 6 AND s.day
+            GROUP BY s.day ORDER BY day
+        """,
+        # r13: rolling_sketch_users hash twin — the HLL register values
+        # themselves are xxhash64 arithmetic (the named DuckDB
+        # impossibility), but the query's hashable claim is "a sketch row
+        # exists for EVERY exact day and its estimate sits inside the
+        # lg_k=12 bound": the twin emits the exact rolling counts with
+        # literal TRUE. A missing sketch day breaks the row count; a bound
+        # breach flips Spark's boolean — both are driver hash mismatches.
+        "rolling_sketch_users": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ), bounds AS (
+                SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud
+            ), spine AS (
+                SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                       AS day
+                FROM bounds
+            )
+            SELECT CAST(s.day AS TIMESTAMP) AS day,
+                   COUNT(DISTINCT u.user_id) AS exact_active,
+                   TRUE AS within_bound
             FROM spine s JOIN ud u ON u.day BETWEEN s.day - 6 AND s.day
             GROUP BY s.day ORDER BY day
         """,
@@ -7286,15 +7315,38 @@ def oracle_sql() -> dict[str, str]:
         # probabilistic (bucketed candidates), exact parity is not the
         # contract; similarity_topk above is the exact, oracle-checked twin.
         # media_features omitted: mapInPandas decode plumbing, no SQL twin.
-        # r8 rows-only rationales: rolling_sketch_users (Datasketches HLL
-        # registers aren't DuckDB-expressible; in-row exact-twin rel_err is
-        # the evidence), ann_search_join / ivfpq_topk / knn_graph (IVF
-        # k-means fit is iterative; planted-twin + brute-force-equality
-        # contracts in tests), media_frame_sample (synthetic media table,
-        # no SQL-visible source; deterministic frame-count contract).
+        # r8 rows-only rationales, r13-audited (VERDICT item 4):
+        # media_frame_sample and rolling_sketch_users UPGRADED to hash —
+        # the former's synthetic stamps regenerate from range()+UNNEST,
+        # the latter now hashes its exact twin + error-bound boolean.
+        # ann_search_join / ivfpq_topk / knn_graph stay rows-only with a
+        # MEASURED impossibility: ivfpq_topk's top-10 at sf0.01 is
+        # deterministic but recalls exactly 8/10 of the brute-force set
+        # (vec_ids 423 and 320 live in unprobed cells at nprobe=8/16) —
+        # the returned SET depends on the k-means cell assignment, which
+        # is iterative float arithmetic over a hash-ordered sample and
+        # not reproducible in SQL; an exact-top-k twin would demand
+        # nprobe=16, i.e. a full scan that deletes the operator under
+        # test. The recall floor + exact-rerank cosine equality are
+        # pinned in tests/test_query_contracts.py instead.
         # bloom_decontamination omitted: xxhash64 bit positions are not
         # DuckDB-expressible; the exact tier rides along per row and the
         # no_false_negative evidence column must be TRUE everywhere.
+        # r13: media_frame_sample hash twin — the query's media table is
+        # synthesized in-process with fully deterministic stamps
+        # (media_id 0..31, kind 'video', payload = 256 seeded bytes,
+        # n_frames = 5 + 10·(id mod 7)), so the twin regenerates the
+        # every-10th frame fanout from range()+UNNEST: frame indices
+        # 0,10,… ≤ n_frames−1 ⇒ (id mod 7)+1 rows per asset, 122 total.
+        "media_frame_sample": """
+            SELECT t.media_id,
+                   'video' AS kind,
+                   CAST(f.frame_idx AS INT) AS frame_idx,
+                   256 AS payload_bytes
+            FROM range(0, 32) t(media_id),
+                 UNNEST(range(0, (t.media_id % 7) * 10 + 5, 10)) f(frame_idx)
+            ORDER BY media_id, frame_idx
+        """,
         # r8: span-level dedup — same tokenize → n-gram(8) → distinct
         # construction as the shingle family (verbatim grams, no hashing),
         # gram marked duplicated when ≥2 distinct docs carry it.

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import __spark_entry__ as entrymod
 from conftest import SF_SMOKE
+from pyspark.sql import functions as F
 
 
 def test_minhash_query_recall_contract(spark):
@@ -332,12 +333,12 @@ def test_knn_graph_query_contract(spark):
 def test_rolling_sketch_users_error_contract(spark):
     """Mergeable-HLL rolling distinct (r8): every day joins its exact twin
     1:1 and the estimate stays inside ~3 sigma of lg_k=12's ~1.6% RSE.
-    Sketch days == exact days (same clamped day-set construction)."""
-    rows = entrymod.q_rolling_sketch_users(spark, SF_SMOKE).collect()
-    assert rows, "no days"
-    assert max(r.rel_err for r in rows) < 0.05, [
-        (r.day, r.approx_active, r.exact_active) for r in rows if r.rel_err >= 0.05
-    ]
+    Sketch days == exact days (same clamped day-set construction).
+
+    r13: the registered query now emits (day, exact_active, within_bound)
+    so the driver hash gates the bound claim; the RAW per-day rel_err is
+    asserted here from the operators directly — same rigor, moved one
+    level down."""
     from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
         sessionize,
     )
@@ -346,8 +347,24 @@ def test_rolling_sketch_users_error_contract(spark):
     )
 
     ev = table(spark, "events", SF_SMOKE)
+    approx = sessionize.rolling_distinct_sketch(ev, window_days=7)
+    exact = sessionize.rolling_active_users(ev, window_days=7).select(
+        "day", F.col("active_users").alias("exact_active")
+    )
+    raw = approx.join(exact, "day").collect()
+    assert raw, "no days"
+    errs = {
+        r.day: abs(r.approx_active - r.exact_active) / float(r.exact_active)
+        for r in raw
+    }
+    assert max(errs.values()) < 0.05, {
+        d: e for d, e in errs.items() if e >= 0.05
+    }
     n_exact = sessionize.rolling_active_users(ev).count()
-    assert len(rows) == n_exact  # the inner join dropped nothing
+    assert len(raw) == n_exact  # the inner join dropped nothing
+    rows = entrymod.q_rolling_sketch_users(spark, SF_SMOKE).collect()
+    assert len(rows) == n_exact
+    assert all(r.within_bound for r in rows)
 
 
 def test_ann_search_join_contract(spark):
@@ -640,3 +657,49 @@ def test_every_hash_checked_query_emits_only_scalar_columns(spark):
         if nonscalar:
             bad[name] = nonscalar
     assert not bad, f"hash-checked queries with non-scalar columns: {bad}"
+
+
+def test_copurchase_memo_revival_survives_cache_trim(spark):
+    """r12 VERDICT item 6: the session memo (_COPURCHASE_EDGE_CACHE)
+    outlives caching.trim()'s keep window, so a memo hit must RE-PERSIST a
+    trim-evicted edge table (tracked_persist_shared) — otherwise every
+    pagerank rep after a long sweep silently re-runs the ~6.8 s lineitem
+    self-join per action while the memo still claims build-once. This test
+    goes red if the revival call is removed: the returned frame stays
+    unpersisted and no InMemoryTableScan substitutes into its plan."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark import caching
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.plans import (
+        plan_text,
+    )
+
+    e1 = entrymod._copurchase_edges(spark, SF_SMOKE)
+    e1.count()  # materialize the memo build
+    caching.release_all()  # worst-case trim: evict every tracked handle
+    lvl = e1.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "precondition: eviction real"
+    e2 = entrymod._copurchase_edges(spark, SF_SMOKE)
+    lvl = e2.storageLevel
+    assert lvl.useMemory or lvl.useDisk, "memo hit must re-persist evicted frame"
+    # the revived cache entry substitutes into consumer plans: the edge
+    # subtree reads InMemoryTableScan, not the lineitem self-join
+    plan = plan_text(e2)
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_ann_index_memo_revival_survives_cache_trim(spark):
+    """Same revival contract for _ANN_INDEX_CACHE (tuple-valued memos:
+    (assigned, centroids) for IVF): a trim-evicted index table must come
+    back persisted on the next memo hit or every probe re-runs the
+    bucketing/assignment pass."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark import caching
+
+    idx1 = entrymod._ann_index(spark, SF_SMOKE, "ivf")
+    f1 = idx1[0] if isinstance(idx1, tuple) else idx1
+    f1.count()
+    caching.release_all()
+    lvl = f1.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "precondition: eviction real"
+    idx2 = entrymod._ann_index(spark, SF_SMOKE, "ivf")
+    f2 = idx2[0] if isinstance(idx2, tuple) else idx2
+    lvl = f2.storageLevel
+    assert lvl.useMemory or lvl.useDisk, "memo hit must re-persist evicted index"
