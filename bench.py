@@ -261,6 +261,7 @@ def compact_line(payload: dict, budget: int = 1900) -> str:
     timings = payload["queries"]
     compact = dict(payload)
     compact.pop("queries_spread", None)  # full per-query spread lives in BENCH_LOCAL.json
+    compact.pop("ended_at", None)  # full offsets map lives in BENCH_LOCAL.json
     compact["queries_full"] = "BENCH_LOCAL.json"
     compact["queries_total"] = len(timings)
     by_cost = sorted(timings, key=timings.get, reverse=True)
@@ -341,7 +342,20 @@ def main() -> None:
     )
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in headline:
+    ended_at: dict[str, float] = {}
+    # r13: ambient-load bursts are TIME-clustered, not query-clustered —
+    # four idle full runs showed a different contiguous HEADLINE span
+    # inflated per run (run 3: positions 61-66, the shingle tier, 3-9x;
+    # the same queries normal in every other run) while the start/end
+    # calibration pair read a steady ~0.78. A burst that starts and ends
+    # mid-run is invisible to endpoint sampling, so the sentinel now also
+    # runs one calibration rep every CAL_EVERY queries and stamps each
+    # query's wall-clock offset: an inflated query whose neighboring
+    # track samples are also inflated is ambient load, machine-checkably.
+    cal_track: list[list[float]] = []
+    t_bench0 = time.time()
+    CAL_EVERY = 25
+    for qi, name in enumerate(headline):
         fn = qs[name]
         reps: list[float] = []
         for _ in range(REPS):
@@ -350,6 +364,7 @@ def main() -> None:
             reps.append(time.time() - t0)
         timings[name] = round(min(reps), 3)
         spreads[name] = round(max(reps) - min(reps), 3)
+        ended_at[name] = round(time.time() - t_bench0, 1)
         # Between-query isolation (r9 VERDICT item 3): the 166-query session
         # accumulated tracked-persist cache occupancy + GC pressure that made
         # late queries measure 3-4x their fresh-session time
@@ -374,6 +389,14 @@ def main() -> None:
             if t.isTemporary:
                 spark.catalog.dropTempView(t.name)
         spark.sparkContext._jvm.System.gc()
+        if (qi + 1) % CAL_EVERY == 0:
+            t0 = time.time()
+            qs[CALIBRATION_QUERY](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            cal_track.append(
+                [round(time.time() - t_bench0, 1), round(time.time() - t0, 3)]
+            )
     cal_end, load_end = calibrate(), _loadavg()
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -402,7 +425,13 @@ def main() -> None:
             "end_sec": cal_end,
             "ref_sec": CALIBRATION_REF_SEC,
             "noise_index": noise,
+            # [offset_into_run_sec, calibration_sec] every CAL_EVERY
+            # queries — localizes mid-run ambient bursts (r13)
+            "track": cal_track,
         },
+        # per-query end offsets into the run, for correlating an inflated
+        # query with the nearest calibration track samples (r13)
+        "ended_at": ended_at,
     }
     # The driver records only the LAST ~2000 chars of stdout; the full
     # ~110-query map is ~4 KB, so a single full-payload line gets its head
