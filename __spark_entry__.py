@@ -3604,6 +3604,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r13 rotation window (first 50 = stalest-first from
         #    COVERAGE.md; regenerated by tools/rotate_window.py -- never
         #    hand-curate this ordering) --
+        # tier: plan rewritten — locally verified, pending re-drive
+        "media_frame_sample": q_media_frame_sample,
+        "pagerank_dangling": q_pagerank_dangling,
+        "part_pagerank": q_part_pagerank,
+        "rolling_sketch_users": q_rolling_sketch_users,
         # tier: last driver evidence r8
         "top_parts_per_brand": q_top_parts_per_brand,
         "counts_by_lang_topk": q_counts_by_lang_topk,
@@ -3652,12 +3657,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_stats": q_token_count_stats,
         "url_domain_stats": q_url_domain_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
+        # ---- driver window boundary (first 50 above) ------------------
+        # tier: last driver evidence r9
         "counts_by_source": q_counts_by_source,
         "ivf_topk": q_ivf_topk,
         "pricing_summary": q_pricing_summary,
         "sentiment_label_counts": q_sentiment_label_counts,
-        # ---- driver window boundary (first 50 above) ------------------
-        # tier: last driver evidence r9
         "shipping_priority": q_shipping_priority,
         "simhash_near_dups": q_simhash_near_dups,
         "similarity_topk": q_similarity_topk,
@@ -3760,11 +3765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_sample": q_domain_cap_sample,
         "duplicate_span_stats": q_duplicate_span_stats,
         "ivfpq_topk": q_ivfpq_topk,
-        "media_frame_sample": q_media_frame_sample,
-        "pagerank_dangling": q_pagerank_dangling,
-        "part_pagerank": q_part_pagerank,
         "quality_quantile_normalize": q_quality_quantile_normalize,
-        "rolling_sketch_users": q_rolling_sketch_users,
         "split_leakage": q_split_leakage,
         "streaming_sliding_windows": q_streaming_sliding_windows,
         "bpe_merge_candidates": q_bpe_merge_candidates,

@@ -189,7 +189,10 @@ def pagerank(
     out-degree annotation (window count over the same clustering), and
     the persisted iteration join side all ride it; the handle is
     released before return via caching.release so no dead handle burns
-    a trim() slot. Per iteration: ONE join of the src-partitioned edge
+    a trim() slot. Skew note: a hyper-hot src key makes the window
+    buffer that group's edge rows in one task — Spark spills the buffer
+    (ExternalAppendOnlyUnsafeRowArray) rather than OOM, and the same hot
+    key would land on one reducer under the old agg+join shape too. Per iteration: ONE join of the src-partitioned edge
     list to the |V|-row score frame (only the score side reshuffles)
     and ONE hash agg on the vertex key over the contributions unioned
     with a zero row per vertex — both linear in |E|, both map-side
