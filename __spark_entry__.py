@@ -3105,13 +3105,14 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 multimodal video plumbing (r8; rows-only — synthetic media,
-    no SQL table): every-Nth frame sampling WITHOUT decoding — pure
-    Catalyst sequence+explode over metadata frame counts, the row-fanout
-    stage a real frame decoder plugs into downstream
-    (multimodal.frame_sample). Frame counts are stamped deterministically
-    (5 + 10·(id mod 7)), so the output — including the n_frames=5
-    single-sample and the null-meta clamp path — is fixed forever."""
+    """§2.8 multimodal video plumbing (r8; HASH-gated r13): every-Nth
+    frame sampling WITHOUT decoding — pure Catalyst sequence+explode over
+    metadata frame counts, the row-fanout stage a real frame decoder
+    plugs into downstream (multimodal.frame_sample). Frame counts are
+    stamped deterministically (5 + 10·(id mod 7)), so the output —
+    including the n_frames=5 single-sample and the null-meta clamp path —
+    is fixed forever, and the DuckDB twin regenerates it from
+    range()+UNNEST with no parquet source (VERDICT r12 item 4)."""
     media = multimodal.synthetic_media_df(spark, n=32, kind="video")
     media = media.withColumn(
         "meta",

@@ -397,6 +397,16 @@ def main() -> None:
             cal_track.append(
                 [round(time.time() - t_bench0, 1), round(time.time() - t0, 3)]
             )
+            # re-isolate: the next measured query must start from the same
+            # session state as every other (r13 review) — without this the
+            # query after each track sample absorbs the calibration rep's
+            # heap garbage and reads high with NORMAL neighboring samples,
+            # the exact signature the track exists to rule out
+            caching.release_all()
+            for t in spark.catalog.listTables():
+                if t.isTemporary:
+                    spark.catalog.dropTempView(t.name)
+            spark.sparkContext._jvm.System.gc()
     cal_end, load_end = calibrate(), _loadavg()
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
