@@ -352,9 +352,14 @@ def main() -> None:
     # runs one calibration rep every CAL_EVERY queries and stamps each
     # query's wall-clock offset: an inflated query whose neighboring
     # track samples are also inflated is ambient load, machine-checkably.
+    # Each track sample carries [offset_sec, cal_sec, load1]: a measured
+    # ~90 s burst fit entirely between 25-query samples (calibration
+    # normal both sides, 1-min loadavg 9.6 at run end), so the cadence is
+    # 12 and the instantaneous loadavg rides along — the calibration scan
+    # under-responds to contention that hits multi-stage queries hard.
     cal_track: list[list[float]] = []
     t_bench0 = time.time()
-    CAL_EVERY = 25
+    CAL_EVERY = 12
     for qi, name in enumerate(headline):
         fn = qs[name]
         reps: list[float] = []
@@ -394,8 +399,13 @@ def main() -> None:
             qs[CALIBRATION_QUERY](spark, SF_DIR).write.format("noop").mode(
                 "overwrite"
             ).save()
+            la = _loadavg()
             cal_track.append(
-                [round(time.time() - t_bench0, 1), round(time.time() - t0, 3)]
+                [
+                    round(time.time() - t_bench0, 1),
+                    round(time.time() - t0, 3),
+                    la[0] if la else None,
+                ]
             )
             # re-isolate: the next measured query must start from the same
             # session state as every other (r13 review) — without this the
@@ -435,8 +445,8 @@ def main() -> None:
             "end_sec": cal_end,
             "ref_sec": CALIBRATION_REF_SEC,
             "noise_index": noise,
-            # [offset_into_run_sec, calibration_sec] every CAL_EVERY
-            # queries — localizes mid-run ambient bursts (r13)
+            # [offset_into_run_sec, calibration_sec, loadavg_1min] every
+            # CAL_EVERY queries — localizes mid-run ambient bursts (r13)
             "track": cal_track,
         },
         # per-query end offsets into the run, for correlating an inflated
