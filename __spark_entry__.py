@@ -25,6 +25,9 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from live_social_media_sentiment_trend_tracker_using_kafka_spark import caching
+from live_social_media_sentiment_trend_tracker_using_kafka_spark.session import (
+    arrow_local_df,
+)
 from live_social_media_sentiment_trend_tracker_using_kafka_spark.functions.sentiment import (
     sentiment_label_col,
     sql_lexicon_score_col,
@@ -1098,8 +1101,12 @@ def _exact_topk_twin(spark: SparkSession, sf_dir: str, k: int = 10):
         hit = (qvec, ids)
         _EXACT_TOPK_CACHE[key] = hit
     qvec, ids = hit
-    exact = spark.createDataFrame(
-        [(int(i), True) for i in ids], "vec_id long, in_exact_topk boolean"
+    # Arrow local relation (session.arrow_local_df): a pickled-row frame
+    # costs a Python deserialize task on every action that touches it (r13)
+    exact = arrow_local_df(
+        spark,
+        {"vec_id": [int(i) for i in ids], "in_exact_topk": [True] * len(ids)},
+        "vec_id long, in_exact_topk boolean",
     )
     return qvec, exact
 
@@ -1909,7 +1916,11 @@ def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tables keep their scan parallelism — this is query-side, not operator-
     # side, by design).
     aug = media.unionByName(planted).coalesce(4)
-    pairs = multimodal.media_near_duplicates(aug, threshold=0.999)
+    # n_rows_hint: 48 synthetic + 6 planted rows by construction — skips
+    # the SRP sizing count(), i.e. one full decode-pass action per call
+    # (r13; the adaptive parameters are identical because the hint is
+    # exact)
+    pairs = multimodal.media_near_duplicates(aug, threshold=0.999, n_rows_hint=54)
     # Contract column (same shape as cosine_near_dups): each planted twin
     # must pair with its original — (k, k+1000).
     return pairs.withColumn(
@@ -3421,10 +3432,18 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 embedding covariance matrix (similarity.embedding_covariance
     — the PCA/whitening prep step): cov(i, j) for every dimension pair
-    i ≤ j. Per-row dim² fan-out is a narrow in-task map reduced by ONE
-    partial hash agg to dim·(dim+1)/2 rows; fully hash-checked (double
-    widening before products, fixed moment expression, round 6)."""
-    return similarity.embedding_covariance(_t(spark, sf_dir, "embeddings"))
+    i ≤ j, reduced by ONE partial hash agg to dim·(dim+1)/2 rows; fully
+    hash-checked (double widening before products, fixed moment
+    expression, round 6). r13: rides the Arrow GEMM partial kernel (one
+    float64 ``X.T @ X`` per batch) instead of the Catalyst per-pair
+    struct fan-out — the dim² per-row explode was pure per-task
+    expression overhead (guide §4.2; measured 3.3 → 0.5 s at sf0.1,
+    output verified BIT-IDENTICAL cell-for-cell at sf0.01 and sf0.1:
+    products are exact doubles of float32 inputs on both paths and
+    round-6 sits ~8 digits above summation-order drift)."""
+    return similarity.embedding_covariance(
+        _t(spark, sf_dir, "embeddings"), use_kernel=True
+    )
 
 
 def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -212,7 +212,12 @@ def bloom_contamination_stats(
 
     words, m, k = build_bloom_words(benchmark, text_col, n, fpp)
     spark = docs.sparkSession
-    bloom = spark.createDataFrame([(words,)], "bloom_words: array<long>")
+    # Arrow local relation, not a pickled 1-row RDD: the filter rides as a
+    # broadcast side of every action on this chain, and the pickled path
+    # would re-spawn a Python task per action just to deserialize it (r13)
+    from ..session import arrow_local_df
+
+    bloom = arrow_local_df(spark, {"bloom_words": [words]}, "bloom_words: array<long>")
 
     def bit_set_expr(p: Column) -> Column:
         w = F.element_at(F.col("bloom_words"), (p / 64).cast("int") + 1)

@@ -60,6 +60,54 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _local_media_df(spark, rows: list[tuple]) -> DataFrame:
+    """MEDIA_SCHEMA frame from local (id, kind, payload, meta-tuple) rows
+    via the pandas→Arrow path.
+
+    ``createDataFrame(list_of_rows)`` builds a PICKLED Python RDD: every
+    action on the frame re-runs a Python worker per partition just to
+    deserialize the rows (measured r13: 0.7-1.6 s PER ACTION for a
+    48-row table at local[32] — pure fixed overhead multiplied into
+    every query over these tables). A pandas input takes the Arrow local
+    relation instead (same 48 rows: 0.1 s/action, no Python tasks). The
+    meta struct is assembled Spark-side from flat Arrow columns because
+    pandas→Arrow struct inference on tuples is not supported."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "kind": [r[1] for r in rows],
+            "payload": [r[2] for r in rows],
+            "width": pd.array([r[3][0] for r in rows], dtype="Int32"),
+            "height": pd.array([r[3][1] for r in rows], dtype="Int32"),
+            "sample_rate": pd.array([r[3][2] for r in rows], dtype="Int32"),
+            "n_frames": pd.array([r[3][3] for r in rows], dtype="Int32"),
+            "content_type": [r[3][4] for r in rows],
+        }
+    )
+    flat_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_frames", T.IntegerType(), True),
+            T.StructField("content_type", T.StringType(), True),
+        ]
+    )
+    return spark.createDataFrame(pdf, schema=flat_schema).select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            "width", "height", "sample_rate", "n_frames", "content_type"
+        ).alias("meta"),
+    )
+
+
 def synthetic_media_df(spark, n: int = 64, kind: str = "image") -> DataFrame:
     """Deterministic fake media table for tests: payload = packed bytes of a
     seeded RNG; metadata populated as a real ingest would."""
@@ -68,7 +116,7 @@ def synthetic_media_df(spark, n: int = 64, kind: str = "image") -> DataFrame:
         rng = np.random.RandomState(i)
         payload = rng.bytes(256)
         rows.append((i, kind, payload, (16, 16, None, None, "application/x-fake")))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return _local_media_df(spark, rows)
 
 
 def _black_frame(meta: dict) -> np.ndarray:
@@ -119,7 +167,7 @@ def synthetic_png_media_df(spark, n: int = 64, w: int = 16, h: int = 16) -> Data
         rng = np.random.RandomState(i)
         arr = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
         rows.append((i, "image", png_encode(arr), (w, h, None, None, "image/png")))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return _local_media_df(spark, rows)
 
 
 def _stat_features(arr: np.ndarray, n_features: int) -> np.ndarray:
@@ -290,6 +338,7 @@ def media_near_duplicates(
     decode: Callable[[bytes, dict], np.ndarray] | None = fake_image_decode,
     threshold: float = 0.999,
     n_features: int = 8,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Perceptual near-dup pairs over media payloads: decode → feature
     vector → the SAME corpus-adaptive SRP-LSH + exact-cosine-verify path the
@@ -301,6 +350,13 @@ def media_near_duplicates(
     hashing misses them). The decode stays a pluggable Arrow stage; at
     100 TB the features table is the only thing the pair search touches.
     Returns (id_a, id_b, cosine) with cosine >= threshold.
+
+    ``n_rows_hint``: forwarded to the SRP pair search — a caller that
+    knows the media row count by construction skips the eager sizing
+    ``count()``, which would otherwise run the whole decode pass once
+    more before the real computation (r13: one full extra action per
+    call on this chain). The hint must be exact: the adaptive SRP
+    parameters derive from it.
     """
     from .similarity import cosine_near_duplicate_pairs
 
@@ -315,5 +371,10 @@ def media_near_duplicates(
         .select(F.col("media_id"), F.col("features"))
     )
     return cosine_near_duplicate_pairs(
-        feats, threshold=threshold, id_col="media_id", vec_col="features", dim=n_features
+        feats,
+        threshold=threshold,
+        id_col="media_id",
+        vec_col="features",
+        dim=n_features,
+        n_rows_hint=n_rows_hint,
     )

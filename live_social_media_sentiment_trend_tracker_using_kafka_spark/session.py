@@ -58,3 +58,20 @@ def local_test_session(cpus: int | None = None) -> SparkSession:
     """Session for tests / bench: local[N] with N from $SPARK_GRAFT_CPUS."""
     n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or "*"
     return build_session(master=f"local[{n}]")
+
+
+def arrow_local_df(spark: SparkSession, columns: dict, schema):
+    """Small local DataFrame via the pandas→Arrow path.
+
+    ``spark.createDataFrame(list_of_rows)`` materializes a PICKLED Python
+    RDD: every downstream action re-spawns a Python worker per partition
+    just to deserialize the rows (measured r13: 0.7-1.6 s/action for a
+    48-row table at local[32] — fixed overhead paid by every query that
+    touches the frame, e.g. as a broadcast side). Routing the same values
+    through a pandas DataFrame takes the Arrow local-relation path: no
+    Python tasks at action time. ``columns`` maps column name → sequence
+    of values; ``schema`` is the target StructType (or DDL string).
+    """
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(columns), schema=schema)

@@ -870,12 +870,15 @@ def test_inverted_index_two_level_aggregation(spark):
 
 
 def test_embedding_covariance_single_partial_agg(spark):
-    # one partial+final hash agg after the in-task pair fan-out; the
-    # exchange carries O(partitions x dim^2) pre-reduced rows
+    # r13: ONE Arrow GEMM partial stage (MapInPandas) emitting
+    # dim·(dim+1)/2 partial-sum rows per batch, then one partial+final
+    # hash agg; the exchange still carries O(partitions x dim^2)
+    # pre-reduced rows. No row-at-a-time Python, no join, no window.
     df = entrymod.q_embedding_covariance(spark, SF)
     plan = plan_text(df)
     assert count_plan_nodes(df, "Window") == 0 and "Join" not in plan, plan
     assert count_plan_nodes(df, "Exchange") == 2, plan  # agg + display sort
+    assert count_plan_nodes(df, "MapInPandas") == 1, plan  # the GEMM kernel
     assert_no_python_udf(df)
 
 
