@@ -980,6 +980,28 @@ def _doc_count(spark: SparkSession, sf_dir: str) -> int:
     return _DOC_COUNT_MEMO[sf_dir]
 
 
+_QUERY_VEC_MEMO: dict[tuple[str, str], list] = {}
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list:
+    """Memoized fetch of the fixed query vector (vec_id=_QUERY_VEC_ID).
+
+    Five top-k-family queries embed this one immutable row as plan
+    literals, and each un-memoized ``head()`` is a whole Spark job —
+    pure fixed overhead at any scale (r13). Same bounded control-plane
+    memo contract as _doc_count / the ANN index cache: one row, keyed by
+    (application, sf_dir), never grows with the corpus."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _QUERY_VEC_MEMO:
+        _QUERY_VEC_MEMO[key] = (
+            _t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == _QUERY_VEC_ID)
+            .head()
+            .embedding
+        )
+    return _QUERY_VEC_MEMO[key]
+
+
 def _lsh_with_exact_twin(
     lsh: DataFrame, docs: DataFrame, threshold: float, n_docs: int
 ) -> DataFrame:
@@ -1093,7 +1115,7 @@ def _exact_topk_twin(spark: SparkSession, sf_dir: str, k: int = 10):
     hit = _EXACT_TOPK_CACHE.get(key)
     if hit is None:
         emb = _t(spark, sf_dir, "embeddings")
-        qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head().embedding
+        qvec = _query_vec(spark, sf_dir)
         base = _plant_query_twins(emb)
         ids = [
             r.vec_id for r in similarity.brute_force_topk(base, qvec, k).select("vec_id").collect()
@@ -1672,7 +1694,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 similarity search: exact cosine top-10 vs the vec_id=0 vector."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head().embedding
+    qvec = _query_vec(spark, sf_dir)
     return similarity.brute_force_topk(emb.filter(F.col("vec_id") != _QUERY_VEC_ID), qvec, 10)
 
 
@@ -3108,7 +3130,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, no literal drift); recall vs brute force asserted in
     tests/test_query_contracts.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head().embedding
+    qvec = _query_vec(spark, sf_dir)
     rest = emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
     return similarity.ivf_pq_topk(
         rest, qvec, k=10, n_clusters=16, nprobe=8, m=8, codebook_k=16, refine=8
@@ -3297,7 +3319,7 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract; the candidate generators carry the corpus-size cost."""
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head().embedding
+    qvec = _query_vec(spark, sf_dir)
     sparse = corpus.bm25_search(docs, ["spark", "join", "window"], k=50)
     dense = similarity.brute_force_topk(
         emb.filter(F.col("vec_id") != _QUERY_VEC_ID), qvec, 50
@@ -3503,12 +3525,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_query_contracts.py). Candidates are a bounded top-50 by
     contract; the greedy loop runs in ONE numpy-vectorized Arrow batch."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != _QUERY_VEC_ID)
-    qvec = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == _QUERY_VEC_ID)
-        .head()
-        .embedding
-    )
+    qvec = _query_vec(spark, sf_dir)
     top1_id = similarity.brute_force_topk(emb, qvec, 1).head().vec_id
     twin_id = _t(spark, sf_dir, "embeddings").agg(F.max("vec_id")).head()[0] + 1
     twin = emb.filter(F.col("vec_id") == top1_id).select(
