@@ -98,7 +98,15 @@ def _local_media_df(spark, rows: list[tuple]) -> DataFrame:
             T.StructField("content_type", T.StringType(), True),
         ]
     )
-    return spark.createDataFrame(pdf, schema=flat_schema).select(
+    # Forced-Arrow conversion: on a plain session (the external driver's
+    # shape) the non-Arrow fallback both re-introduces the pickled-RDD
+    # overhead this path exists to remove AND rejects the nullable-Int32
+    # NA cells outright (r13 plain-session re-drive).
+    from ..session import forced_arrow_conversion
+
+    with forced_arrow_conversion(spark):
+        flat = spark.createDataFrame(pdf, schema=flat_schema)
+    return flat.select(
         "media_id",
         "kind",
         "payload",

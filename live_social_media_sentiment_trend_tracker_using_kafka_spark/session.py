@@ -13,6 +13,7 @@ optimizer features a 100 TB deployment needs by default:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -60,6 +61,36 @@ def local_test_session(cpus: int | None = None) -> SparkSession:
     return build_session(master=f"local[{n}]")
 
 
+@contextmanager
+def forced_arrow_conversion(spark: SparkSession):
+    """Scope ``spark.sql.execution.arrow.pyspark.enabled=true`` around a
+    pandas→DataFrame conversion, restoring the caller's value afterwards.
+
+    The Arrow local-relation fast path (``arrow_local_df``) only engages
+    when the SESSION has Arrow enabled — and the external driver runs a
+    PLAIN session without it. On such a session ``createDataFrame(pdf)``
+    silently falls back to the pickled-RDD path (the exact fixed overhead
+    the r13 change removed) and, worse, the fallback's row verifier
+    rejects pandas nullable-int NA cells ("IntegerType() can not accept
+    object nan") — a session-conf dependence caught by the plain-session
+    r13 re-drive. Forcing the conf for just the conversion makes the
+    local-table plan (LocalTableScan, no Python tasks) a property of the
+    CODE, not of whoever built the session."""
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def arrow_local_df(spark: SparkSession, columns: dict, schema):
     """Small local DataFrame via the pandas→Arrow path.
 
@@ -69,9 +100,12 @@ def arrow_local_df(spark: SparkSession, columns: dict, schema):
     48-row table at local[32] — fixed overhead paid by every query that
     touches the frame, e.g. as a broadcast side). Routing the same values
     through a pandas DataFrame takes the Arrow local-relation path: no
-    Python tasks at action time. ``columns`` maps column name → sequence
-    of values; ``schema`` is the target StructType (or DDL string).
+    Python tasks at action time — forced on regardless of session conf
+    via ``forced_arrow_conversion`` (the external driver's session does
+    not enable Arrow). ``columns`` maps column name → sequence of
+    values; ``schema`` is the target StructType (or DDL string).
     """
     import pandas as pd
 
-    return spark.createDataFrame(pd.DataFrame(columns), schema=schema)
+    with forced_arrow_conversion(spark):
+        return spark.createDataFrame(pd.DataFrame(columns), schema=schema)

@@ -133,6 +133,11 @@ def test_streaming_left_join_cutoff_invariant_across_timezones(spark):
     for tz in ("UTC", "Asia/Kolkata"):
         foreign = spark.newSession()
         foreign.conf.set("spark.sql.session.timeZone", tz)
+        # r13: the cutoff is memoized per (applicationId, sf_dir) — clear it
+        # so EACH timezone derives its own cutoff, otherwise the Kolkata
+        # call would reuse the UTC value and this test could no longer
+        # detect a tz-dependent derivation.
+        entrymod._VP_CUTOFF_MEMO.clear()
         rows = entrymod.q_streaming_view_purchase_left_join(foreign, SF_SMOKE).collect()
         results[tz] = [tuple(r) for r in rows]
         assert foreign.conf.get("spark.sql.session.timeZone") == tz
@@ -173,3 +178,30 @@ print("TZOK", n)
         [sys.executable, "-c", code], env=env, capture_output=True, text=True, timeout=600
     )
     assert "TZOK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_media_local_tables_survive_plain_session_conf(spark):
+    """r13: the Arrow local-relation conversion must be FORCED per call
+    (session.forced_arrow_conversion), not inherited from session conf —
+    the external driver runs a PLAIN session without Arrow enabled, where
+    the non-Arrow fallback both re-introduces the pickled-RDD Python
+    tasks the r13 local-table change removed and rejects nullable-Int32
+    NA metadata cells outright (PySparkTypeError: "IntegerType() can not
+    accept object nan" — caught by the r13 plain-session re-drive). Red
+    if the forced-conversion scope is removed."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
+        multimodal,
+    )
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.plans import (
+        plan_text,
+    )
+
+    foreign = spark.newSession()
+    foreign.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+    df = multimodal.synthetic_media_df(foreign, n=8, kind="image")
+    assert df.count() == 8
+    assert "Scan ExistingRDD" not in plan_text(df), (
+        "local media table fell back to the pickled-RDD path on a plain session"
+    )
+    # conversion scope must restore the caller's conf
+    assert foreign.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "false"

@@ -703,3 +703,58 @@ def test_ann_index_memo_revival_survives_cache_trim(spark):
     f2 = idx2[0] if isinstance(idx2, tuple) else idx2
     lvl = f2.storageLevel
     assert lvl.useMemory or lvl.useDisk, "memo hit must re-persist evicted index"
+
+
+def test_mmr_anchor_ids_memoized_and_correct(spark):
+    """r13: q_mmr_rerank's two control-plane fetches (top-1 TakeOrdered
+    scan + max(vec_id) agg) are memoized per (applicationId, sf_dir).
+    Red if the memo read is removed: after poisoning the memo the helper
+    must return the poisoned pair — i.e. the value really comes from the
+    memo, not a silent recompute per call."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
+        similarity,
+    )
+
+    entrymod._MMR_ANCHOR_MEMO.clear()
+    try:
+        top1_id, twin_id = entrymod._mmr_anchor_ids(spark, SF_SMOKE)
+        # correctness vs the direct computation the memo replaced
+        emb = entrymod._t(spark, SF_SMOKE, "embeddings").filter(
+            F.col("vec_id") != entrymod._QUERY_VEC_ID
+        )
+        qvec = entrymod._query_vec(spark, SF_SMOKE)
+        assert top1_id == similarity.brute_force_topk(emb, qvec, 1).head().vec_id
+        mx = (
+            entrymod._t(spark, SF_SMOKE, "embeddings")
+            .agg(F.max("vec_id"))
+            .head()[0]
+        )
+        assert twin_id == mx + 1
+        # memo read is live: a poisoned entry must be returned verbatim
+        key = (spark.sparkContext.applicationId, SF_SMOKE)
+        entrymod._MMR_ANCHOR_MEMO[key] = (-7, -13)
+        assert entrymod._mmr_anchor_ids(spark, SF_SMOKE) == (-7, -13)
+    finally:
+        entrymod._MMR_ANCHOR_MEMO.clear()
+
+
+def test_vp_cutoff_memo_is_read_by_left_interval_join(spark):
+    """r13: the left interval join's watermark-clip cutoff (one naive
+    datetime per (applicationId, sf_dir)) is memoized. Red if the memo
+    read is removed: pre-seeding an ancient cutoff must clip the whole
+    result to empty, proving the query consumes the memo value instead
+    of re-running the agg job every call."""
+    import datetime
+
+    key = (spark.sparkContext.applicationId, SF_SMOKE)
+    entrymod._VP_CUTOFF_MEMO.clear()
+    try:
+        out1 = entrymod.q_streaming_view_purchase_left_join(spark, SF_SMOKE)
+        n1 = out1.count()
+        assert key in entrymod._VP_CUTOFF_MEMO, "first call must populate the memo"
+        assert n1 > 0, "smoke fixture should produce joined/unmatched views"
+        entrymod._VP_CUTOFF_MEMO[key] = datetime.datetime(1970, 1, 1)
+        out2 = entrymod.q_streaming_view_purchase_left_join(spark, SF_SMOKE)
+        assert out2.count() == 0, "poisoned memo cutoff must clip everything"
+    finally:
+        entrymod._VP_CUTOFF_MEMO.clear()
