@@ -3683,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_dangling": q_pagerank_dangling,
         "part_pagerank": q_part_pagerank,
         "rolling_sketch_users": q_rolling_sketch_users,
+        "streaming_view_purchase_left_join": q_streaming_view_purchase_left_join,
         "similarity_topk": q_similarity_topk,
         # tier: last driver evidence r8
         "top_parts_per_brand": q_top_parts_per_brand,
@@ -3729,9 +3730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_time_series": q_streaming_time_series,
         "tfidf_top_terms": q_tfidf_top_terms,
         "time_series": q_time_series,
-        "token_count_stats": q_token_count_stats,
         # ---- driver window boundary (first 50 above) ------------------
         # tier: last driver evidence r9
+        "token_count_stats": q_token_count_stats,
         "url_domain_stats": q_url_domain_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "counts_by_source": q_counts_by_source,
@@ -3803,7 +3804,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonality_index": q_seasonality_index,
         "source_shingle_overlap": q_source_shingle_overlap,
         "span_corruption_stats": q_span_corruption_stats,
-        "streaming_view_purchase_left_join": q_streaming_view_purchase_left_join,
         "approx_value_percentiles": q_approx_value_percentiles,
         "chunk_documents": q_chunk_documents,
         "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
