@@ -393,9 +393,19 @@ def chunk_documents(
         # chunks would skip tokens [c*stride + max_tokens, (c+1)*stride) —
         # silently dropped interior text, contradicting the contract above
         raise ValueError("stride must be <= max_tokens (gaps would drop text)")
+    # explode(filter(array(...))) instead of .filter(size > 0): the pushed
+    # predicate would re-run the tokenizer below the projection — once per
+    # row on the unsplit scan task — and the projection would compute it
+    # again (see dedup.shingle_table, r13). Bit-identical row set.
     toks = df.select(
-        F.col(id_col), word_tokens_col(F.col(text_col)).alias("toks")
-    ).filter(F.size("toks") > 0)
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.array(word_tokens_col(F.col(text_col))),
+                lambda a: F.size(a) > 0,
+            )
+        ).alias("toks"),
+    )
     n_chunks = (
         F.greatest(
             F.ceil((F.size("toks") - max_tokens) / F.lit(stride)), F.lit(0)
@@ -1054,11 +1064,18 @@ def span_corruption_stats(
             < mask_hex_lt,
         )
 
-    # let-bind the token array (the word_grams_col trick) so the tokenizer
-    # runs once per row, not once per downstream reference
+    # explode(filter(array(...))) both LET-BINDS the token array (the
+    # word_grams_col trick — tokenizer runs once per row, not once per
+    # downstream reference) AND drops empty docs without a pushable
+    # predicate: a .filter(size > 0) on the alias would re-run the
+    # tokenizer below the projection (see dedup.shingle_table, r13)
     out = (
-        df.select(F.col(id_col), F.transform(F.array(toks), lambda t: t)[0].alias("t"))
-        .filter(F.size("t") > 0)
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(F.array(toks), lambda a: F.size(a) > 0)
+            ).alias("t"),
+        )
         .select(id_col, flags(F.col("t")).alias("fl"), F.size("t").alias("n_tokens"))
         .select(
             id_col,

@@ -163,10 +163,28 @@ def shingle_table(
     than re-registered, so bounded cache trimming (caching.trim) sees one
     handle per distinct corpus.
     """
+    # Drop empty shingle sets via explode(filter(array(...))) instead of a
+    # .filter(size > 0) predicate: a deterministic predicate on the
+    # projected column is PUSHED below the fan_out exchange, where it
+    # re-evaluates the whole tokenize+shingle kernel once per row ON THE
+    # UNSPLIT SCAN TASK (single row-group parquet = 1 task) and then the
+    # projection computes it AGAIN on the survivors — measured 0.91 s vs
+    # 0.44 s for the kernel alone at sf0.1 (r13; plan evidence in
+    # plans/r13/minhash_near_dups_{before,after}.txt). The single-element
+    # higher-order filter evaluates the kernel ONCE, above the exchange,
+    # and explode drops the empty rows — bit-identical output (explode of
+    # an empty/NULL-pruned wrapper emits no row, exactly filter(size>0)).
     sh = (
         fan_out(df)
-        .select(F.col(id_col), word_shingles_col(F.col(text_col), n).alias("shingles"))
-        .filter(F.size("shingles") > 0)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.array(word_shingles_col(F.col(text_col), n)),
+                    lambda a: F.size(a) > 0,
+                )
+            ).alias("shingles"),
+        )
     )
     if persist:
         from ..caching import tracked_persist_shared
@@ -335,11 +353,24 @@ def minhash_near_duplicates(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    # Threshold via explode(filter(array(jac))): filtering on the exact
+    # ratio and THEN projecting the rounded value evaluates the
+    # array_intersect/array_union arithmetic twice per candidate pair
+    # (the predicate cannot be pushed below the join, but it is still a
+    # separate evaluation from the projection's). The single-element
+    # higher-order filter computes the exact ratio once; rounding stays
+    # display-only, so the no-false-negatives contract is unchanged (r13).
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .filter(jac >= threshold)  # exact ratio; rounded value is display-only
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            F.explode(
+                F.filter(F.array(jac), lambda j: j >= threshold)
+            ).alias("_jac"),
+        )
+        .select("id_a", "id_b", F.round("_jac", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
 
@@ -364,7 +395,12 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 
 def simhash_col(text: Column) -> Column:
-    """64-bit SimHash of the token multiset, as bigint, per-row.
+    """64-bit SimHash of the token multiset, as bigint, per-row."""
+    return simhash_from_tokens_col(_tokens(text))
+
+
+def simhash_from_tokens_col(tokens: Column) -> Column:
+    """64-bit SimHash from an already-tokenized array, as bigint, per-row.
 
     bit_i(simhash) = majority over tokens of bit_i(xxhash64(token)).
     ONE ``aggregate`` pass over the token hashes carries all 63 vote counters
@@ -374,7 +410,7 @@ def simhash_col(text: Column) -> Column:
     """
     bit_idx = F.sequence(F.lit(0), F.lit(62))  # keep the sign bit clear
     votes = F.aggregate(
-        F.transform(_tokens(text), lambda t: F.xxhash64(t)),
+        F.transform(tokens, lambda t: F.xxhash64(t)),
         F.array_repeat(F.lit(0), 63),
         lambda acc, h: F.zip_with(
             acc,
@@ -473,17 +509,31 @@ def simhash_signatures(
     from .skew import fan_out
 
     df = fan_out(df)
+    # explode(filter(array(...))) instead of a size predicate: the pushed
+    # filter would re-run the tokenizer below the fan_out exchange — once
+    # per row on the unsplit scan task — and the signature expression would
+    # tokenize AGAIN above it (see shingle_table, r13). The Generate
+    # emits the non-empty token array once; the signature reads the bound
+    # column. Bit-identical output either path.
+    toked = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.array(_tokens(F.col(text_col))), lambda a: F.size(a) > 0
+            )
+        ).alias("__tk"),
+    )
     if arrow:
         from ..functions.kernels import simhash_udf
 
-        hashes = F.transform(_tokens(F.col(text_col)), lambda t: F.xxhash64(t))
-        return (
-            df.select(F.col(id_col), hashes.alias("__th"))
-            .filter(F.size("__th") > 0)
-            .select(id_col, simhash_udf()("__th").alias("simhash"))
+        return toked.select(
+            id_col,
+            simhash_udf()(
+                F.transform(F.col("__tk"), lambda t: F.xxhash64(t))
+            ).alias("simhash"),
         )
-    return df.filter(F.size(_tokens(F.col(text_col))) > 0).select(
-        F.col(id_col), simhash_col(F.col(text_col)).alias("simhash")
+    return toked.select(
+        F.col(id_col), simhash_from_tokens_col(F.col("__tk")).alias("simhash")
     )
 
 
@@ -561,14 +611,21 @@ def incremental_near_duplicates(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    # single-evaluation threshold — see minhash_near_duplicates (r13)
     return (
         cands.join(a, "inc_id")
         .join(b, "cor_id")
-        .filter(jac >= threshold)  # exact ratio; rounded value is display-only
         .select(
             F.col("inc_id").alias("incoming_id"),
             F.col("cor_id").alias("corpus_id"),
-            F.round(jac, 6).alias("jaccard"),
+            F.explode(
+                F.filter(F.array(jac), lambda j: j >= threshold)
+            ).alias("_jac"),
+        )
+        .select(
+            "incoming_id",
+            "corpus_id",
+            F.round("_jac", 6).alias("jaccard"),
         )
         .orderBy("incoming_id", "corpus_id")
     )

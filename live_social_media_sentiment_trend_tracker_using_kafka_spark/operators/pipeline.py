@@ -34,9 +34,20 @@ def filter_by_language(docs: DataFrame, langs: list[str], lang_col: str = "lang"
 def filter_by_quality(
     docs: DataFrame, min_quality: float = 0.5, text_col: str = "text"
 ) -> DataFrame:
+    # explode(filter(array(score))) instead of withColumn + .filter: the
+    # pushed predicate re-evaluates the whole quality heuristic below the
+    # projection (token/stopword/punct scans run twice per row — see
+    # dedup.shingle_table, r13). The Generate computes the score once and
+    # drops sub-threshold rows; appended column name/position match the
+    # old withColumn output exactly.
     q = quality_score_cols(F.col(text_col))
-    return docs.withColumn("quality_score", q["quality_score"]).filter(
-        F.col("quality_score") >= min_quality
+    return docs.select(
+        "*",
+        F.explode(
+            F.filter(
+                F.array(q["quality_score"]), lambda s: s >= min_quality
+            )
+        ).alias("quality_score"),
     )
 
 

@@ -141,13 +141,22 @@ def jaccard_similarity_join(
     b = ranked.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), F.col("sz").alias("sz_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
+    # Threshold on the EXACT ratio — rounding first would drop/admit
+    # boundary pairs and break the no-false-negatives contract; the
+    # rounded value is presentation only. explode(filter(array(jac)))
+    # evaluates the array_intersect arithmetic ONCE per candidate pair —
+    # a separate .filter() + round projection evaluated it twice (r13,
+    # see dedup.minhash_near_duplicates).
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        # filter on the EXACT ratio — rounding first would drop/admit
-        # boundary pairs and break the no-false-negatives contract; the
-        # rounded value is presentation only
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, round_digits).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            F.explode(
+                F.filter(F.array(jac), lambda j: j >= threshold)
+            ).alias("_jac"),
+        )
+        .select("id_a", "id_b", F.round("_jac", round_digits).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
