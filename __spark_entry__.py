@@ -3682,8 +3682,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "pagerank_dangling": q_pagerank_dangling,
         "part_pagerank": q_part_pagerank,
+        "quality_by_dup_status": q_quality_by_dup_status,
         "rolling_sketch_users": q_rolling_sketch_users,
+        "source_shingle_overlap": q_source_shingle_overlap,
+        "span_corruption_stats": q_span_corruption_stats,
         "streaming_view_purchase_left_join": q_streaming_view_purchase_left_join,
+        "chunk_documents": q_chunk_documents,
+        "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
+        "similarity_join_exact": q_similarity_join_exact,
+        "benchmark_contamination": q_benchmark_contamination,
+        "clean_corpus_clustered": q_clean_corpus_clustered,
+        "decontaminated_corpus": q_decontaminated_corpus,
+        "dedup_clusters": q_dedup_clusters,
         "similarity_topk": q_similarity_topk,
         # tier: last driver evidence r8
         "top_parts_per_brand": q_top_parts_per_brand,
@@ -3720,18 +3730,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_purchase": q_asof_last_purchase,
         "cosine_pairs_sample": q_cosine_pairs_sample,
         "flagship_event_summary": q_flagship_event_summary,
+        # ---- driver window boundary (first 50 above) ------------------
+        # tier: last driver evidence r9
         "global_stats": q_global_stats,
         "head_events": q_head_events,
         "label_centroids": q_label_centroids,
         "pii_redaction": q_pii_redaction,
         "pq_topk": q_pq_topk,
         "repetition_stats": q_repetition_stats,
-        "similarity_join_exact": q_similarity_join_exact,
         "streaming_time_series": q_streaming_time_series,
         "tfidf_top_terms": q_tfidf_top_terms,
         "time_series": q_time_series,
-        # ---- driver window boundary (first 50 above) ------------------
-        # tier: last driver evidence r9
         "token_count_stats": q_token_count_stats,
         "url_domain_stats": q_url_domain_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3765,7 +3774,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_order_mix": q_monthly_order_mix,
         "nation_profit_by_year": q_nation_profit_by_year,
         "part_supplier_counts": q_part_supplier_counts,
-        "quality_by_dup_status": q_quality_by_dup_status,
         "repeat_purchase_intervals": q_repeat_purchase_intervals,
         "returned_items": q_returned_items,
         "rolling_active_users": q_rolling_active_users,
@@ -3802,11 +3810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "order_value_bands": q_order_value_bands,
         "seasonality_index": q_seasonality_index,
-        "source_shingle_overlap": q_source_shingle_overlap,
-        "span_corruption_stats": q_span_corruption_stats,
         "approx_value_percentiles": q_approx_value_percentiles,
-        "chunk_documents": q_chunk_documents,
-        "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
         "cosine_near_dups": q_cosine_near_dups,
         "daily_distinct_users": q_daily_distinct_users,
         "event_type_pivot": q_event_type_pivot,
@@ -3859,15 +3863,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_static_enrich": q_streaming_static_enrich,
         "top_supplier_revenue": q_top_supplier_revenue,
         "user_concentration": q_user_concentration,
-        "benchmark_contamination": q_benchmark_contamination,
         "brand_market_share": q_brand_market_share,
         "brand_revenue": q_brand_revenue,
-        "clean_corpus_clustered": q_clean_corpus_clustered,
         "clean_corpus_exact": q_clean_corpus_exact,
         "customers_without_orders": q_customers_without_orders,
-        "decontaminated_corpus": q_decontaminated_corpus,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
-        "dedup_clusters": q_dedup_clusters,
         "doc_quality": q_doc_quality,
         "dormant_customers": q_dormant_customers,
         "fingerprint_containment": q_fingerprint_containment,

@@ -170,7 +170,7 @@ def shingle_table(
     # UNSPLIT SCAN TASK (single row-group parquet = 1 task) and then the
     # projection computes it AGAIN on the survivors — measured 0.91 s vs
     # 0.44 s for the kernel alone at sf0.1 (r13; plan evidence in
-    # plans/r13/minhash_near_dups_{before,after}.txt). The single-element
+    # plans/r13/minhash_near_dups_pushdown_{before,after}.txt). The single-element
     # higher-order filter evaluates the kernel ONCE, above the exchange,
     # and explode drops the empty rows — bit-identical output (explode of
     # an empty/NULL-pruned wrapper emits no row, exactly filter(size>0)).
