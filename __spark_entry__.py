@@ -3678,6 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    COVERAGE.md; regenerated by tools/rotate_window.py -- never
         #    hand-curate this ordering) --
         # tier: plan rewritten — locally verified, pending re-drive
+        "duplicate_span_removal": q_duplicate_span_removal,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "media_frame_sample": q_media_frame_sample,
         "pagerank_dangling": q_pagerank_dangling,
@@ -3706,7 +3707,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": q_order_priority_counts,
         # tier: last driver evidence r9
         "cluster_safe_split": q_cluster_safe_split,
-        "duplicate_span_removal": q_duplicate_span_removal,
         "posts_enrichment": q_posts_enrichment,
         "streaming_posts_enrichment": q_streaming_posts_enrichment,
         "bracket_revenue": q_bracket_revenue,

@@ -1293,9 +1293,18 @@ def remove_duplicate_spans(
     """
     from .dedup import word_tokens_col
 
+    # single-evaluation empty-drop (see dedup.shingle_table, r13): the
+    # size predicate would re-run the tokenizer below the projection on
+    # the unsplit scan task during the cache build
     toks = tracked_persist(
-        df.select(F.col(id_col), word_tokens_col(F.col(text_col)).alias("_t")).filter(
-            F.size("_t") > 0
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.array(word_tokens_col(F.col(text_col))),
+                    lambda a: F.size(a) > 0,
+                )
+            ).alias("_t"),
         )
     )
     # 0-based gram start positions; sequence(0, -1) would DESCEND, so gate
