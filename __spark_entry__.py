@@ -3680,6 +3680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tier: plan rewritten — locally verified, pending re-drive
         "duplicate_span_removal": q_duplicate_span_removal,
         "hybrid_search_rrf": q_hybrid_search_rrf,
+        "bm25_search": q_bm25_search,
         "media_frame_sample": q_media_frame_sample,
         "pagerank_dangling": q_pagerank_dangling,
         "part_pagerank": q_part_pagerank,
@@ -3729,9 +3730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "asof_last_purchase": q_asof_last_purchase,
         "cosine_pairs_sample": q_cosine_pairs_sample,
-        "flagship_event_summary": q_flagship_event_summary,
         # ---- driver window boundary (first 50 above) ------------------
         # tier: last driver evidence r9
+        "flagship_event_summary": q_flagship_event_summary,
         "global_stats": q_global_stats,
         "head_events": q_head_events,
         "label_centroids": q_label_centroids,
@@ -3801,7 +3802,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "streaming_trending_hashtags": q_streaming_trending_hashtags,
         "ann_search_join": q_ann_search_join,
-        "bm25_search": q_bm25_search,
         "corpus_drift": q_corpus_drift,
         "cusum_changepoints": q_cusum_changepoints,
         "discount_quantity_corr": q_discount_quantity_corr,

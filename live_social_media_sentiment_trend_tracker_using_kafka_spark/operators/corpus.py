@@ -1156,12 +1156,26 @@ def bm25_search(
             ],
         )
 
+    # Drop empty docs via explode(filter(transform(array(tokens), per_row)))
+    # instead of `.filter(s.dl > 0)` on the projected struct: the pushed-down
+    # predicate re-evaluated the WHOLE tokenize+per-term-tf kernel in a
+    # Filter below the projection — and `rows` feeds two consumers (stats
+    # agg + scoring leg), so the kernel ran 4x per call instead of 2x
+    # (r13 pushdown sweep; same class/idiom as dedup.shingle_table). The
+    # higher-order filter evaluates the struct once, above the scan filter
+    # boundary; explode of the emptied wrapper emits no row — bit-identical
+    # to filter(dl > 0) including NULL-text rows (NULL struct → predicate
+    # NULL → element dropped either way).
     rows = (
         df.select(
             F.col(id_col),
-            F.transform(F.array(word_tokens_col(F.col(text_col))), per_row)[0].alias("s"),
+            F.explode(
+                F.filter(
+                    F.transform(F.array(word_tokens_col(F.col(text_col))), per_row),
+                    lambda s: s["dl"] > 0,
+                )
+            ).alias("s"),
         )
-        .filter(F.col("s.dl") > 0)
         .select(id_col, "s.*")
     )
     stats = rows.agg(
