@@ -1008,3 +1008,44 @@ def test_no_registered_query_plans_exact_percentile(spark):
         f"{sorted(offenders)}"
     )
     assert checked >= 150
+
+
+def test_text_kernels_evaluate_once_no_filter_pushdown(spark):
+    """Single-evaluation regression guard (r13 changes 10-11): a
+    deterministic predicate on a column computed by the tokenize/shingle
+    kernel gets PUSHED below the projection, re-evaluating the whole
+    kernel in a Filter (and, for bm25's two-consumer rows tier, 4x per
+    call). Every fixed site uses the explode(filter(array(expr)))
+    idiom, whose plan carries the kernel ONLY in Generate/Project nodes.
+    Red if any site reverts to .filter(size > 0) / .filter(s.dl > 0):
+    the tokenizer fingerprint `regexp_replace(lower(` reappears in a
+    Condition line. (customer_entity_resolution's CASE-regexp and the
+    planted-twin isnotnull(transform(embedding)) filters do NOT match
+    this fingerprint — those are the documented examined-and-left
+    sites, OPTIMIZATION_r13.md change 11.)"""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
+        corpus as corpus_ops,
+        dedup as dedup_ops,
+        pipeline as pipeline_ops,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "spark join window spark"), (1, ""), (2, None), (3, "one two three four")],
+        "doc_id long, text string",
+    )
+
+    def kernel_in_condition(df) -> list[str]:
+        return [
+            ln.strip()[:120]
+            for ln in plan_text(df).splitlines()
+            if ln.strip().startswith("Condition") and "regexp_replace(lower(" in ln
+        ]
+
+    for label, df in {
+        "shingle_table": dedup_ops.shingle_table(docs, persist=False),
+        "simhash_signatures": dedup_ops.simhash_signatures(docs),
+        "filter_by_quality": pipeline_ops.filter_by_quality(docs),
+        "bm25_rows_tier": corpus_ops.bm25_search(docs, ["spark", "join"], k=5),
+    }.items():
+        bad = kernel_in_condition(df)
+        assert not bad, f"{label} re-evaluates the tokenize kernel in a Filter: {bad}"
