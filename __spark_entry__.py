@@ -980,6 +980,20 @@ def _doc_count(spark: SparkSession, sf_dir: str) -> int:
     return _DOC_COUNT_MEMO[sf_dir]
 
 
+# Same contract for the embeddings table: q_cosine_near_dups' SRP layout is
+# sized from the planted-corpus row count, and the un-memoized sizing
+# count() was one whole Spark job of fixed overhead per call/rep (r14;
+# same class as the media n_rows_hint, r13 change 5). Keyed by sf_dir —
+# the table is immutable per corpus dir.
+_EMB_COUNT_MEMO: dict[str, int] = {}
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _EMB_COUNT_MEMO:
+        _EMB_COUNT_MEMO[sf_dir] = _t(spark, sf_dir, "embeddings").count()
+    return _EMB_COUNT_MEMO[sf_dir]
+
+
 _QUERY_VEC_MEMO: dict[tuple[str, str], list] = {}
 
 
@@ -1089,7 +1103,14 @@ def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * F.lit(1.25)).alias("embedding"),
     )
     planted = emb.select("vec_id", "embedding").unionByName(twins)
-    pairs = similarity.cosine_near_duplicate_pairs(planted, threshold=0.9, dim=64)
+    # n_rows_hint: |embeddings| is session-memoized (_emb_count) and the
+    # plant adds exactly 8 twins by construction — skips the SRP sizing
+    # count(), one whole Spark job per call (r14; same class as the media
+    # n_rows_hint, r13 change 5). The hint is provably exact, so SRP
+    # parameters and output are unchanged.
+    pairs = similarity.cosine_near_duplicate_pairs(
+        planted, threshold=0.9, dim=64, n_rows_hint=_emb_count(spark, sf_dir) + 8
+    )
     # Contract column: the 8 planted twins MUST all surface as
     # (k, k+1_000_000) pairs — planted_pair=true rows are the recall proof
     # in the driver's rows-only record (asserted =8 in tests/test_similarity.py).
@@ -3674,63 +3695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # staleness. Tiers below rotate the least-recently-driver-checked
     # queries into the window.
     raw = {
-        # -- r13 rotation window (first 50 = stalest-first from
+        # -- r14 rotation window (first 50 = stalest-first from
         #    COVERAGE.md; regenerated by tools/rotate_window.py -- never
         #    hand-curate this ordering) --
-        # tier: plan rewritten — locally verified, pending re-drive
-        "duplicate_span_removal": q_duplicate_span_removal,
-        "hybrid_search_rrf": q_hybrid_search_rrf,
-        "bm25_search": q_bm25_search,
-        "media_frame_sample": q_media_frame_sample,
-        "pagerank_dangling": q_pagerank_dangling,
-        "part_pagerank": q_part_pagerank,
-        "quality_by_dup_status": q_quality_by_dup_status,
-        "rolling_sketch_users": q_rolling_sketch_users,
-        "source_shingle_overlap": q_source_shingle_overlap,
-        "span_corruption_stats": q_span_corruption_stats,
-        "streaming_view_purchase_left_join": q_streaming_view_purchase_left_join,
-        "chunk_documents": q_chunk_documents,
-        "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
-        "similarity_join_exact": q_similarity_join_exact,
-        "benchmark_contamination": q_benchmark_contamination,
-        "clean_corpus_clustered": q_clean_corpus_clustered,
-        "decontaminated_corpus": q_decontaminated_corpus,
-        "dedup_clusters": q_dedup_clusters,
-        "similarity_topk": q_similarity_topk,
-        # tier: last driver evidence r8
-        "top_parts_per_brand": q_top_parts_per_brand,
-        "counts_by_lang_topk": q_counts_by_lang_topk,
-        "exact_dedup_groups": q_exact_dedup_groups,
-        "lang_id_counts": q_lang_id_counts,
-        "local_supplier_volume": q_local_supplier_volume,
-        "minhash_near_dups": q_minhash_near_dups,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "order_priority_counts": q_order_priority_counts,
-        # tier: last driver evidence r9
-        "cluster_safe_split": q_cluster_safe_split,
-        "posts_enrichment": q_posts_enrichment,
-        "streaming_posts_enrichment": q_streaming_posts_enrichment,
-        "bracket_revenue": q_bracket_revenue,
-        "centroid_separation": q_centroid_separation,
-        "cohort_retention_salted": q_cohort_retention_salted,
-        "corpus_attrition": q_corpus_attrition,
-        "daily_new_vs_returning": q_daily_new_vs_returning,
-        "dsir_importance_weights": q_dsir_importance_weights,
-        "dup_rate_by_source": q_dup_rate_by_source,
-        "event_transitions": q_event_transitions,
-        "event_type_lift": q_event_type_lift,
-        "events_profile": q_events_profile,
-        "first_touch_attribution": q_first_touch_attribution,
-        "fk_integrity_audit": q_fk_integrity_audit,
-        "interarrival_stats": q_interarrival_stats,
-        "key_skew_audit": q_key_skew_audit,
-        "lang_confusion": q_lang_confusion,
-        "session_stats": q_session_stats,
-        "streaming_user_sessions": q_streaming_user_sessions,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "asof_last_purchase": q_asof_last_purchase,
-        "cosine_pairs_sample": q_cosine_pairs_sample,
-        # ---- driver window boundary (first 50 above) ------------------
         # tier: last driver evidence r9
         "flagship_event_summary": q_flagship_event_summary,
         "global_stats": q_global_stats,
@@ -3783,6 +3750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_props_buckets": q_streaming_props_buckets,
         "supplier_diversity": q_supplier_diversity,
         "time_to_conversion": q_time_to_conversion,
+        # ---- driver window boundary (first 50 above) ------------------
+        # tier: last driver evidence r10
         "token_pmi_pairs": q_token_pmi_pairs,
         "top_event_paths": q_top_event_paths,
         "user_stickiness": q_user_stickiness,
@@ -3881,6 +3850,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_revenue": q_running_revenue,
         "value_outliers_mad": q_value_outliers_mad,
         "value_percentiles": q_value_percentiles,
+        # tier: last driver evidence r13
+        "cluster_safe_split": q_cluster_safe_split,
+        "duplicate_span_removal": q_duplicate_span_removal,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
+        "posts_enrichment": q_posts_enrichment,
+        "streaming_posts_enrichment": q_streaming_posts_enrichment,
+        "bm25_search": q_bm25_search,
+        "bracket_revenue": q_bracket_revenue,
+        "centroid_separation": q_centroid_separation,
+        "cohort_retention_salted": q_cohort_retention_salted,
+        "corpus_attrition": q_corpus_attrition,
+        "daily_new_vs_returning": q_daily_new_vs_returning,
+        "dsir_importance_weights": q_dsir_importance_weights,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "event_transitions": q_event_transitions,
+        "event_type_lift": q_event_type_lift,
+        "events_profile": q_events_profile,
+        "first_touch_attribution": q_first_touch_attribution,
+        "fk_integrity_audit": q_fk_integrity_audit,
+        "interarrival_stats": q_interarrival_stats,
+        "key_skew_audit": q_key_skew_audit,
+        "lang_confusion": q_lang_confusion,
+        "media_frame_sample": q_media_frame_sample,
+        "pagerank_dangling": q_pagerank_dangling,
+        "part_pagerank": q_part_pagerank,
+        "quality_by_dup_status": q_quality_by_dup_status,
+        "rolling_sketch_users": q_rolling_sketch_users,
+        "session_stats": q_session_stats,
+        "source_shingle_overlap": q_source_shingle_overlap,
+        "span_corruption_stats": q_span_corruption_stats,
+        "streaming_user_sessions": q_streaming_user_sessions,
+        "streaming_view_purchase_left_join": q_streaming_view_purchase_left_join,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "asof_last_purchase": q_asof_last_purchase,
+        "chunk_documents": q_chunk_documents,
+        "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
+        "cosine_pairs_sample": q_cosine_pairs_sample,
+        "similarity_join_exact": q_similarity_join_exact,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "benchmark_contamination": q_benchmark_contamination,
+        "clean_corpus_clustered": q_clean_corpus_clustered,
+        "counts_by_lang_topk": q_counts_by_lang_topk,
+        "decontaminated_corpus": q_decontaminated_corpus,
+        "dedup_clusters": q_dedup_clusters,
+        "exact_dedup_groups": q_exact_dedup_groups,
+        "lang_id_counts": q_lang_id_counts,
+        "local_supplier_volume": q_local_supplier_volume,
+        "minhash_near_dups": q_minhash_near_dups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "order_priority_counts": q_order_priority_counts,
+        "similarity_topk": q_similarity_topk,
     }
     return {name: _released(fn) for name, fn in raw.items()}
 

@@ -262,6 +262,16 @@ def compact_line(payload: dict, budget: int = 1900) -> str:
     compact = dict(payload)
     compact.pop("queries_spread", None)  # full per-query spread lives in BENCH_LOCAL.json
     compact.pop("ended_at", None)  # full offsets map lives in BENCH_LOCAL.json
+    if isinstance(compact.get("calibration"), dict):
+        # r14: the r13 track array (~15 samples x ~25 chars) ate ~12 query
+        # slots of the compact line (49 -> 37 shown) and manufactured 17
+        # phantom "dropped_from_bench" rows in PERF_r13 — keep the track in
+        # BENCH_LOCAL.json only; the compact line carries the endpoint
+        # calibration pair + noise_index, which is what a reader of the
+        # driver tail needs.
+        compact["calibration"] = {
+            k: v for k, v in compact["calibration"].items() if k != "track"
+        }
     compact["queries_full"] = "BENCH_LOCAL.json"
     compact["queries_total"] = len(timings)
     by_cost = sorted(timings, key=timings.get, reverse=True)

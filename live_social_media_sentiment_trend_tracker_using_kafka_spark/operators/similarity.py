@@ -359,10 +359,23 @@ def cosine_pairs_exact(
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     sim = F.round(cosine_similarity_col(F.col("va"), F.col("vb")), round_digits)
+    # Threshold via explode(filter(array(sim))) — the single-evaluation
+    # idiom from the shingle tier (r13 change 10): .filter(cosine >= t) on
+    # the projected column collapses into a Filter that re-computes the
+    # whole zip_with+aggregate cosine per pair, then the projection
+    # computes it AGAIN for survivors (2x the dominant arithmetic of this
+    # O(n²) verify). The higher-order filter evaluates the cosine once;
+    # explode of the emptied wrapper drops sub-threshold pairs —
+    # bit-identical rows either way (r14).
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.explode(
+                F.filter(F.array(sim), lambda c: c >= threshold)
+            ).alias("cosine"),
+        )
         .orderBy("id_a", "id_b")
     )
 
@@ -469,7 +482,17 @@ def cosine_near_duplicate_pairs(
     # Candidate volume is ~|buckets|·avg_bucket² pairs — verify each with the
     # Arrow pair-cosine kernel (one vectorized reduction per batch) instead
     # of an interpreted per-row HOF cosine, which dominated this operator.
-    sim = pair_cosine_udf()(F.col("v_a"), F.col("v_b"))
+    #
+    # asNondeterministic (guide §4.4): the threshold predicate on the
+    # projected ``cosine`` column otherwise collapses below the projection
+    # and the UDF is extracted TWICE — two ArrowEvalPython nodes, every
+    # candidate pair crossing the Python boundary and paying the kernel
+    # 2x (verified in plans/r14/cosine_near_dups_{before,after}.txt). The
+    # kernel is pure (deterministic per row); the marker only tells the
+    # optimizer not to duplicate/reorder it, yielding one ArrowEvalPython
+    # with the Filter reading the computed column. No other predicate
+    # needs to cross this projection, so nothing legitimate is blocked.
+    sim = pair_cosine_udf().asNondeterministic()(F.col("v_a"), F.col("v_b"))
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")

@@ -1034,18 +1034,46 @@ def test_text_kernels_evaluate_once_no_filter_pushdown(spark):
         "doc_id long, text string",
     )
 
-    def kernel_in_condition(df) -> list[str]:
+    def kernel_in_condition(df, fingerprint: str) -> list[str]:
         return [
             ln.strip()[:120]
             for ln in plan_text(df).splitlines()
-            if ln.strip().startswith("Condition") and "regexp_replace(lower(" in ln
+            if ln.strip().startswith("Condition") and fingerprint in ln
         ]
 
-    for label, df in {
-        "shingle_table": dedup_ops.shingle_table(docs, persist=False),
-        "simhash_signatures": dedup_ops.simhash_signatures(docs),
-        "filter_by_quality": pipeline_ops.filter_by_quality(docs),
-        "bm25_rows_tier": corpus_ops.bm25_search(docs, ["spark", "join"], k=5),
+    # Per-site kernel fingerprint (r13 ADVICE closed r14): the word
+    # tokenizer is `regexp_replace(lower(`, but filter_by_quality's
+    # heuristics tokenize via bare `split(trim(` — the r13 single
+    # shared fingerprint made its Condition guard silently vacuous.
+    for label, (df, fingerprint) in {
+        "shingle_table": (
+            dedup_ops.shingle_table(docs, persist=False),
+            "regexp_replace(lower(",
+        ),
+        "simhash_signatures": (
+            dedup_ops.simhash_signatures(docs),
+            "regexp_replace(lower(",
+        ),
+        "filter_by_quality": (
+            pipeline_ops.filter_by_quality(docs),
+            "split(trim(",
+        ),
+        "bm25_rows_tier": (
+            corpus_ops.bm25_search(docs, ["spark", "join"], k=5),
+            "regexp_replace(lower(",
+        ),
     }.items():
-        bad = kernel_in_condition(df)
+        bad = kernel_in_condition(df, fingerprint)
         assert not bad, f"{label} re-evaluates the tokenize kernel in a Filter: {bad}"
+        # r13 ADVICE: the Condition check above keys on a kernel
+        # fingerprint — if the kernel is ever rewritten with different
+        # primitives the guard would silently become vacuous. Require
+        # the fingerprint to appear SOMEWHERE in each plan (the single
+        # legitimate evaluation, in a Project/Generate node), so a
+        # kernel rewrite fails this test loudly instead.
+        assert fingerprint in plan_text(df), (
+            f"{label}: kernel fingerprint {fingerprint!r} no longer "
+            f"appears anywhere in the plan — the single-evaluation guard "
+            f"above is now vacuous; update the fingerprint to match the "
+            f"rewritten kernel"
+        )
