@@ -349,6 +349,7 @@ def run_update_sink_to_parquet(
     key_cols: list[str],
     trigger: str | None = None,
     available_now: bool = False,
+    keys_proven_unique: bool = False,
 ) -> StreamingQuery:
     """Update-mode streaming aggregate → parquet, via foreachBatch upsert.
 
@@ -365,12 +366,35 @@ def run_update_sink_to_parquet(
     ``key_cols`` must be the aggregate's FULL grouping key: overwriting a
     partition keyed by a strict subset would drop that partition's other
     group rows (e.g. key_cols=[window] for a (window, label) agg deletes
-    every label but the batch's). Each batch is guarded: duplicate key
-    tuples mean the key is partial, and the query is failed loudly instead
-    of silently losing data.
+    every label but the batch's). By default each batch is guarded: duplicate
+    key tuples mean the key is partial, and the query is failed loudly
+    instead of silently losing data.
+
+    ``keys_proven_unique=True`` skips the per-batch runtime guard (and the
+    persist that exists only to share the batch between the guard and the
+    write — with one consumer the write executes the pipeline exactly once
+    unpersisted). Pass it ONLY when key_cols is provably a bijective
+    rendering of the aggregate's full grouping key — update mode emits each
+    group at most once per micro-batch by construction, so group-key
+    bijectivity implies key-tuple uniqueness. The guard + persist are two
+    extra driver actions per micro-batch; measured at sf0.1 (r14,
+    interleaved drain A/B) they were ~40 % of a 5-batch AvailableNow drain
+    (5.67 → 3.37 s min). The default stays guarded: a wrong hint here
+    loses data silently, so callers must document the bijectivity argument.
+    (No isEmpty() pre-probe: on a foreachBatch frame it re-executes the
+    un-persisted state-store pipeline, costing more across the data
+    batches than skipping the finalizer trigger's empty write saves.)
     """
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        if keys_proven_unique:
+            (
+                batch.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*key_cols)
+                .parquet(path)
+            )
+            return
         # two actions consume the micro-batch (the dup-key guard, then the
         # write) — persist so the upstream pipeline runs once per trigger,
         # not twice (same convention as fan_out_sinks above)

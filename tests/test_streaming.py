@@ -212,6 +212,55 @@ def test_update_sink_upserts_across_micro_batches(spark, tmp_path):
     assert {key(r): r["cnt"] for r in got.collect()} == {key(r): r["cnt"] for r in want.collect()}
 
 
+def test_update_sink_keys_proven_unique_matches_guarded(spark, tmp_path):
+    """r14: keys_proven_unique skips the per-batch dup-guard job + persist
+    (measured ~40% of the sf0.1 drain). Contract: (1) the proven path's
+    output table is IDENTICAL to the guarded default's; (2) the guarded
+    default still fails loudly on a partial key — the safety the hint
+    opts out of must keep existing where not explicitly proven."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f1.json").write_text("\n".join(json.dumps(p) for p in POSTS[:3]))
+    (src / "f2.json").write_text("\n".join(json.dumps(p) for p in POSTS[3:]))
+
+    def drain(out, ckpt, proven):
+        stream = windowed_sentiment_counts(
+            enriched_file_stream(spark, str(src), with_sentiment_udf=False),
+            window="1 minute",
+        )
+        q = run_update_sink_to_parquet(
+            stream, out, ckpt,
+            key_cols=["window_start", "sentiment_label"],
+            available_now=True,
+            keys_proven_unique=proven,
+        )
+        assert q.awaitTermination(120)
+
+    drain(str(tmp_path / "out_g"), str(tmp_path / "ck_g"), proven=False)
+    drain(str(tmp_path / "out_p"), str(tmp_path / "ck_p"), proven=True)
+    key = lambda r: (r["window_start"], r["sentiment_label"], r["cnt"])
+    got_g = sorted(map(key, spark.read.parquet(str(tmp_path / "out_g")).collect()))
+    got_p = sorted(map(key, spark.read.parquet(str(tmp_path / "out_p")).collect()))
+    assert got_g == got_p and len(got_p) > 0
+
+    # partial key (window only — posts a/b share the 10:00 window and carry
+    # two labels under the default lexicon UDF: positive vs negative) must
+    # still fail loudly on the guarded DEFAULT path
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    stream = windowed_sentiment_counts(
+        enriched_file_stream(spark, str(src)), window="1 minute"
+    )
+    q = run_update_sink_to_parquet(
+        stream, str(tmp_path / "out_bad"), str(tmp_path / "ck_bad"),
+        key_cols=["window_start"],
+        available_now=True,
+    )
+    with pytest.raises(StreamingQueryException, match="uniquely key"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+
+
 def test_interval_join_streams_match_batch(spark, tmp_path):
     """Stream-stream interval self-join (platform as key): each post joined
     to later posts on the same platform within 2 minutes, streaming output
