@@ -740,10 +740,18 @@ def semantic_near_duplicate_pairs(
     vec_col: str = "embedding",
     seed: int = 7,
     max_cell_rows: int = 4096,
+    capped_index: tuple | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023, public):
     coarse k-means partition of the embedding space, then EXACT cosine pairs
     computed only WITHIN each cluster.
+
+    ``capped_index``: a prebuilt ``(assigned, centroids)`` pair — exactly
+    what ``ivf_index`` + ``cap_cell_sizes`` (same params) produce — e.g. a
+    session-memoized persisted table shared with ``knn_graph`` over the
+    same corpus. Skips the per-call quantizer fit (one TakeOrdered collect
+    over the corpus) and the cap's oversized-cell probe; the build-once/
+    probe-many split of the ANN index family (r14).
 
     The complementary tradeoff to ``cosine_near_duplicate_pairs``: SRP
     banding is recall-tuned for very high thresholds (near-identical
@@ -778,12 +786,15 @@ def semantic_near_duplicate_pairs(
     """
     import pandas as pd
 
-    assigned, centroids = ivf_index(embeddings, n_clusters, vec_col, seed=seed)
-    if max_cell_rows:
-        assigned = cap_cell_sizes(
-            assigned, int(centroids.shape[1]), max_cell_rows, "cluster", vec_col,
-            seed, salt_col=id_col,
-        )
+    if capped_index is not None:
+        assigned, centroids = capped_index
+    else:
+        assigned, centroids = ivf_index(embeddings, n_clusters, vec_col, seed=seed)
+        if max_cell_rows:
+            assigned = cap_cell_sizes(
+                assigned, int(centroids.shape[1]), max_cell_rows, "cluster", vec_col,
+                seed, salt_col=id_col,
+            )
     sides = assigned.select(
         "cluster", F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).filter(F.col("_v").isNotNull())
@@ -1000,6 +1011,7 @@ def knn_graph(
     vec_col: str = "embedding",
     seed: int = 7,
     max_cell_rows: int = 4096,
+    capped_index: tuple | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH: for every vector, its top-k
     most-cosine-similar neighbors — the all-points counterpart of the
@@ -1038,15 +1050,23 @@ def knn_graph(
     Returns (vec_id, rank, neighbor_id, cosine), rank 1..k by (cosine
     desc, neighbor_id asc), ordered by (vec_id, rank). Vectors alone in
     their cell emit no rows.
+
+    ``capped_index``: prebuilt ``(assigned, centroids)`` — same contract as
+    ``semantic_near_duplicate_pairs`` (r14): skips the per-call quantizer
+    fit collect and the cap's oversized-cell probe when a session-memoized
+    index over the same corpus exists.
     """
     import pandas as pd
 
-    assigned, centroids = ivf_index(embeddings, n_clusters, vec_col, seed=seed)
-    if max_cell_rows:
-        assigned = cap_cell_sizes(
-            assigned, int(centroids.shape[1]), max_cell_rows, "cluster", vec_col,
-            seed, salt_col=id_col,
-        )
+    if capped_index is not None:
+        assigned, centroids = capped_index
+    else:
+        assigned, centroids = ivf_index(embeddings, n_clusters, vec_col, seed=seed)
+        if max_cell_rows:
+            assigned = cap_cell_sizes(
+                assigned, int(centroids.shape[1]), max_cell_rows, "cluster", vec_col,
+                seed, salt_col=id_col,
+            )
     # null vectors can't participate in a GEMM (the old pair kernel scored
     # them NaN, which never ranked anyway); integer ids assumed (the family
     # schema) so the output columns stay long-typed

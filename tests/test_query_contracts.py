@@ -738,6 +738,73 @@ def test_mmr_anchor_ids_memoized_and_correct(spark):
         entrymod._MMR_ANCHOR_MEMO.clear()
 
 
+def test_sem_capped_index_memoized_and_shared(spark):
+    """r14: q_semantic_near_dups / q_knn_graph share one session-memoized
+    ivf(16)+cap cell assignment (_sem_capped_index) instead of re-paying
+    the quantizer-fit collect + oversized-cell probe per call. Contract:
+    (1) the memoized query path produces exactly the direct operator
+    path's rows; (2) the memo read is live (a poisoned entry changes the
+    consumed assignment); (3) a trim-evicted index revives (storage level
+    restored on hit), so the build-once claim survives release_all."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark import caching
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
+        similarity,
+    )
+
+    entrymod._SEM_INDEX_CACHE.clear()
+    try:
+        got = entrymod.q_semantic_near_dups(spark, SF_SMOKE).collect()
+        want = (
+            similarity.semantic_near_duplicate_pairs(
+                entrymod._sem_planted(spark, SF_SMOKE), threshold=0.95, n_clusters=16
+            )
+            .collect()
+        )
+        key = lambda r: (r["id_a"], r["id_b"])
+        assert sorted(map(key, got)) == sorted(map(key, want)) and len(got) > 0
+
+        gk = entrymod.q_knn_graph(spark, SF_SMOKE).collect()
+        wk = similarity.knn_graph(
+            entrymod._sem_planted(spark, SF_SMOKE), k=3, n_clusters=16
+        ).collect()
+        kk = lambda r: (r["vec_id"], r["rank"], r["neighbor_id"])
+        assert sorted(map(kk, gk)) == sorted(map(kk, wk)) and len(gk) > 0
+
+        # revival: evict every tracked persist, then a memo hit must hand
+        # back a (re-)persisted assignment
+        caching.release_all()
+        assigned, _ = entrymod._sem_capped_index(spark, SF_SMOKE)
+        assert assigned.storageLevel.useMemory or assigned.storageLevel.useDisk
+
+        # memo read is live: a poisoned (empty) assignment must flow into
+        # the query result
+        mkey = (spark.sparkContext.applicationId, SF_SMOKE)
+        real_assigned, real_centroids = entrymod._SEM_INDEX_CACHE[mkey]
+        entrymod._SEM_INDEX_CACHE[mkey] = (
+            real_assigned.limit(0),
+            real_centroids,
+        )
+        assert entrymod.q_semantic_near_dups(spark, SF_SMOKE).count() == 0
+    finally:
+        entrymod._SEM_INDEX_CACHE.clear()
+
+
+def test_emb_count_memoized_and_correct(spark):
+    """r14: q_cosine_near_dups' SRP sizing count is served by _emb_count
+    (memoized per sf_dir) + the exact +8 planted-twin offset, removing one
+    whole Spark job per call. Red if the memo read is removed: a poisoned
+    entry must be returned verbatim; and the memo value must equal the
+    real count so the n_rows_hint stays provably exact."""
+    entrymod._EMB_COUNT_MEMO.clear()
+    try:
+        n = entrymod._emb_count(spark, SF_SMOKE)
+        assert n == entrymod._t(spark, SF_SMOKE, "embeddings").count()
+        entrymod._EMB_COUNT_MEMO[SF_SMOKE] = -99
+        assert entrymod._emb_count(spark, SF_SMOKE) == -99
+    finally:
+        entrymod._EMB_COUNT_MEMO.clear()
+
+
 def test_vp_cutoff_memo_is_read_by_left_interval_join(spark):
     """r13: the left interval join's watermark-clip cutoff (one naive
     datetime per (applicationId, sf_dir)) is memoized. Red if the memo
