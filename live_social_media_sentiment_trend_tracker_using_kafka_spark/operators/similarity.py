@@ -1139,6 +1139,7 @@ def ivf_search_join(
     seed: int = 7,
     max_broadcast_queries: int = 100_000,
     assume_small_batch: bool | None = None,
+    corpus_index: tuple | None = None,
 ) -> DataFrame:
     """BATCH ANN search join: top-k corpus neighbors for EVERY row of a
     query-vector table — the serving-batch shape (rerank candidates for a
@@ -1180,6 +1181,7 @@ def ivf_search_join(
     cand = _ivf_probe_candidates(
         corpus, queries, n_clusters, nprobe, id_col, vec_col, seed,
         max_broadcast_queries, assume_small_batch, query_cols=[query_id_col],
+        corpus_index=corpus_index,
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -1201,6 +1203,7 @@ def _ivf_probe_candidates(
     max_broadcast_queries: int,
     assume_small_batch: bool | None,
     query_cols: list[str],
+    corpus_index: tuple | None = None,
 ) -> DataFrame:
     """Shared candidate-pair builder for the IVF probe-join family
     (ivf_search_join, semantic_decontaminate): corpus IVF-assigned once,
@@ -1211,7 +1214,13 @@ def _ivf_probe_candidates(
     Returns (query_cols..., id_col, cosine)."""
     from ..functions.kernels import make_ivf_probes_udf, pair_cosine_udf
 
-    assigned, centroids = ivf_index(corpus, n_clusters, vec_col, seed=seed)
+    # corpus_index: prebuilt (assigned, centroids) — the build-once/
+    # probe-many seam of the ANN family (r14): a session-memoized corpus
+    # assignment skips the per-call quantizer-fit collect + assign pass.
+    if corpus_index is not None:
+        assigned, centroids = corpus_index
+    else:
+        assigned, centroids = ivf_index(corpus, n_clusters, vec_col, seed=seed)
     probes = make_ivf_probes_udf(centroids, nprobe)
     q = queries.select(
         *[F.col(c) for c in query_cols],
@@ -1302,6 +1311,7 @@ def semantic_decontaminate(
     seed: int = 7,
     max_broadcast_queries: int = 100_000,
     assume_small_batch: bool | None = None,
+    corpus_index: tuple | None = None,
 ) -> DataFrame:
     """EMBEDDING-level benchmark decontamination: flag every corpus row
     whose vector is within cosine ``threshold`` of ANY benchmark item —
@@ -1334,6 +1344,7 @@ def semantic_decontaminate(
             max_broadcast_queries=max_broadcast_queries,
             assume_small_batch=assume_small_batch,
             query_cols=[],
+            corpus_index=corpus_index,
         )
         .filter(F.col("cosine") >= threshold)
         .groupBy(id_col)

@@ -789,6 +789,49 @@ def test_sem_capped_index_memoized_and_shared(spark):
         entrymod._SEM_INDEX_CACHE.clear()
 
 
+def test_ivf_corpus_index_memoized_and_shared(spark):
+    """r14: q_ann_search_join / q_semantic_decontamination serve their
+    corpus IVF assignment from _ivf_corpus_index instead of re-fitting the
+    quantizer per call. Same contract pins as _sem_capped_index: parity
+    with the direct operator path, a live memo read, trim-eviction
+    revival."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark import caching
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
+        similarity,
+    )
+
+    entrymod._IVF_CORPUS_INDEX_CACHE.clear()
+    try:
+        got = entrymod.q_ann_search_join(spark, SF_SMOKE).collect()
+        emb = entrymod._t(spark, SF_SMOKE, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x * F.lit(0.7)).alias("embedding"),
+        )
+        want = similarity.ivf_search_join(
+            emb, queries, k=5, n_clusters=16, nprobe=4, assume_small_batch=True
+        ).collect()
+        key = lambda r: (r["query_id"], r["rank"], r["vec_id"])
+        assert sorted(map(key, got)) == sorted(map(key, want)) and len(got) > 0
+
+        gd = entrymod.q_semantic_decontamination(spark, SF_SMOKE)
+        assert gd.filter(F.col("planted") & ~F.col("contaminated")).count() == 0
+        assert gd.filter(F.col("planted")).count() == 10
+
+        # revival after eviction, and the memo read is live (poisoned
+        # empty assignment -> no candidate rows -> nothing contaminated)
+        caching.release_all()
+        assigned, cents = entrymod._ivf_corpus_index(
+            spark, SF_SMOKE, "ann_corpus", emb
+        )
+        assert assigned.storageLevel.useMemory or assigned.storageLevel.useDisk
+        mkey = (spark.sparkContext.applicationId, SF_SMOKE, "ann_corpus")
+        entrymod._IVF_CORPUS_INDEX_CACHE[mkey] = (assigned.limit(0), cents)
+        assert entrymod.q_ann_search_join(spark, SF_SMOKE).count() == 0
+    finally:
+        entrymod._IVF_CORPUS_INDEX_CACHE.clear()
+
+
 def test_emb_count_memoized_and_correct(spark):
     """r14: q_cosine_near_dups' SRP sizing count is served by _emb_count
     (memoized per sf_dir) + the exact +8 planted-twin offset, removing one
