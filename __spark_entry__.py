@@ -1322,6 +1322,21 @@ def _ivf_corpus_index(spark: SparkSession, sf_dir: str, kind: str, corpus: DataF
     return idx
 
 
+# Session-memoized Bloom fit for q_bloom_decontamination (r14): the packed
+# filter words are a pure function of (corpus dir, n, fpp) — the benchmark
+# split is deterministic — yet every call re-paid the benchmark shingling +
+# sizing count + packed-word collect (two driver actions). Bounded driver
+# data (~m/64 longs), same contract class as _query_vec/_doc_count.
+_BLOOM_FIT_MEMO: dict[tuple, tuple] = {}
+
+
+def _bloom_fit(spark: SparkSession, sf_dir: str, bench: DataFrame, n: int, fpp: float) -> tuple:
+    key = (sf_dir, n, fpp)
+    if key not in _BLOOM_FIT_MEMO:
+        _BLOOM_FIT_MEMO[key] = contamination.build_bloom_words(bench, n=n, fpp=fpp)
+    return _BLOOM_FIT_MEMO[key]
+
+
 def _with_exact_topk_flag(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """Recall contract for the ANN top-k queries: flag each approximate hit
     that also appears in the exact cosine top-k on the same input, so the
@@ -3065,7 +3080,12 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter can only overcount) — thresholds pinned in
     tests/test_contamination.py."""
     cand, bench = _bench_split(spark, sf_dir)
-    bloom = contamination.bloom_contamination_stats(cand, bench, n=3, fpp=0.01)
+    # the packed filter rides the session memo (_bloom_fit, r14) instead
+    # of re-running the benchmark shingle + sizing + packed collect per call
+    bloom = contamination.bloom_contamination_stats(
+        cand, bench, n=3, fpp=0.01,
+        bloom_fit=_bloom_fit(spark, sf_dir, bench, n=3, fpp=0.01),
+    )
     exact = contamination.contamination_stats(cand, bench, n=3, use_hash=True).select(
         "doc_id", F.col("n_contaminated").alias("n_contaminated_exact")
     )

@@ -832,6 +832,38 @@ def test_ivf_corpus_index_memoized_and_shared(spark):
         entrymod._IVF_CORPUS_INDEX_CACHE.clear()
 
 
+def test_bloom_fit_memoized_and_correct(spark):
+    """r14: q_bloom_decontamination serves its packed Bloom filter from
+    _bloom_fit instead of re-fitting (benchmark shingle + sizing count +
+    packed collect) per call. Parity with the direct operator path, and a
+    live memo read (a poisoned all-zero filter must zero every bloom
+    count, flipping no_false_negative wherever the exact tier hits)."""
+    from live_social_media_sentiment_trend_tracker_using_kafka_spark.operators import (
+        contamination,
+    )
+
+    entrymod._BLOOM_FIT_MEMO.clear()
+    try:
+        got = entrymod.q_bloom_decontamination(spark, SF_SMOKE)
+        rows = got.collect()
+        assert all(r["no_false_negative"] for r in rows) and len(rows) > 0
+        # parity vs the operator's own per-call fit
+        cand, bench = entrymod._bench_split(spark, SF_SMOKE)
+        want = contamination.bloom_contamination_stats(
+            cand, bench, n=3, fpp=0.01
+        ).collect()
+        wmap = {r["doc_id"]: r["n_contaminated_bloom"] for r in want}
+        assert {r["doc_id"]: r["n_contaminated_bloom"] for r in rows} == wmap
+        # live memo read: all-zero filter -> zero bloom hits everywhere
+        key = (SF_SMOKE, 3, 0.01)
+        words, m, k = entrymod._BLOOM_FIT_MEMO[key]
+        entrymod._BLOOM_FIT_MEMO[key] = ([0] * len(words), m, k)
+        poisoned = entrymod.q_bloom_decontamination(spark, SF_SMOKE)
+        assert poisoned.agg(F.sum("n_contaminated_bloom")).head()[0] == 0
+    finally:
+        entrymod._BLOOM_FIT_MEMO.clear()
+
+
 def test_emb_count_memoized_and_correct(spark):
     """r14: q_cosine_near_dups' SRP sizing count is served by _emb_count
     (memoized per sf_dir) + the exact +8 planted-twin offset, removing one
