@@ -3810,6 +3810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    hand-curate this ordering) --
         # tier: plan rewritten — locally verified, pending re-drive
         "streaming_update_upsert": q_streaming_update_upsert,
+        "cosine_pairs_sample": q_cosine_pairs_sample,
         # tier: last driver evidence r9
         "flagship_event_summary": q_flagship_event_summary,
         "global_stats": q_global_stats,
@@ -3860,9 +3861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_latency_audit": q_ship_latency_audit,
         "streaming_props_buckets": q_streaming_props_buckets,
         "supplier_diversity": q_supplier_diversity,
-        "time_to_conversion": q_time_to_conversion,
         # ---- driver window boundary (first 50 above) ------------------
         # tier: last driver evidence r10
+        "time_to_conversion": q_time_to_conversion,
         "token_pmi_pairs": q_token_pmi_pairs,
         "top_event_paths": q_top_event_paths,
         "user_stickiness": q_user_stickiness,
@@ -3997,7 +3998,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_purchase": q_asof_last_purchase,
         "chunk_documents": q_chunk_documents,
         "clean_corpus_exact_neardup": q_clean_corpus_exact_neardup,
-        "cosine_pairs_sample": q_cosine_pairs_sample,
         "similarity_join_exact": q_similarity_join_exact,
         "top_parts_per_brand": q_top_parts_per_brand,
         "benchmark_contamination": q_benchmark_contamination,
